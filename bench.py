@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced with a full-result count (no collect of payloads —
+the driver measures plan execution, not result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from iot_database_spark import registry
+from iot_database_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries — one per operator family; extend as families land.
+HEADLINE = [
+    "q01_pricing_summary",
+    "scan_filter_project",
+    "join4_revenue_by_nation",
+    "join2_orders_customer",
+    "groupby_having",
+    "window_topk_per_group",
+    "window_running_sum",
+    "semi_join_exists",
+    "set_union",
+    "sort_limit_offset",
+    # later phases (skipped automatically if not yet registered)
+    "iot_effective_value",
+    "ts_locf_merge",
+    "ts_resample_interp",
+    "chain_verify",
+    "vector_cosine_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    spark = get_spark("iot_database_spark_bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once (not counted)
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+"""Relational operator coverage (SURVEY.md §2.1-2.7) as oracle-checked queries.
+
+The reference executes these semantics as skip-list index scans + Volcano
+iterator pipes (LiteDB/Engine/Query/*) or client-side nested loops
+(Iot.Database/Queries/QueryEngine*.cs). Here every operator is a declarative
+Spark plan: filters/projections push to the parquet scan, joins pick
+broadcast vs shuffle via Catalyst/AQE, aggregations run partial+final.
+
+Float discipline: money columns are double in parquet. To make Spark and
+the DuckDB oracle produce bit-identical aggregates regardless of summation
+order, money aggregates cast to exact DECIMAL, sum exactly, and cast the
+final sum to DOUBLE (a deterministic nearest-double of the same exact
+value). Integer-valued doubles (quantities, counts) sum exactly in double
+and need no trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iot_database_spark.registry import load_views, register
+
+
+def _sql(name: str, sql: str, oracle: str | None = None) -> None:
+    """Register a query whose Spark and DuckDB texts are (usually) identical."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    fn.__name__ = f"q_{name}"
+    register(name, oracle if oracle is not None else sql)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filter / project  (ref: IndexAll/IndexEquals/IndexRange/IndexIn/
+# IndexLike — LiteDB/Engine/Query/IndexQuery/*.cs; QueryPipe.Select/Filter —
+# LiteDB/Engine/Query/Pipeline/QueryPipe.cs:81-98, BasePipe.cs:138-150)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS disc_price,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-07-01'
+      AND l_quantity > 45
+    """,
+)
+
+_sql(
+    "filter_in",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal >= 0
+    """,
+)
+
+_sql(
+    "filter_like",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%green%' OR p_brand LIKE 'Brand#1%'
+    """,
+)
+
+_sql(
+    "filter_between_not",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderstatus <> 'P'
+      AND o_orderdate IS NOT NULL
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Sort / limit / offset / top-k  (ref: BasePipe.OrderBy external merge sort —
+# LiteDB/Engine/Sort/SortService.cs; OFFSET/LIMIT QueryPipe.cs:52-57;
+# FindAll(take, First|Last) — Iot.Database/Table/TableCollection.cs:849-891)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+
+_sql(
+    "take_last",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 25
+    """,
+)
+
+_sql(
+    "multi_key_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregation  (ref: GroupByPipe — LiteDB/Engine/Query/Pipeline/GroupByPipe.cs;
+# Aggregate methods — LiteDB/Document/Expression/Methods/Aggregate.cs)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE)                                   AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)       AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)         AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)              AS sum_charge,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)                        AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)  AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_sql(
+    "global_agg",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    """,
+)
+
+_sql(
+    "groupby_having",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+
+_sql(
+    "distinct_op",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+
+_sql(
+    "count_exists_minmax",
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CASE WHEN COUNT(*) > 0 THEN TRUE ELSE FALSE END AS any_rows,
+           MIN(event_type) AS min_type,
+           MAX(event_type) AS max_type
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+
+_sql(
+    "rollup_agg",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Joins  (ref: FK nested loops — Iot.Database/Queries/QueryEngine.cs:729-823,
+# QueryEngine2.cs:334-485, QueryEngine3.cs:390-628. Re-expressed as real
+# broadcast/shuffle joins; Catalyst+AQE pick the strategy.)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "join2_orders_customer",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+
+_sql(
+    "join3_customer_nation_region",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+
+_sql(
+    "join4_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+
+# INCLUDE (1:N nest) flattened to its SQL-checkable shape: parent + child
+# aggregate. The true nested <table>_Data shape is produced by
+# operators/include.py and checked in pytest (arrays don't hash-compare
+# across engines).  ref: QueryEngine.QueryBuilder.Execute :729-823.
+_sql(
+    "include_children_agg",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS order_total
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+
+_sql(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+
+_sql(
+    "anti_join_not_exists",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Set operations  (ref: UNION/EXCEPT/DISTINCT over enumerables —
+# LiteDB/Document/Expression/Methods/Misc.cs:190-214; we expose the
+# DataFrame-level superset)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "set_union",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+
+_sql(
+    "set_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+_sql(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Window functions  (absent in the reference as relational ops — SURVEY §2.5;
+# these power LOCF/interpolation/chaining and the "take last N" semantics)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+
+_sql(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+
+_sql(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(12,2))
+                - COALESCE(LAG(CAST(value AS DECIMAL(12,2))) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id),
+                  CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS delta
+    FROM events
+    """,
+)

@@ -1,0 +1,123 @@
+"""SparkSession factory + testdata loading helpers.
+
+Defaults are tuned for the driver's local[32] harness but written so the
+same code runs unchanged on a multi-executor cluster: AQE handles runtime
+partition coalescing and skew joins, shuffle partitions scale with
+parallelism, and all table loads go through the catalog so downstream
+operators see consistent views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "iot_database_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on: runtime coalescing, skew-join splitting, dynamic join
+      strategy switch (broadcast after runtime stats) — the knobs that
+      keep a 1000-executor plan healthy without hand-tuning.
+    - shuffle.partitions sized to local parallelism here; on a real
+      cluster this should be ~2-3x total cores (or left to AQE's
+      coalescing with a high initial value).
+    - Arrow enabled for the Pandas-UDF paths (vector ops, multimodal).
+    - UTC session timezone: the reference stores ISO-8601/UTC timestamps
+      (Iot.Database/IotValue.cs ToStringValue), and oracle comparisons
+      must not depend on host timezone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long and convert in load_tables (floor to
+        # micros — the same truncation DuckDB applies when surfacing ns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"))
+    )
+    if master or not _active_session():
+        builder = builder.master(master or f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _active_session() -> SparkSession | None:
+    return SparkSession.getActiveSession()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables; optionally register temp views.
+
+    Reads are plain `spark.read.parquet` so Catalyst gets full predicate
+    pushdown / column pruning; no caching here — operators decide what to
+    persist.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _fix_nanos(spark, path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def _fix_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, converting TIMESTAMP(NANOS) columns (surfaced as long
+    via spark.sql.legacy.parquet.nanosAsLong) back to microsecond timestamps.
+
+    Integer `DIV 1000` keeps the conversion exact (ns since epoch exceeds
+    2^53, so float division would corrupt) and floors toward -inf for the
+    data's positive epochs — identical to DuckDB's ns->us surfacing, so
+    oracle comparisons against whole-second literals are unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return df
+    for field in arrow_schema:
+        if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000")),
+            )
+    return df

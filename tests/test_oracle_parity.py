@@ -1,0 +1,84 @@
+"""Local replica of the driver's t2 correctness gate.
+
+For every registered query that declares an oracle, run the Spark plan and
+the DuckDB SQL side-by-side on the same parquet tables and require
+EXACT (bit-level) value equality after column-name sort + row sort.
+This is deliberately stricter than a tolerance compare: the engine's
+output discipline (exact decimal sums cast to double) makes bit equality
+achievable, and the driver hashes values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from iot_database_spark import registry
+from iot_database_spark.session import TESTDATA_TABLES
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+_ORACLES = registry.oracles()
+_QUERIES = registry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(name, spark, sf_dir):
+    sdf = _QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(_ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    s_norm = _normalize(srows, scols)
+    d_norm = _normalize(drows, dcols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_every_query_has_entry():
+    assert _QUERIES, "no queries registered"
+    for name in _ORACLES:
+        assert name in _QUERIES
