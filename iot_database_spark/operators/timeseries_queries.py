@@ -1,0 +1,148 @@
+"""Oracle-checked queries for the time-series read path (SURVEY.md §1.5 —
+reference Iot.Database/TimeSeries/TsCollection.cs).
+
+events models the series log: guid = user_id, ts, value. 'error' events
+write priority-1 values, 'signup' priority-9, everything else priority-15
+— exercising the LOCF merge across priority slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import timeseries as ts_ops
+from iot_database_spark.registry import load_views, register
+
+_PRIORITY = (
+    "CASE WHEN event_type = 'error' THEN 1 "
+    "WHEN event_type = 'signup' THEN 9 ELSE 15 END"
+)
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_views(spark, sf_dir)
+    return tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        F.col("ts"),
+        F.expr(_PRIORITY).cast("int").alias("priority"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+
+
+@register(
+    "ts_locf_merge",
+    oracle=f"""
+    WITH series AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST({_PRIORITY} AS INT) AS priority,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    )
+    SELECT guid,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           LAST_VALUE(CASE WHEN priority = 1 THEN value END IGNORE NULLS)
+               OVER w AS slot_1,
+           LAST_VALUE(CASE WHEN priority = 9 THEN value END IGNORE NULLS)
+               OVER w AS slot_9,
+           LAST_VALUE(CASE WHEN priority = 15 THEN value END IGNORE NULLS)
+               OVER w AS slot_15,
+           COALESCE(
+               LAST_VALUE(CASE WHEN priority = 1 THEN value END IGNORE NULLS) OVER w,
+               LAST_VALUE(CASE WHEN priority = 9 THEN value END IGNORE NULLS) OVER w,
+               LAST_VALUE(CASE WHEN priority = 15 THEN value END IGNORE NULLS) OVER w
+           ) AS eff_value
+    FROM series
+    WINDOW w AS (PARTITION BY guid ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_locf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-merged LOCF event stream (TsCollection.cs:163-181): each
+    event carries every slot's last-observed value; effective value =
+    lowest-numbered non-null slot."""
+    merged = ts_ops.locf_merge(
+        _series(spark, sf_dir), priorities=(1, 9, 15), tiebreak="event_id"
+    )
+    return merged.select(
+        "guid",
+        F.unix_micros("ts").alias("ts_us"),
+        "slot_1",
+        "slot_9",
+        "slot_15",
+        F.col("eff_value"),
+    )
+
+
+@register(
+    "ts_resample_interp",
+    oracle="""
+    WITH samples AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS grid_ts,
+               CAST(value AS DOUBLE) AS v,
+               1 AS is_sample
+        FROM events
+    ), guids AS (
+        SELECT DISTINCT guid FROM samples
+    ), grid AS (
+        SELECT guid, gs AS grid_ts, CAST(NULL AS DOUBLE) AS v, 0 AS is_sample
+        FROM guids,
+             generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-08 00:00:00',
+                             INTERVAL 1 HOUR) t(gs)
+    ), unioned AS (
+        SELECT * FROM samples UNION ALL SELECT * FROM grid
+    ), resolved AS (
+        SELECT guid, grid_ts, is_sample,
+               LAST_VALUE(v IGNORE NULLS) OVER w_before AS prev_v,
+               LAST_VALUE(CASE WHEN is_sample = 1 THEN grid_ts END IGNORE NULLS)
+                   OVER w_before AS prev_ts,
+               FIRST_VALUE(v IGNORE NULLS) OVER w_after AS next_v,
+               FIRST_VALUE(CASE WHEN is_sample = 1 THEN grid_ts END IGNORE NULLS)
+                   OVER w_after AS next_ts
+        FROM unioned
+        WINDOW
+          w_before AS (PARTITION BY guid ORDER BY grid_ts, is_sample DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_after AS (PARTITION BY guid ORDER BY grid_ts, is_sample DESC
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT guid,
+           CAST(epoch_us(grid_ts) AS BIGINT) AS grid_ts_us,
+           CASE
+             WHEN prev_ts = grid_ts THEN prev_v
+             WHEN next_ts IS NOT NULL AND next_ts <> prev_ts
+                  AND prev_v IS NOT NULL AND next_v IS NOT NULL
+             THEN prev_v + (next_v - prev_v)
+                  * (CAST(epoch_us(grid_ts) - epoch_us(prev_ts) AS DOUBLE)
+                     / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+             ELSE prev_v
+           END AS value,
+           (prev_ts <> grid_ts
+            AND next_ts IS NOT NULL AND next_ts <> prev_ts
+            AND prev_v IS NOT NULL AND next_v IS NOT NULL) AS interpolated
+    FROM resolved
+    WHERE is_sample = 0 AND prev_ts IS NOT NULL
+    """,
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resample with linear interpolation + interpolated flag
+    (TsCollection.cs:188-233); fill-forward at the trailing edge, grid
+    points before the first sample skipped."""
+    series = _series(spark, sf_dir)
+    out = ts_ops.resample(
+        series,
+        start="2024-01-01 00:00:00",
+        end="2024-01-08 00:00:00",
+        interval="1 HOUR",
+    )
+    return out.select(
+        "guid",
+        F.unix_micros("grid_ts").alias("grid_ts_us"),
+        "value",
+        "interpolated",
+    )

@@ -1,0 +1,153 @@
+"""Oracle-checked queries for vector similarity search (SURVEY.md §2.10 —
+reference Iot.Database/IotVectorDb.cs) over the embeddings table
+(vec_id, embedding array<float> x64, label).
+
+Query vector = the embedding of vec_id 0 (derived in-query on both sides;
+the reference's API takes a caller-provided vector).
+
+Determinism: dot products / norms are ORDERED left folds in double on
+both sides (Spark F.aggregate ≡ DuckDB list_reduce) — identical IEEE
+addition sequences, bit-identical results. See operators/vector.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import vector as vec
+from iot_database_spark.registry import load_views, register
+
+# DuckDB-side dot/norm machinery: ordered left folds over per-dimension
+# product lists — the same addition sequence Spark's F.aggregate performs.
+# 0.0 is prepended so the fold is ((0+p1)+p2)+..., matching the Spark
+# initial accumulator exactly.
+_ORACLE_SCORED = """
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE CAST(vec_id AS BIGINT) = 0
+    ), scored AS (
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(e.label AS BIGINT) AS label,
+               list_reduce(
+                   list_prepend(0.0, list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+                   (acc, x) -> acc + x)
+               / (SQRT(list_reduce(
+                      list_prepend(0.0, list_transform(range(1, 65),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                      (acc, x) -> acc + x))
+                  * SQRT(list_reduce(
+                      list_prepend(0.0, list_transform(range(1, 65),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+                      (acc, x) -> acc + x))) AS relevance,
+               list_reduce(
+                   list_prepend(0.0, list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS distance_sq
+        FROM embeddings e, q
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return emb.crossJoin(F.broadcast(q))
+
+
+@register(
+    "vector_cosine_topk",
+    oracle=_ORACLE_SCORED
+    + """
+    SELECT vec_id, label, relevance FROM scored
+    WHERE relevance >= 0.55
+    ORDER BY relevance DESC, vec_id
+    LIMIT 150
+    """,
+)
+def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine search, minRelevanceScore 0.55, limit 150 — the
+    reference's defaults (IotVectorDb.cs:244,263)."""
+    scored = _scored(spark, sf_dir).withColumn(
+        "relevance", vec.cosine_similarity(F.col("embedding"), F.col("qv"))
+    )
+    return (
+        scored.filter(F.col("relevance") >= 0.55)
+        .orderBy(F.col("relevance").desc(), F.col("vec_id"))
+        .limit(150)
+        .select("vec_id", "label", "relevance")
+    )
+
+
+@register(
+    "vector_l2_topk",
+    oracle=_ORACLE_SCORED
+    + """
+    SELECT vec_id, label, distance_sq FROM scored
+    ORDER BY distance_sq ASC, vec_id
+    LIMIT 25
+    """,
+)
+def vector_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-k (FAISS-flat semantics, IotVectorDb.cs:151-190);
+    plan is TakeOrderedAndProject — local top-k + k-row merge, no full
+    sort even at cluster scale."""
+    scored = _scored(spark, sf_dir).withColumn(
+        "distance_sq", vec.l2_distance_sq(F.col("embedding"), F.col("qv"))
+    )
+    return (
+        scored.orderBy(F.col("distance_sq").asc(), F.col("vec_id"))
+        .limit(25)
+        .select("vec_id", "label", "distance_sq")
+    )
+
+
+@register(
+    "vector_l2_radius",
+    oracle=_ORACLE_SCORED
+    + """
+    SELECT vec_id, label, distance_sq FROM scored
+    WHERE distance_sq <= 1.0
+    """,
+)
+def vector_l2_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 radius search (IotVectorDb.cs:192-235): distance² <= 1.0."""
+    scored = _scored(spark, sf_dir).withColumn(
+        "distance_sq", vec.l2_distance_sq(F.col("embedding"), F.col("qv"))
+    )
+    return scored.filter(F.col("distance_sq") <= 1.0).select(
+        "vec_id", "label", "distance_sq"
+    )
+
+
+@register(
+    "vector_upsert_dedup",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS guid,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS BIGINT)
+                                     ORDER BY ts DESC, CAST(event_id AS BIGINT) DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def vector_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-queue dedup, latest write per guid wins
+    (IotVectorDb.InsertUpdateQueue :39-66)."""
+    tables = load_views(spark, sf_dir)
+    queue = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        F.col("ts"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    deduped = vec.upsert_dedup(queue.withColumn("_ord", F.struct("ts", "event_id")), ts="_ord")
+    return deduped.select("guid", "event_id", "value")

@@ -1,0 +1,193 @@
+"""Golden tests for reference-specific semantics that no SQL oracle can
+check (FIXTURES.md F5-F8): priority arrays, LOCF edges, interpolation
+boundaries, chain tamper detection, vector search on known geometry."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import blockchain as bc
+from iot_database_spark.operators import iotvalue as iv
+from iot_database_spark.operators import timeseries as ts_ops
+from iot_database_spark.operators import vector as vec
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# --- IotValue priority arrays (IotValue.cs:299-358) ------------------------
+
+def test_effective_value_scans_slots_1_to_16(spark):
+    writes = spark.createDataFrame(
+        [
+            ("p1", _ts("2024-01-01T00:00:00"), 15, "default"),
+            ("p1", _ts("2024-01-01T00:01:00"), 9, "strategy"),
+            ("p1", _ts("2024-01-01T00:02:00"), 17, "config-only"),
+            ("p2", _ts("2024-01-01T00:00:00"), 16, "fallback"),
+        ],
+        ["guid", "ts", "priority", "value"],
+    )
+    state = {r["guid"]: r for r in iv.replay_slots(writes).collect()}
+    # slot 9 beats slot 15; slot 17 never participates (Value getter :299-327)
+    assert state["p1"]["value"] == "strategy"
+    assert state["p1"]["priority"] == 9
+    assert state["p2"]["value"] == "fallback"
+    assert state["p2"]["priority"] == 16
+
+
+def test_slot_overwrite_latest_wins(spark):
+    writes = spark.createDataFrame(
+        [
+            ("p1", _ts("2024-01-01T00:00:00"), 9, "old"),
+            ("p1", _ts("2024-01-01T00:05:00"), 9, "new"),
+        ],
+        ["guid", "ts", "priority", "value"],
+    )
+    row = iv.replay_slots(writes).collect()[0]
+    assert row["value"] == "new"
+    assert row["timestamp"] == _ts("2024-01-01T00:05:00")
+
+
+def test_write_gating_priority9only_and_manual(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (8, 0), (1, 1), (9, 64), (15, 64), (16, 64), (9, 65), (18, 0)],
+        ["priority", "flags"],
+    )
+    got = {
+        (r["priority"], r["flags"]): r["ok"]
+        for r in df.select(
+            "priority", "flags",
+            iv.write_allowed(F.col("priority"), F.col("flags")).alias("ok"),
+        ).collect()
+    }
+    assert got[(1, 0)] is False      # manual blocked without AllowManualOperator
+    assert got[(8, 0)] is False
+    assert got[(1, 1)] is True       # allowed with flag
+    assert got[(9, 64)] is True      # Priority9Only: slots 9/16 only
+    assert got[(15, 64)] is False
+    assert got[(16, 64)] is True
+    assert got[(9, 65)] is True
+    assert got[(18, 0)] is False     # out of range
+
+
+# --- Time series (TsCollection.cs:130-233) ---------------------------------
+
+def test_locf_carries_slots_across_priorities(spark):
+    writes = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T00:00:00"), 15, 10.0),
+            ("g", _ts("2024-01-01T00:10:00"), 9, 99.0),
+            ("g", _ts("2024-01-01T00:20:00"), 15, 20.0),
+        ],
+        ["guid", "ts", "priority", "value"],
+    )
+    rows = (
+        ts_ops.locf_merge(writes, priorities=(9, 15))
+        .orderBy("ts")
+        .collect()
+    )
+    # event 1: only slot 15 -> eff 10; event 2: slot 9 overrides -> 99;
+    # event 3: slot 9 still carried (LOCF) -> eff stays 99
+    assert [r["eff_value"] for r in rows] == [10.0, 99.0, 99.0]
+    assert [r["eff_priority"] for r in rows] == [15, 9, 9]
+    assert rows[2]["slot_15"] == 20.0 and rows[2]["slot_9"] == 99.0
+
+
+def test_resample_interpolation_and_edges(spark):
+    writes = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T01:00:00"), 10.0),
+            ("g", _ts("2024-01-01T03:00:00"), 30.0),
+        ],
+        ["guid", "ts", "value"],
+    )
+    rows = {
+        r["grid_ts"]: r
+        for r in ts_ops.resample(
+            writes, "2024-01-01 00:00:00", "2024-01-01 05:00:00", "1 HOUR"
+        ).collect()
+    }
+    assert _ts("2024-01-01T00:00:00") not in rows  # before first sample: skipped
+    assert rows[_ts("2024-01-01T01:00:00")]["value"] == 10.0  # exact hit
+    assert rows[_ts("2024-01-01T01:00:00")]["interpolated"] is False
+    assert rows[_ts("2024-01-01T02:00:00")]["value"] == pytest.approx(20.0)
+    assert rows[_ts("2024-01-01T02:00:00")]["interpolated"] is True
+    assert rows[_ts("2024-01-01T04:00:00")]["value"] == 30.0  # fill-forward
+    assert rows[_ts("2024-01-01T04:00:00")]["interpolated"] is False
+
+
+# --- Blockchain (Blockchain/Block.cs, BlockCollection.cs) ------------------
+
+def _mk_chain(spark):
+    blocks = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:00:00"), "x=1"),
+            ("a", _ts("2024-01-01T00:01:00"), "x=1"),  # consecutive dup -> dropped
+            ("a", _ts("2024-01-01T00:02:00"), "x=2"),
+            ("b", _ts("2024-01-01T00:00:00"), "y=1"),
+        ],
+        ["guid", "ts", "data"],
+    )
+    return bc.append_chain(bc.dedup_consecutive(blocks))
+
+
+def test_chain_hash_matches_reference_recipe(spark):
+    rows = {
+        (r["guid"], r["ts"]): r for r in _mk_chain(spark).collect()
+    }
+    assert len(rows) == 3  # dup dropped (BlockCollection.Insert :56-60)
+    first = rows[("a", _ts("2024-01-01T00:00:00"))]
+    epoch_us = str(int(_ts("2024-01-01T00:00:00").timestamp() * 1_000_000))
+    assert first["prev_hash"] == ""
+    assert first["hash"] == hashlib.sha256((epoch_us + "" + "x=1").encode()).hexdigest()
+    second = rows[("a", _ts("2024-01-01T00:02:00"))]
+    assert second["prev_hash"] == first["hash"]
+
+
+def test_chain_verify_detects_tamper(spark):
+    chain = _mk_chain(spark)
+    ok = {r["guid"]: r for r in bc.verify_chain(chain).collect()}
+    assert ok["a"]["valid"] and ok["a"]["first_break"] is None
+    assert ok["b"]["valid"]
+
+    tampered = chain.withColumn(
+        "data",
+        F.when(
+            (F.col("guid") == "a") & (F.col("ts") == _ts("2024-01-01T00:02:00")),
+            F.lit("x=TAMPERED"),
+        ).otherwise(F.col("data")),
+    )
+    bad = {r["guid"]: r for r in bc.verify_chain(tampered).collect()}
+    assert bad["a"]["valid"] is False
+    assert bad["a"]["first_break"] == 2  # first broken position reported
+    assert bad["b"]["valid"] is True
+
+
+# --- Vector search (IotVectorDb.cs) ----------------------------------------
+
+def test_vector_search_known_geometry(spark):
+    items = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "east"),
+            (2, [0.0, 1.0], "north"),
+            (3, [0.9, 0.1], "east-ish"),
+            (4, [-1.0, 0.0], "west"),
+        ],
+        ["vec_id", "embedding", "name"],
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    top = vec.search_cosine(items, q, min_score=0.5, limit=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+    assert top[0]["relevance"] == pytest.approx(1.0)
+    assert "embedding" not in top[0].asDict()  # stripped like the reference
+
+    near = vec.search_l2_topk(items, q, k=1).collect()
+    assert near[0]["vec_id"] == 1 and near[0]["distance_sq"] == 0.0
+
+    within = vec.search_l2_radius(items, q, radius=1.5).collect()
+    assert {r["vec_id"] for r in within} == {1, 2, 3}
