@@ -1,0 +1,137 @@
+"""IotDatabase — the catalog layer: a warehouse directory of Parquet
+tables plus declarative constraint metadata.
+
+Reference: IotDatabase.InitializeDirectories (Iot.Database/IotDatabase.cs:
+149-161) creates per-concern subdirectories (Tables/, TimeSeries/, Files/,
+BlockChain/); tables are single-file LiteDB stores. Here the warehouse is
+a directory of Parquet tables (at scale: Delta tables / object store
+prefixes) registered in the SparkSession, and constraint metadata
+(TableInfo — Iot.Database/Table/TableInfo.cs:21-67) lives in a JSON
+sidecar, since Spark's catalog has no FK concept.
+
+Catalog introspection mirrors the reference's $cols/$database virtual
+collections (LiteDB/Engine/SystemCollections/Register.cs:16-31) via
+`describe()` / `list_tables()`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iot_database_spark.tables import ForeignKey, Table
+
+
+class IotDatabase:
+    def __init__(self, name: str, path: str, spark: SparkSession | None = None):
+        from iot_database_spark.session import get_spark
+
+        self.name = name
+        self.spark = spark or get_spark(f"iotdb_{name}")
+        self.root = os.path.join(path, name)
+        self.tables_dir = os.path.join(self.root, "Tables")
+        os.makedirs(self.tables_dir, exist_ok=True)
+        self._meta_path = os.path.join(self.root, "_meta.json")
+        self._meta: dict = {"tables": {}}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self._meta = json.load(f)
+        self._tables: dict[str, Table] = {}
+
+    # -- table management ---------------------------------------------------
+
+    def tables(
+        self,
+        name: str,
+        schema: str | None = None,
+        foreign_keys: list[ForeignKey] | None = None,
+        unique: list[str] | None = None,
+    ) -> Table:
+        """Create or open a table (reference: IotDatabase.Tables<T>()).
+
+        `schema` is a DDL string ('id bigint, name string, ...'); required
+        on first creation. An 'id' column must exist (the reference
+        enforces Id of int/long/Guid — Base/BaseDatabase.cs:172-187).
+        """
+        if name in self._tables:
+            return self._tables[name]
+        meta = self._meta["tables"].get(name)
+        if meta is None:
+            if schema is None:
+                raise ValueError(f"table {name!r} does not exist; pass a schema")
+            if not any(
+                f.strip().lower().startswith("id ") for f in schema.split(",")
+            ):
+                raise ValueError(
+                    "every table needs an 'id' column (int/long/string) — "
+                    "reference Base/BaseDatabase.cs:172-187"
+                )
+            meta = {
+                "schema": schema,
+                "foreign_keys": [fk.to_dict() for fk in (foreign_keys or [])],
+                "unique": unique or [],
+            }
+            self._meta["tables"][name] = meta
+            self._save_meta()
+        t = Table(
+            db=self,
+            name=name,
+            schema=meta["schema"],
+            foreign_keys=[ForeignKey.from_dict(d) for d in meta["foreign_keys"]],
+            unique=list(meta["unique"]),
+            path=os.path.join(self.tables_dir, name),
+        )
+        self._tables[name] = t
+        return t
+
+    def table(self, name: str) -> Table:
+        if name not in self._tables and name not in self._meta["tables"]:
+            raise KeyError(f"unknown table: {name}")
+        return self.tables(name)
+
+    def children_of(self, parent: str) -> list[tuple[str, ForeignKey]]:
+        """All (child_table, fk) pairs referencing `parent`."""
+        out = []
+        for tname, meta in self._meta["tables"].items():
+            for d in meta["foreign_keys"]:
+                if d["parent"] == parent:
+                    out.append((tname, ForeignKey.from_dict(d)))
+        return out
+
+    def infer_fk(self, child: str, parent: str) -> tuple[str, str] | None:
+        """FK inference for NL joins: (child_fk_column, parent_id_column)
+        (QueryEngine2.cs:248-259 — convention <Parent>Id, here parent_id)."""
+        meta = self._meta["tables"].get(child)
+        if meta:
+            for d in meta["foreign_keys"]:
+                if d["parent"] == parent:
+                    return (d["column"], "id")
+        # naming convention fallback: <parent>_id / <parent>Id
+        child_df = self.table(child).df
+        for cand in (f"{parent.lower()}_id", f"{parent}Id", f"{parent.lower()}id"):
+            for c in child_df.columns:
+                if c.lower() == cand.lower():
+                    return (c, "id")
+        return None
+
+    # -- catalog introspection ($cols / $database analogs) -------------------
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._meta["tables"])
+
+    def describe(self, name: str) -> DataFrame:
+        """$cols-style schema listing for one table."""
+        t = self.table(name)
+        rows = [
+            (name, f.name, f.dataType.simpleString(), f.nullable)
+            for f in t.df.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "table string, column string, type string, nullable boolean"
+        )
+
+    def _save_meta(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump(self._meta, f, indent=2)

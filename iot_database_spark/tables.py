@@ -1,0 +1,332 @@
+"""TableCollection equivalent: typed tables with FK / unique constraints,
+validated inserts, cascading deletes, and a fluent query builder.
+
+Reference: Iot.Database/Table/TableCollection.cs —
+- insert validation (:922-978): parent-existence check per FK, 1:1
+  duplicate check, [UniqueValue] uniqueness check.
+- delete constraints (:316-460): Restrictive throws when children exist;
+  Cascading recursively deletes children; SetNull/SetDefault rewrite the
+  child FK column.
+- reads (:666-891): Find/FindOne/FindAll/Count/Exists/Min/Max.
+- UpdateMany(transform, predicate) (:1305-1328): column-transform
+  expressions applied to matching rows.
+
+Spark has no engine-level constraints, so validation runs as JOINS before
+the write (anti-join for parent existence — scales as a broadcast of the
+new batch against the parent's id column) and cascades run as recursive
+anti-join rewrites. Storage is one Parquet dataset per table; mutations
+rewrite the dataset (at cluster scale this layer targets Delta MERGE /
+DELETE — same plans, transactional commit).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ForeignKey:
+    """[TableForeignKey] equivalent (Attributes/TableForeignKeyAttribute.cs).
+
+    constraint: 'cascading' | 'restrictive' | 'setnull' | 'setdefault'
+    one_to:     'one' | 'many'   (RelationshipOneTo.cs)
+    """
+
+    column: str
+    parent: str
+    constraint: str = "cascading"
+    one_to: str = "many"
+    default: object = None
+
+    def to_dict(self) -> dict:
+        return {
+            "column": self.column,
+            "parent": self.parent,
+            "constraint": self.constraint,
+            "one_to": self.one_to,
+            "default": self.default,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "ForeignKey":
+        return ForeignKey(**d)
+
+
+class ConstraintViolation(Exception):
+    pass
+
+
+class Table:
+    def __init__(self, db, name: str, schema: str, foreign_keys, unique, path: str):
+        self.db = db
+        self.name = name
+        self.schema = schema
+        self.foreign_keys: list[ForeignKey] = foreign_keys
+        self.unique: list[str] = unique
+        self.path = path
+
+    # -- storage --------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        if os.path.exists(self.path):
+            return self.db.spark.read.parquet(self.path)
+        return self.db.spark.createDataFrame([], self.schema)
+
+    def _write(self, df: DataFrame) -> None:
+        # rewrite via a staging path: Spark cannot overwrite a dataset
+        # it is concurrently reading (self-overwrite reads stale footers)
+        staging = self.path + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        final = self.db.spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(self.path)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # -- insert (TableCollection.cs:922-1070) -----------------------------
+
+    def insert(self, rows: list[dict] | DataFrame) -> int:
+        """Validated batch insert; raises ConstraintViolation on any FK /
+        unique / 1:1 breach (the reference throws per-row; batch-first
+        here). Auto-assigns id = max(id)+n when id is null/absent."""
+        batch = (
+            rows
+            if isinstance(rows, DataFrame)
+            else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+        )
+
+        current = self.df
+        # FK parent existence: anti-join new batch against parent ids
+        for fk in self.foreign_keys:
+            parent = self.db.table(fk.parent).df.select(F.col("id").alias("_pid"))
+            orphans = (
+                batch.filter(F.col(fk.column).isNotNull())
+                .join(parent, batch[fk.column] == F.col("_pid"), "left_anti")
+                .count()
+            )
+            if orphans:
+                raise ConstraintViolation(
+                    f"{self.name}.{fk.column}: {orphans} row(s) reference "
+                    f"missing {fk.parent}.id"
+                )
+            if fk.one_to == "one":
+                # 1:1 — no parent may gain a second child
+                # (TableCollection.cs:941-966)
+                dup = (
+                    batch.select(F.col(fk.column).alias("_fk"))
+                    .unionByName(current.select(F.col(fk.column).alias("_fk")))
+                    .filter(F.col("_fk").isNotNull())
+                    .groupBy("_fk")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                if dup:
+                    raise ConstraintViolation(
+                        f"{self.name}.{fk.column}: 1:1 relationship to "
+                        f"{fk.parent} violated"
+                    )
+        # unique columns (TableCollection.cs:967-977)
+        for col in self.unique:
+            dup = (
+                batch.select(F.col(col).alias("_u"))
+                .unionByName(current.select(F.col(col).alias("_u")))
+                .filter(F.col("_u").isNotNull())
+                .groupBy("_u")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dup:
+                raise ConstraintViolation(f"{self.name}.{col}: unique violated")
+
+        n = batch.count()
+        self._write(current.unionByName(batch)) if os.path.exists(
+            self.path
+        ) else batch.write.mode("overwrite").parquet(self.path)
+        return n
+
+    def _with_ids(self, rows: list[dict]) -> list[dict]:
+        need = [r for r in rows if r.get("id") is None]
+        if need:
+            cur = self.df
+            base = (cur.agg(F.max("id")).collect()[0][0] or 0) if os.path.exists(self.path) else 0
+            for i, r in enumerate(need, start=1):
+                r["id"] = base + i
+        return rows
+
+    # -- delete with FK behavior (TableCollection.cs:316-460) -------------
+
+    def delete(self, predicate: Column | str) -> int:
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        doomed_ids = self.df.filter(pred).select(F.col("id").alias("_did"))
+        return self._delete_ids(doomed_ids)
+
+    def _delete_ids(self, doomed_ids: DataFrame) -> int:
+        """Delete by an id set (a DataFrame, so cascades stay distributed —
+        the recursion never collects ids to the driver)."""
+        n = doomed_ids.count()
+        if n == 0:
+            return 0
+        for child_name, fk in self.db.children_of(self.name):
+            child = self.db.table(child_name)
+            cdf = child.df
+            affected_ids = cdf.join(
+                doomed_ids, cdf[fk.column] == F.col("_did"), "left_semi"
+            ).select(F.col("id").alias("_did"))
+            n_affected = affected_ids.count()
+            if n_affected == 0:
+                continue
+            if fk.constraint == "restrictive":
+                raise ConstraintViolation(
+                    f"cannot delete from {self.name}: {n_affected} row(s) in "
+                    f"{child_name} reference it (Restrictive)"
+                )
+            if fk.constraint == "cascading":
+                child._delete_ids(affected_ids)
+            elif fk.constraint in ("setnull", "setdefault"):
+                fill = (
+                    F.lit(None) if fk.constraint == "setnull" else F.lit(fk.default)
+                )
+                new_cdf = cdf.join(
+                    doomed_ids, cdf[fk.column] == F.col("_did"), "left"
+                ).select(
+                    *[
+                        F.when(F.col("_did").isNotNull(), fill)
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c == fk.column
+                        else F.col(c)
+                        for c in cdf.columns
+                    ]
+                )
+                child._write(new_cdf)
+
+        current = self.df
+        self._write(
+            current.join(doomed_ids, current["id"] == F.col("_did"), "left_anti")
+        )
+        return n
+
+    # -- updates (TableCollection.cs:1246-1328) ---------------------------
+
+    def update_many(self, transforms: dict[str, Column | str], predicate: Column | str) -> int:
+        """UpdateMany(transform, predicate): apply column expressions to
+        matching rows, e.g. {'name': F.upper(F.col('name'))}."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        current = self.df
+        n = current.filter(pred).count()
+        cols = []
+        for c in current.columns:
+            if c in transforms:
+                t = transforms[c]
+                t = F.expr(t) if isinstance(t, str) else t
+                cols.append(F.when(pred, t).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        self._write(current.select(*cols))
+        return n
+
+    def upsert(self, rows: list[dict] | DataFrame) -> int:
+        """Insert-or-replace by id (TableCollection.cs:1195-1240). At
+        cluster scale this is a Delta MERGE; here: anti-join + union."""
+        batch = (
+            rows
+            if isinstance(rows, DataFrame)
+            else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+        )
+        current = self.df
+        keep = current.join(batch.select("id"), "id", "left_anti")
+        self._write(keep.unionByName(batch))
+        return batch.count()
+
+    # -- reads (TableCollection.cs:666-891) --------------------------------
+
+    def find(self, predicate: Column | str) -> DataFrame:
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self.df.filter(pred)
+
+    def find_one(self, predicate: Column | str):
+        rows = self.find(predicate).limit(1).collect()
+        return rows[0] if rows else None
+
+    def find_all(self, take: int | None = None, order: str = "first") -> DataFrame:
+        df = self.df
+        if take is None:
+            return df
+        if order == "last":  # FindAll(take, TakeOrder.Last) :849-891
+            return df.orderBy(F.col("id").desc()).limit(take)
+        return df.orderBy(F.col("id").asc()).limit(take)
+
+    def count(self, predicate: Column | str | None = None) -> int:
+        df = self.df
+        if predicate is not None:
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+            df = df.filter(pred)
+        return df.count()
+
+    def exists(self, predicate: Column | str) -> bool:
+        return bool(self.find(predicate).limit(1).count())
+
+    def min(self, column: str = "id"):
+        return self.df.agg(F.min(column)).collect()[0][0]
+
+    def max(self, column: str = "id"):
+        return self.df.agg(F.max(column)).collect()[0][0]
+
+    def query(self) -> "QueryBuilder":
+        return QueryBuilder(self)
+
+
+class QueryBuilder:
+    """Fluent builder (LiteQueryable — LiteDB/Client/Database/
+    LiteQueryable.cs:15-227): where/order_by/select/offset/limit chaining
+    compiled lazily to one DataFrame plan. Multi-key order_by is a
+    superset (the reference allows a single key)."""
+
+    def __init__(self, table: Table):
+        self._df = table.df
+
+    def where(self, predicate: Column | str) -> "QueryBuilder":
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        self._df = self._df.filter(pred)
+        return self
+
+    def order_by(self, *cols, ascending: bool = True) -> "QueryBuilder":
+        ordered = [
+            (F.col(c) if isinstance(c, str) else c) for c in cols
+        ]
+        self._df = self._df.orderBy(
+            *[c.asc() if ascending else c.desc() for c in ordered]
+        )
+        return self
+
+    def select(self, *cols) -> "QueryBuilder":
+        self._df = self._df.select(*cols)
+        return self
+
+    def offset(self, n: int) -> "QueryBuilder":
+        self._df = self._df.offset(n)
+        return self
+
+    def limit(self, n: int) -> "QueryBuilder":
+        self._df = self._df.limit(n)
+        return self
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def to_list(self) -> list:
+        return self._df.collect()
+
+    def first(self):
+        rows = self._df.limit(1).collect()
+        return rows[0] if rows else None
+
+    def count(self) -> int:
+        return self._df.count()

@@ -1,0 +1,136 @@
+"""Tests for the IotDatabase/Table API: FK validation, cascades, unique
+constraints, CRUD, query builder (FIXTURES.md F1-F4; reference
+Table/TableCollection.cs semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_database_spark.database import IotDatabase
+from iot_database_spark.tables import ConstraintViolation, ForeignKey
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    db = IotDatabase("testdb", str(tmp_path), spark)
+    customers = db.tables("customers", "id bigint, name string, age int")
+    db.tables(
+        "orders2",
+        "id bigint, customers_id bigint, amount double",
+        foreign_keys=[ForeignKey(column="customers_id", parent="customers", constraint="cascading")],
+    )
+    db.tables(
+        "addresses",
+        "id bigint, customers_id bigint, line1 string",
+        foreign_keys=[ForeignKey(column="customers_id", parent="customers", constraint="setnull")],
+    )
+    customers.insert(
+        [
+            {"id": 1, "name": "John", "age": 30},
+            {"id": 2, "name": "jane", "age": 22},
+            {"id": 3, "name": "Bob", "age": 45},
+        ]
+    )
+    db.table("orders2").insert(
+        [
+            {"id": 1, "customers_id": 1, "amount": 120.0},
+            {"id": 2, "customers_id": 1, "amount": 80.0},
+            {"id": 3, "customers_id": 2, "amount": 250.0},
+        ]
+    )
+    db.table("addresses").insert([{"id": 1, "customers_id": 1, "line1": "1 Main St"}])
+    return db
+
+
+def test_fk_insert_validation(db):
+    with pytest.raises(ConstraintViolation, match="missing customers.id"):
+        db.table("orders2").insert([{"id": 99, "customers_id": 777, "amount": 1.0}])
+
+
+def test_unique_constraint(db, spark):
+    t = db.tables("badges", "id bigint, code string", unique=["code"])
+    t.insert([{"id": 1, "code": "A"}])
+    with pytest.raises(ConstraintViolation, match="unique"):
+        t.insert([{"id": 2, "code": "A"}])
+
+
+def test_one_to_one(db):
+    t = db.tables(
+        "profiles",
+        "id bigint, customers_id bigint, bio string",
+        foreign_keys=[
+            ForeignKey(column="customers_id", parent="customers", one_to="one")
+        ],
+    )
+    t.insert([{"id": 1, "customers_id": 1, "bio": "x"}])
+    with pytest.raises(ConstraintViolation, match="1:1"):
+        t.insert([{"id": 2, "customers_id": 1, "bio": "y"}])
+
+
+def test_cascade_and_setnull_delete(db):
+    # delete customer 1: orders cascade away, address FK nulls out
+    n = db.table("customers").delete(F.col("id") == 1)
+    assert n == 1
+    assert db.table("orders2").count() == 1  # only customer 2's order left
+    addr = db.table("addresses").find_one(F.col("id") == 1)
+    assert addr["customers_id"] is None
+
+
+def test_restrictive_delete(db):
+    db.tables(
+        "notes",
+        "id bigint, customers_id bigint, body string",
+        foreign_keys=[
+            ForeignKey(column="customers_id", parent="customers", constraint="restrictive")
+        ],
+    ).insert([{"id": 1, "customers_id": 2, "body": "hi"}])
+    with pytest.raises(ConstraintViolation, match="Restrictive"):
+        db.table("customers").delete(F.col("id") == 2)
+
+
+def test_auto_id_and_reads(db):
+    t = db.table("customers")
+    t.insert([{"id": None, "name": "New", "age": 50}])
+    assert t.max("id") == 4  # max(3)+1
+    assert t.count() == 4
+    assert t.exists("age > 40")
+    assert t.find_one("name = 'Bob'")["id"] == 3
+    assert t.min("age") == 22
+    last_two = t.find_all(take=2, order="last").collect()
+    assert [r["id"] for r in last_two] == [4, 3]
+
+
+def test_update_many_transform(db):
+    # UpdateMany({Name: UPPER($.Name)} WHERE age > 25) — TableCollection.cs:1305-1328
+    t = db.table("customers")
+    n = t.update_many({"name": F.upper(F.col("name"))}, "age > 25")
+    assert n == 2
+    names = {r["name"] for r in t.df.collect()}
+    assert "JOHN" in names and "BOB" in names and "jane" in names
+
+
+def test_upsert(db):
+    t = db.table("customers")
+    t.upsert([{"id": 2, "name": "JANE2", "age": 23}])
+    assert t.count() == 3
+    assert t.find_one("id = 2")["name"] == "JANE2"
+
+
+def test_query_builder(db):
+    rows = (
+        db.table("customers")
+        .query()
+        .where("age > 20")
+        .order_by("age", ascending=False)
+        .select("name", "age")
+        .limit(2)
+        .to_list()
+    )
+    assert [r["name"] for r in rows] == ["Bob", "John"]
+
+
+def test_catalog_introspection(db):
+    assert "customers" in db.list_tables()
+    cols = {r["column"] for r in db.describe("customers").collect()}
+    assert cols == {"id", "name", "age"}
