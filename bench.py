@@ -39,9 +39,13 @@ HEADLINE = [
     "ts_resample_interp",
     "chain_verify",
     "vector_cosine_topk",
+    "ann_ivf_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "text_quality_scores",
+    "text_fingerprint",
+    "nl_find_dual_join",
 ]
 
 

@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its closest op is the upsert-queue dedup,
+IotVectorDb.cs:39-66); these are the standard large-corpus dedup family,
+built Spark-first:
+
+- exact_dedup           hash-groupBy on content (one shuffle)
+- shingles / minhash    word n-gram shingles -> k seeded min-hashes,
+                        all computed with array HOFs (NO explode, no
+                        shuffle until the LSH band join)
+- lsh_candidate_pairs   band the signatures, self-join per bucket —
+                        the only O(pairs) work happens inside buckets
+- simhash               sign-aggregated token hashes -> n-bit fingerprint
+- jaccard_pairs         shingle-set overlap via explode + join, with a
+                        document-frequency cap to bound join fan-out
+                        (the classic skew guard: a shingle appearing in
+                        half the corpus would otherwise quadratically
+                        explode the join)
+- embedding_neardup     cosine >= threshold within blocking keys
+
+Scale notes: minhash signatures are computed per-row with higher-order
+functions (codegen'd, linear scan). LSH banding turns all-pairs O(n²)
+into per-bucket joins; bucket sizes are bounded by data similarity, and
+the df-cap guard bounds jaccard joins. At 100 TB every step here is a
+scan or a keyed shuffle — nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators.hashing import hash64, xor_permute
+
+
+def exact_dedup(df: DataFrame, content: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving row per distinct content value: (content_hash,
+    keep_id = min id, n_dups)."""
+    return (
+        df.groupBy(F.md5(F.col(content)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array, computed with HOFs (no explode)."""
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + off) for off in range(n)]
+        ),
+    )
+
+
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """k seeded min-hashes over the shingle set — an array<bigint> column.
+    Entirely per-row: transform(seeds, s -> array_min(transform(shingles,
+    sh -> hash64(seed#sh))))."""
+    # hash each shingle ONCE, then derive the k permutations by XOR with
+    # fixed constants (16x less md5 work than per-seed hashing; XOR with
+    # a constant is a bijection, so the min-wise property holds)
+    hashes = F.transform(shingles(text, n), lambda s: hash64(s))
+
+    def min_hash(seed: int) -> Column:
+        # NB: the seed must be captured by closure, not as a lambda
+        # default — PySpark binds every lambda parameter (including
+        # defaulted ones) to higher-order-function variables
+        return F.array_min(F.transform(hashes, lambda h: xor_permute(h, seed)))
+
+    return F.array(*[min_hash(seed) for seed in range(k)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    min_matching_bands: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b, n_matching_bands,
+    sig_agreement). Docs land in the same bucket when a whole band of
+    their signatures agrees; the join is per (band, band_hash) bucket."""
+    rows_per_band = k // bands
+    # materialize the per-shingle hash array through an exchange before
+    # deriving the k mins: without the repartition boundary Catalyst
+    # collapses the projections and re-evaluates the md5 chain k times
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(content)), lambda s: hash64(s)).alias("_hs"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def min_hash(seed: int) -> Column:
+        return F.array_min(
+            F.transform("_hs", lambda h: xor_permute(h, seed))
+        )
+
+    sigs = hashed.select(
+        "id", F.array(*[min_hash(seed) for seed in range(k)]).alias("sig")
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(
+            F.count("*").alias("n_matching_bands"),
+            F.first(
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(16)
+            ).alias("sig_agreement"),
+        )
+        .filter(F.col("n_matching_bands") >= min_matching_bands)
+    )
+    return pairs
+
+
+def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
+    """n-bit SimHash over shingle hashes: bit b set iff the sum of
+    (+1 / -1) votes from each shingle's hash bit b is positive."""
+    sh_hashes = F.transform(shingles(text, n), lambda s: hash64(s))
+
+    def vote(bit: int) -> Column:
+        mask = F.lit(1 << bit)
+        return F.aggregate(
+            sh_hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    votes = [vote(b) for b in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for b, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    max_df drops shingles present in more than max_df documents before
+    the self-join — the skew guard that keeps the join linear in the
+    number of truly-shared rare shingles.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(content), n))).alias("s"),
+        )
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("set_size"))
+    rare = toks.join(
+        toks.groupBy("s").agg(F.countDistinct("id").alias("df_count")),
+        "s",
+    ).filter(F.col("df_count") <= max_df)
+
+    a = rare.select(F.col("id").alias("id_a"), "s")
+    b = rare.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (deterministic blocking bounds the pair space; at scale the block
+    key is an LSH bucket or IVF centroid)."""
+    from iot_database_spark.operators.vector import cosine_similarity
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(embedding).alias("emb_a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(embedding).alias("emb_b"),
+        F.col(block_col).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "blk", "cosine")
+    )

@@ -1,0 +1,211 @@
+"""Oracle-checked dedup queries over the documents/embeddings tables.
+
+The DuckDB texts are generated programmatically so the seeded-hash,
+banding, and vote arithmetic stay exactly symmetric with the Spark
+operators in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import dedup as dd
+from iot_database_spark.operators.hashing import duck_hash64, duck_xor_permute
+from iot_database_spark.registry import load_views, register
+
+K = 16
+BANDS = 4
+ROWS_PER_BAND = K // BANDS
+
+# DuckDB shingle machinery (3-gram word shingles, mirrors dedup.shingles)
+_DUCK_WORDS = """
+    words AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )"""
+_DUCK_SHINGLES = (
+    _DUCK_WORDS
+    + """,
+    sh AS (
+        SELECT id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM words
+    )"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_views(spark, sf_dir)
+    # repartition: the documents parquet is a single small file (1 input
+    # split), but the per-row shingle/minhash HOF work is heavy — spread
+    # it across all cores before the compute-bound projection
+    return (
+        tables["documents"]
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(CAST(doc_id AS BIGINT)) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id survivor."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return dd.exact_dedup(docs)
+
+
+def _minhash_cols_sql() -> str:
+    h = duck_hash64("s")
+    return ", ".join(
+        f"MIN({duck_xor_permute(h, seed)}) AS h{seed}" for seed in range(K)
+    )
+
+
+def _band_selects_sql() -> str:
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        parts.append(
+            f"SELECT id, {b} AS band, md5(concat_ws(':', {cols})) AS bucket FROM mh"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_LSH_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    mh AS (
+        SELECT id, {_minhash_cols_sql()}
+        FROM sh GROUP BY id
+    ),
+    bands AS ({_band_selects_sql()}),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_matching_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT p.id_a, p.id_b, p.n_matching_bands,
+           ({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(K))})
+               / 16.0 AS sig_agreement
+    FROM pairs p
+    JOIN mh x ON x.id = p.id_a
+    JOIN mh y ON y.id = p.id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_LSH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16 seeded min-hashes over 3-gram
+    shingles, 4 bands x 4 rows, pairs bucketed per band."""
+    return dd.lsh_candidate_pairs(_docs(spark, sf_dir), k=K, bands=BANDS)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (SELECT id, {duck_hash64('s')} AS h FROM sh),
+    votes AS (
+        SELECT id,
+               {", ".join(f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}" for b in range(32))}
+        FROM hashed GROUP BY id
+    )
+    SELECT id AS doc_id,
+           {" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for b in range(32))}
+               AS simhash
+    FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document over shingle hashes."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        dd.simhash(F.col("text"), bits=32).alias("simhash"),
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    dsh AS (SELECT DISTINCT id, s FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM dsh GROUP BY id),
+    dfreq AS (SELECT s, COUNT(DISTINCT id) AS df_count FROM dsh GROUP BY s),
+    rare AS (SELECT dsh.id, dsh.s FROM dsh JOIN dfreq ON dsh.s = dfreq.s
+             WHERE dfreq.df_count <= 1000),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE) >= 0.02
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (threshold 0.02 on synthetic data),
+    with the document-frequency join guard."""
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, max_df=1000)
+
+
+_EMB_NEARDUP_ORACLE = """
+    WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS blk,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)
+           / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))
+              * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)
+           / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))
+              * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (at scale the
+    block is an LSH/IVF bucket)."""
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.col("label").cast("bigint").alias("label"),
+    )
+    return dd.embedding_neardup_pairs(emb, block_col="label", min_cosine=0.4)

@@ -1,0 +1,108 @@
+"""Approximate-nearest-neighbor search at scale: IVF (inverted-file)
+partitioning over an embedding column.
+
+Brute force (operators/vector.py) is exact and embarrassingly parallel,
+but at 100 TB you don't want every query to scan every vector. IVF is
+the scale path the reference's FAISS-flat usage (IotVectorDb.cs:151-190)
+would graduate to:
+
+  build:  pick K centroids (deterministically here: the K lowest-id
+          vectors; k-means at production scale), assign every vector to
+          its nearest centroid — a bucket column, which at storage level
+          becomes the partition key of the vectors table.
+  search: find the query's `nprobe` nearest centroids, scan ONLY those
+          buckets (partition pruning!), brute-force top-k within.
+
+Everything is DataFrame ops: the assignment is a broadcast join against
+the (tiny) centroid set + argmin, the probe is a partition filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from iot_database_spark.operators.vector import cosine_similarity, l2_distance_sq
+
+
+def ivf_assign(
+    items: DataFrame,
+    centroids: DataFrame,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2, ties -> lowest
+    centroid id). Broadcast join: |centroids| is small by construction."""
+    joined = items.crossJoin(F.broadcast(centroids))
+    d = l2_distance_sq(F.col(embedding), F.col(centroid_vec))
+    w = W.partitionBy(id_col).orderBy(d.asc(), F.col(centroid_id).asc())
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", centroid_vec)
+        .withColumnRenamed(centroid_id, "bucket")
+    )
+
+
+def default_centroids(
+    items: DataFrame,
+    k: int,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid pick: the k lowest-id vectors. (Production:
+    k-means|| on a sample; any centroid set works with the same plans.)"""
+    return (
+        items.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(embedding).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_probe_buckets(
+    query_vec: Column, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """The nprobe centroid ids nearest to the query (driver-small)."""
+    d = l2_distance_sq(F.col("centroid_vec"), query_vec)
+    return (
+        centroids.withColumn("_d", d)
+        .orderBy(F.col("_d").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+
+
+def ivf_search_cosine(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: Column,
+    k: int,
+    nprobe: int = 2,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k by cosine: scan only the nprobe probed buckets.
+
+    `assigned` is the ivf_assign output; when the table is written
+    partitioned by `bucket`, the semi-join below prunes whole partitions
+    at the scan."""
+    probed = ivf_probe_buckets(query_vec, centroids, nprobe)
+    candidates = assigned.join(
+        F.broadcast(probed),
+        assigned["bucket"] == probed["centroid_id"],
+        "left_semi",
+    )
+    scored = candidates.withColumn(
+        "relevance", cosine_similarity(F.col(embedding), query_vec)
+    )
+    return (
+        scored.orderBy(F.col("relevance").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(embedding)
+    )

@@ -151,3 +151,85 @@ def vector_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = vec.upsert_dedup(queue.withColumn("_ord", F.struct("ts", "event_id")), ts="_ord")
     return deduped.select("guid", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate-nearest-neighbor (operators/similarity.py) — the 100 TB
+# scale path: assign vectors to centroid buckets, probe only nprobe buckets.
+# ---------------------------------------------------------------------------
+
+def _duck_fold(a: str, b: str, mode: str) -> str:
+    """DuckDB ordered-fold dot/l2 text mirroring vector.py's F.aggregate."""
+    if mode == "dot":
+        prod = f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    else:  # l2
+        prod = (
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        )
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {prod})), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{_duck_fold(a, b, 'dot')} / "
+        f"(SQRT({_duck_fold(a, a, 'dot')}) * SQRT({_duck_fold(b, b, 'dot')}))"
+    )
+
+
+_ANN_IVF_ORACLE = f"""
+    WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_duck_fold('e.embedding', 'c.cv', 'l2')} ASC,
+                            c.centroid_id ASC) AS rk
+        FROM e, c
+    ),
+    buckets AS (
+        SELECT vec_id, label, embedding, centroid_id AS bucket
+        FROM assign WHERE rk = 1
+    ),
+    probe AS (
+        SELECT centroid_id FROM c, q
+        ORDER BY {_duck_fold('c.cv', 'q.qv', 'l2')} ASC, centroid_id ASC
+        LIMIT 2
+    )
+    SELECT b.vec_id, b.label, b.bucket,
+           {_duck_cos('b.embedding', 'q.qv')} AS relevance
+    FROM buckets b JOIN probe p ON b.bucket = p.centroid_id, q
+    ORDER BY relevance DESC, b.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("ann_ivf_cosine", oracle=_ANN_IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 deterministic centroids, nprobe=2, cosine top-10 within
+    the probed buckets only (partition pruning at cluster scale)."""
+    from iot_database_spark.operators import similarity as sim
+
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.col("label").cast("bigint").alias("label"),
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    q_col = F.array(*[F.lit(x) for x in qvec])
+    centroids = sim.default_centroids(emb, k=8)
+    assigned = sim.ivf_assign(emb, centroids)
+    return sim.ivf_search_cosine(assigned, centroids, q_col, k=10, nprobe=2)

@@ -1,0 +1,138 @@
+"""Tests for the LLM-pipeline operators: dedup behavior on known
+near-dups, IVF recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import dedup as dd
+from iot_database_spark.operators import multimodal as mm
+from iot_database_spark.operators import similarity as sim
+from iot_database_spark.operators import textstats as tx
+from iot_database_spark.operators import vector as vec
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    chunk = "the quick brown fox jumps over the lazy dog while rain falls on the quiet grey town and children play near the old stone bridge by the river"
+    base = chunk + " today"
+    near = chunk + " tomorrow"  # one-word diff -> jaccard ~0.97
+    other = "completely different words about spark shuffles and parquet files here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups_identical(corpus):
+    out = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(corpus).collect()}
+    assert out[1] == 2  # docs 1,2 identical -> survivor id 1
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_finds_neardups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sig_agreement"]
+        for r in dd.lsh_candidate_pairs(corpus).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near-dup caught
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated not paired
+
+
+def test_simhash_close_for_neardups(corpus):
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in corpus.select(
+            "doc_id", dd.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    hamming_13 = bin(rows[1] ^ rows[3]).count("1")
+    hamming_14 = bin(rows[1] ^ rows[4]).count("1")
+    assert hamming_13 < hamming_14  # near-dup closer than unrelated
+
+
+def test_jaccard_pairs_ranks_neardups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(corpus, threshold=0.01).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_langid_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is one of the best animals in the world"),
+            (2, "el gato es uno de los mejores animales que hay en un mundo"),
+            (3, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", tx.detect_language(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert langs[1] == "en" and langs[2] == "es" and langs[3] == "unknown"
+
+    q = tx.quality_scores(df).filter("doc_id = 1").collect()[0]
+    assert q["n_tokens"] == 11
+    assert q["stopword_ratio_en"] > 0.3
+    assert 0 < q["uniqueness"] <= 1.0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+
+    brute = [r["vec_id"] for r in vec.search_cosine(emb, q, min_score=-1, limit=10).collect()]
+    centroids = sim.default_centroids(emb, k=8)
+    assigned = sim.ivf_assign(emb, centroids)
+    approx = [
+        r["vec_id"]
+        for r in sim.ivf_search_cosine(assigned, centroids, q, k=10, nprobe=4).collect()
+    ]
+    recall = len(set(brute) & set(approx)) / 10
+    assert approx[0] == 0  # the query vector itself is found
+    assert recall >= 0.3  # random embeddings: probing 4/8 buckets
+
+
+def test_multimodal_decode_and_features(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG fake bytes 1"), {"src": "cam1"}),
+            (2, "video", bytearray(b"\x00\x00ftyp fake vid"), {"src": "cam2"}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    decoded = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert set(decoded) == {1, 2}
+    assert 64 <= decoded[1]["width"] < 256
+    assert len(decoded[1]["content_sha"]) == 64
+    # deterministic: same bytes -> same metadata
+    again = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert again[1] == decoded[1]
+
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-6  # normalized histogram
+
+    frames = mm.frame_sample(media, every_n=5).collect()
+    assert all(r["media_id"] == 2 for r in frames)  # only the video
+    assert [r["frame_idx"] for r in frames][0] == 0
+
+
+def test_decode_without_decoder_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), {})], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(NotImplementedError, match="decoder"):
+        mm.decode_media(media, decoder=None)
