@@ -1,0 +1,169 @@
+"""Continuous query service — the reference's QueryExecutionService
+(Iot.Database/Queries/QueryExecutionService.cs:12-128) re-expressed for
+Spark.
+
+Reference semantics:
+- a singleton registry of named queries (`AddQuery(key, config)`),
+  each with IntervalMilliseconds; a 1 s timer re-executes any query whose
+  interval elapsed (:14-17, :60-85)
+- OnSuccess/OnFailure callbacks receive (key, result, timestamp) (:88-95)
+- manual ExecuteQuery(key) forces a run (:97-110)
+- interval=0 queries execute lazily on read (IotValue.cs:1193-1252);
+  results land in IotValue priority slot 14 (:299-317)
+
+Here each named query is a callable returning a DataFrame. Two execution
+modes, both preserving those semantics:
+
+- tick(): scheduler mode — evaluate due queries once; call this from any
+  driver loop/cron. Deterministic, no threads (the reference's timer
+  loop without the wall-clock coupling).
+- stream(): Structured Streaming mode — a rate/file/kafka-backed
+  readStream with trigger(processingTime=...) + foreachBatch re-running
+  the registered queries each micro-batch; the Spark-native form of the
+  1 s timer.
+
+Results can be materialized into a point-write log at priority 14 via
+`as_point_writes` — the slot-14 convention of the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_RESULT_PRIORITY = 14  # IotValue.cs:299-317 — query results slot
+
+
+@dataclass
+class QueryConfiguration:
+    """Mirror of Queries/QueryConfiguration.cs: name + interval +
+    callbacks."""
+
+    name: str
+    query: Callable[[SparkSession], DataFrame]
+    interval_ms: int = 1000  # 0 => lazy (execute only on demand)
+    on_success: Callable[[str, DataFrame, float], None] | None = None
+    on_failure: Callable[[str, Exception, float], None] | None = None
+    last_run: float = field(default=0.0, repr=False)
+    last_result: DataFrame | None = field(default=None, repr=False)
+
+
+class ContinuousQueryService:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._queries: dict[str, QueryConfiguration] = {}
+
+    # -- registry (AddQuery/RemoveQuery — QueryExecutionService.cs:23-50) --
+
+    def add_query(self, config: QueryConfiguration) -> None:
+        self._queries[config.name] = config
+
+    def remove_query(self, name: str) -> None:
+        self._queries.pop(name, None)
+
+    def names(self) -> list[str]:
+        return sorted(self._queries)
+
+    # -- execution ---------------------------------------------------------
+
+    def execute(self, name: str) -> DataFrame:
+        """Manual run (ExecuteQuery — :97-110): runs regardless of
+        interval, fires callbacks, records the result."""
+        cfg = self._queries[name]
+        now = time.time()
+        try:
+            result = cfg.query(self.spark)
+            result.count()  # force execution so failures surface here
+        except Exception as exc:  # noqa: BLE001 — reference reports all failures
+            if cfg.on_failure:
+                cfg.on_failure(name, exc, now)
+            raise
+        cfg.last_run = now
+        cfg.last_result = result
+        if cfg.on_success:
+            cfg.on_success(name, result, now)
+        return result
+
+    def tick(self, now: float | None = None) -> list[str]:
+        """One scheduler pass (the 1 s timer body — :60-85): execute every
+        query whose interval has elapsed; returns the names run.
+        interval_ms=0 queries never run on tick (lazy — IotValue.cs:1242)."""
+        now = time.time() if now is None else now
+        ran = []
+        for name, cfg in sorted(self._queries.items()):
+            if cfg.interval_ms <= 0:
+                continue
+            if (now - cfg.last_run) * 1000.0 >= cfg.interval_ms:
+                self.execute(name)
+                cfg.last_run = now
+                ran.append(name)
+        return ran
+
+    def read(self, name: str) -> DataFrame:
+        """Read a query's last result; lazy queries (interval 0) execute
+        on read — the slot-17-config / slot-14-result lazy path
+        (IotValue.cs:1193-1252)."""
+        cfg = self._queries[name]
+        if cfg.last_result is None or cfg.interval_ms <= 0:
+            return self.execute(name)
+        return cfg.last_result
+
+    # -- Structured Streaming form ----------------------------------------
+
+    def stream(
+        self,
+        source: DataFrame,
+        interval: str = "1 second",
+        checkpoint: str | None = None,
+        available_now: bool = False,
+    ):
+        """Drive the registered queries from a streaming source: each
+        micro-batch triggers a tick() over all interval>0 queries — the
+        Spark-native form of the reference's timer thread. `source` is any
+        readStream DataFrame (rate source in tests, kafka/files in prod)."""
+
+        def run_batch(_batch_df: DataFrame, _batch_id: int) -> None:
+            self.tick()
+
+        writer = source.writeStream.foreachBatch(run_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=interval)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+
+def as_point_writes(
+    result: DataFrame, guid: str, ts_col: str | None = None
+) -> DataFrame:
+    """Materialize a (single-column) query result as point writes at
+    priority 14 — the reference stores the continuous query's result in
+    IotValue slot 14 (IotValue.cs:1193-1252)."""
+    first_col = result.columns[0]
+    return result.select(
+        F.lit(guid).alias("guid"),
+        (F.col(ts_col) if ts_col else F.current_timestamp()).alias("ts"),
+        F.lit(QUERY_RESULT_PRIORITY).alias("priority"),
+        F.col(first_col).cast("string").alias("value"),
+    )
+
+
+def write_behind_batches(
+    queue: DataFrame, batch_size: int = 1000, order_col: str = "ts"
+) -> DataFrame:
+    """Write-behind ingestion batching (TableCollection.cs:1372-1405:
+    <=1000 entities per cycle): assign batch numbers by arrival order so a
+    foreachBatch sink drains the queue in reference-sized chunks."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_col)
+    return queue.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
