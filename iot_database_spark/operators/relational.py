@@ -355,3 +355,61 @@ _sql(
     FROM events
     """,
 )
+
+
+# DbRef INCLUDE: resolve referenced rows by PK, flag missing refs
+# ($missing:true semantics — BasePipe.Include, LiteDB/Engine/Query/
+# Pipeline/BasePipe.cs:46-133). Left join + missing flag.
+_sql(
+    "dbref_include_missing",
+    """
+    SELECT c.c_custkey, c.c_name,
+           n.n_name AS nation_name,
+           CASE WHEN n.n_nationkey IS NULL THEN TRUE ELSE FALSE END AS ref_missing
+    FROM customer c
+    LEFT JOIN nation n
+      ON c.c_nationkey = n.n_nationkey AND n.n_regionkey <= 2
+    """,
+)
+
+# CUBE aggregation (absent in the reference — SURVEY §2.4 "free in Spark
+# if we expose them"; exposed here)
+_sql(
+    "cube_agg",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+# ANY/ALL array-quantified predicates (BsonExpressionOperators.cs:115-210
+# ANY/ALL variants) via exists()/forall() higher-order functions over a
+# per-order array of line quantities.
+_sql(
+    "any_all_quantifiers",
+    """
+    SELECT l_orderkey,
+           EXISTS(qtys, q -> q > 45)  AS any_gt45,
+           FORALL(qtys, q -> q >= 10) AS all_gte10,
+           SIZE(qtys)                 AS n_lines
+    FROM (
+        SELECT l_orderkey, SORT_ARRAY(COLLECT_LIST(l_quantity)) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    ) t
+    """,
+    oracle="""
+    SELECT l_orderkey,
+           len(list_filter(qtys, q -> q > 45)) > 0   AS any_gt45,
+           len(list_filter(qtys, q -> q >= 10)) = len(qtys) AS all_gte10,
+           CAST(len(qtys) AS INT)                    AS n_lines
+    FROM (
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               list_sort(list(l_quantity)) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    ) t
+    """,
+)

@@ -1,0 +1,76 @@
+"""Plan-quality tests: every headline operator must produce the physical
+plan we'd want at 100 TB — pushed filters, pruned columns, broadcast
+dims, codegen, top-k without full sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_database_spark import registry
+from iot_database_spark.plans import audit
+
+_Q = registry.queries()
+
+
+@pytest.fixture(scope="module")
+def sf(smoke_dir):
+    return smoke_dir
+
+
+def test_filter_pushdown_reaches_scan(spark, sf):
+    df = _Q["scan_filter_project"](spark, sf)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    # column pruning: lineitem scan must NOT read all 11 columns
+    schemas = audit.read_schemas(df)
+    assert all("l_returnflag" not in s or "l_comment" not in s for s in schemas)
+    assert any(s.count(",") <= 6 for s in schemas)
+
+
+def test_small_dims_broadcast(spark, sf):
+    df = _Q["join4_revenue_by_nation"](spark, sf)
+    assert audit.uses_broadcast_join(df)
+    assert not audit.uses_shuffle_join(df)
+    # one shuffle total: the final aggregation
+    assert audit.count_exchanges(df) <= 2
+
+
+def test_semi_anti_join_broadcast(spark, sf):
+    assert audit.uses_broadcast_join(_Q["semi_join_exists"](spark, sf))
+    assert audit.uses_broadcast_join(_Q["anti_join_not_exists"](spark, sf))
+
+
+def test_topk_avoids_full_sort(spark, sf):
+    assert audit.uses_take_ordered(_Q["sort_limit_offset"](spark, sf))
+    assert audit.uses_take_ordered(_Q["vector_l2_topk"](spark, sf))
+
+
+def test_agg_single_shuffle_and_codegen(spark, sf):
+    df = _Q["q01_pricing_summary"](spark, sf)
+    assert audit.count_exchanges(df) <= 1  # partial+final agg, one shuffle
+    assert audit.uses_whole_stage_codegen(df)
+
+
+def test_vector_search_stays_jvm(spark, sf):
+    df = _Q["vector_cosine_topk"](spark, sf)
+    text = audit.explain_str(df)
+    assert "PythonUDF" not in text and "BatchEvalPython" not in text
+    assert "ArrowEvalPython" not in text
+
+
+def test_locf_single_window_shuffle(spark, sf):
+    df = _Q["ts_locf_merge"](spark, sf)
+    assert audit.count_exchanges(df) <= 1  # one shuffle on guid
+
+
+def test_report_shape(spark, sf):
+    rep = audit.plan_report(_Q["q01_pricing_summary"](spark, sf))
+    assert set(rep) == {
+        "pushed_filters",
+        "read_schemas",
+        "broadcast_join",
+        "shuffle_join",
+        "whole_stage_codegen",
+        "take_ordered",
+        "shuffle_exchanges",
+    }
