@@ -54,8 +54,11 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM + parquet footers once (not counted)
-    qs[names[0]](spark, SF_DIR).count()
+    # warm-up pass: JVM startup, parquet footers, and whole-stage-codegen
+    # compilation (cached per generated source) are one-time costs a
+    # long-lived cluster amortizes — measure steady-state execution
+    for name in names:
+        qs[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:
