@@ -46,9 +46,11 @@ def has_flag(flags: Column, flag: int) -> Column:
 
 def effective_value(values: Column) -> Column:
     """First non-null slot 1..16 of a 17-element array column
-    (IotValue.Value getter :299-327; slot 17 never participates)."""
+    (IotValue.Value getter :299-327; slot 17 never participates).
+    try_element_at: an all-null point must yield NULL, not an ANSI
+    out-of-bounds error."""
     scan = F.slice(values, 1, NUM_SLOTS - 1)
-    return F.element_at(F.filter(scan, lambda v: v.isNotNull()), 1)
+    return F.try_element_at(F.filter(scan, lambda v: v.isNotNull()), F.lit(1))
 
 
 def effective_priority(values: Column) -> Column:
@@ -61,7 +63,7 @@ def effective_priority(values: Column) -> Column:
 
 def effective_timestamp(values: Column, timestamps: Column) -> Column:
     """Timestamp of the effective slot (IotValue.cs:348-358)."""
-    return F.element_at(timestamps, effective_priority(values))
+    return F.try_element_at(timestamps, effective_priority(values))
 
 
 def write_allowed(priority: Column, flags: Column) -> Column:

@@ -413,3 +413,64 @@ _sql(
     ) t
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Deeper analytical shapes: TPC-H-style Q3, correlated scalar subquery,
+# pivot — exercising Catalyst's subquery rewrites and partial aggregation
+# ---------------------------------------------------------------------------
+
+_sql(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_sql(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 2 * (CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*))
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+
+_sql(
+    "pivot_status_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+_sql(
+    "grouping_sets_agg",
+    """
+    SELECT COALESCE(c_mktsegment, '<seg>') AS segment,
+           COALESCE(o_orderpriority, '<pri>') AS priority,
+           COUNT(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+)
