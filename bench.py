@@ -37,6 +37,8 @@ HEADLINE = [
     "iot_effective_value",
     "ts_locf_merge",
     "ts_resample_interp",
+    "ts_asof_join",
+    "ts_rollup_hourly",
     "chain_verify",
     "vector_cosine_topk",
     "ann_ivf_cosine",

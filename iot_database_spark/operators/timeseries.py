@@ -158,3 +158,137 @@ def resample(
         .alias("value"),
         (~exact & interpolable).alias("interpolated"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts within the same key (the nearest-before semantics
+    of the reference's TS reads, TsCollection.cs:197-198, promoted to a
+    first-class relational operator).
+
+    Plan: union both sides tagged, one window per key ordered by
+    (ts, side) carrying the right side's values forward — a single
+    shuffle on the key, no range-condition join explosion. This is the
+    shape that survives 100 TB (an inequality join would not).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))  # right sorts before left at ties
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = l.unionByName(r)
+    carried = merged.select(
+        "_side",
+        "_lrow",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    ).filter(F.col("_side") == 1)
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"asof_{c}") for c in right_cols],
+        "asof_ts",
+    )
+
+
+def rollup_by_interval(
+    samples: DataFrame,
+    interval: str = "1 hour",
+    guid: str = "guid",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup: per (guid, bucket) the
+    standard continuous-aggregate columns. Partial+final hash aggregation
+    — one shuffle; at storage level the bucket is the partition key, so
+    incremental refresh only touches recent partitions."""
+    v = F.col(value).cast("double")
+    return (
+        samples.groupBy(
+            F.col(guid).alias(guid),
+            F.window(F.col(ts), interval).start.alias("bucket_start"),
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.min_by(v, F.col(ts)).alias("first_value"),
+            F.max_by(v, F.col(ts)).alias("last_value"),
+        )
+    )
+
+
+def detect_gaps(
+    samples: DataFrame,
+    max_gap_seconds: float = 3600.0,
+    guid: str = "guid",
+    ts: str = "ts",
+) -> DataFrame:
+    """Report gaps longer than max_gap_seconds within each series (the
+    monitoring primitive the reference's continuous queries serve)."""
+    w = W.partitionBy(guid).orderBy(ts)
+    return (
+        samples.withColumn("prev_ts", F.lag(ts).over(w))
+        .withColumn(
+            "gap_seconds",
+            (F.unix_micros(F.col(ts)) - F.unix_micros("prev_ts")) / 1_000_000.0,
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .filter(F.col("gap_seconds") > max_gap_seconds)
+        .select(
+            guid,
+            F.col("prev_ts").alias("gap_start"),
+            F.col(ts).alias("gap_end"),
+            "gap_seconds",
+        )
+    )
+
+
+def rate_of_change(
+    samples: DataFrame,
+    guid: str = "guid",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-sample delta and rate (counter derivative): (v - lag(v)) /
+    seconds-elapsed within each series."""
+    w = W.partitionBy(guid).orderBy(ts)
+    v = F.col(value).cast("double")
+    dt_s = (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / F.lit(1_000_000.0)
+    delta = v - F.lag(v).over(w)
+    return (
+        samples.select(
+            guid,
+            F.col(ts),
+            v.alias("value"),
+            delta.alias("delta"),
+            (delta / dt_s).alias("rate_per_sec"),
+        )
+        .filter(F.col("delta").isNotNull())
+    )

@@ -146,3 +146,168 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "interpolated",
     )
+
+
+# ---------------------------------------------------------------------------
+# First-class TSDB operators beyond the reference's read path: as-of join,
+# time-bucket rollup, gap detection, rate of change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               CAST(event_id AS BIGINT) AS event_id,
+               date_trunc('microsecond', ts) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), logins AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id,
+           p.guid,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           l.value AS asof_value,
+           CAST(epoch_us(l.ts) AS BIGINT) AS asof_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN logins l
+      ON p.guid = l.guid AND p.ts >= l.ts
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    signup (DuckDB checks with its native ASOF JOIN; the Spark plan is the
+    union+window form that scales without a range join)."""
+    tables = load_views(spark, sf_dir)
+    ev = tables["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+    )
+    logins = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    joined = ts_ops.asof_join(purchases, logins, on="guid")
+    return joined.select(
+        "event_id",
+        "guid",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_value"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+    )
+
+
+@register(
+    "ts_rollup_hourly",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS guid,
+           CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+           COUNT(*) AS n_samples,
+           MIN(CAST(value AS DOUBLE)) AS min_value,
+           MAX(CAST(value AS DOUBLE)) AS max_value,
+           arg_min(CAST(value AS DOUBLE), ts) AS first_value,
+           arg_max(CAST(value AS DOUBLE), ts) AS last_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup: count/min/max/first/last per
+    (series, hour bucket) — single partial+final aggregation."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = ts_ops.rollup_by_interval(samples, "1 hour")
+    return out.select(
+        "guid",
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "n_samples",
+        "min_value",
+        "max_value",
+        "first_value",
+        "last_value",
+    )
+
+
+@register(
+    "ts_detect_gaps",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               LAG(date_trunc('microsecond', ts)) OVER (
+                   PARTITION BY CAST(user_id AS BIGINT) ORDER BY ts) AS prev_ts
+        FROM events
+    )
+    SELECT guid,
+           CAST(epoch_us(prev_ts) AS BIGINT) AS gap_start_us,
+           CAST(epoch_us(ts) AS BIGINT) AS gap_end_us,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0 AS gap_seconds
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0 > 21600.0
+    """,
+)
+def ts_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection: series silences longer than 6 hours."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"), "ts"
+    )
+    out = ts_ops.detect_gaps(samples, max_gap_seconds=21600.0)
+    return out.select(
+        "guid",
+        F.unix_micros("gap_start").alias("gap_start_us"),
+        F.unix_micros("gap_end").alias("gap_end_us"),
+        "gap_seconds",
+    )
+
+
+@register(
+    "ts_rate_of_change",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    )
+    SELECT guid,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           value,
+           value - LAG(value) OVER w AS delta,
+           (value - LAG(value) OVER w)
+             / (CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0)
+             AS rate_per_sec
+    FROM s
+    WINDOW w AS (PARTITION BY guid ORDER BY ts)
+    QUALIFY LAG(value) OVER w IS NOT NULL
+    """,
+)
+def ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter derivative: per-sample delta and per-second rate."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = ts_ops.rate_of_change(samples)
+    return out.select(
+        "guid",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "delta",
+        "rate_per_sec",
+    )

@@ -191,3 +191,57 @@ def test_vector_search_known_geometry(spark):
 
     within = vec.search_l2_radius(items, q, radius=1.5).collect()
     assert {r["vec_id"] for r in within} == {1, 2, 3}
+
+
+# --- TSDB extras: as-of join, rollup, gaps, rate ---------------------------
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T02:00:00"), 1),
+            ("g", _ts("2024-01-01T00:30:00"), 2),
+            ("h", _ts("2024-01-01T01:00:00"), 3),  # no right rows for h
+        ],
+        ["guid", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T00:00:00"), 10.0),
+            ("g", _ts("2024-01-01T01:00:00"), 20.0),
+            ("g", _ts("2024-01-01T03:00:00"), 30.0),
+        ],
+        ["guid", "ts", "value"],
+    )
+    from iot_database_spark.operators.timeseries import asof_join
+
+    rows = {r["lid"]: r for r in asof_join(left, right, on="guid").collect()}
+    assert rows[1]["asof_value"] == 20.0  # most recent <= 02:00
+    assert rows[2]["asof_value"] == 10.0  # most recent <= 00:30
+    assert rows[3]["asof_value"] is None  # no match -> left row kept
+
+
+def test_rollup_and_rate(spark):
+    from iot_database_spark.operators.timeseries import (
+        detect_gaps,
+        rate_of_change,
+        rollup_by_interval,
+    )
+
+    s = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T00:10:00"), 10.0),
+            ("g", _ts("2024-01-01T00:50:00"), 30.0),
+            ("g", _ts("2024-01-01T03:00:00"), 40.0),
+        ],
+        ["guid", "ts", "value"],
+    )
+    buckets = {r["bucket_start"]: r for r in rollup_by_interval(s, "1 hour").collect()}
+    b0 = buckets[_ts("2024-01-01T00:00:00")]
+    assert b0["n_samples"] == 2 and b0["first_value"] == 10.0 and b0["last_value"] == 30.0
+
+    gaps = detect_gaps(s, max_gap_seconds=3600.0).collect()
+    assert len(gaps) == 1 and gaps[0]["gap_seconds"] == pytest.approx(7800.0)
+
+    rates = sorted(rate_of_change(s).collect(), key=lambda r: r["ts"])
+    assert rates[0]["delta"] == 20.0
+    assert rates[0]["rate_per_sec"] == pytest.approx(20.0 / 2400.0)
