@@ -1,0 +1,59 @@
+"""Storage layout — the engine's substitute for the reference's
+skip-list indexes (LiteDB/Engine/Services/IndexService.cs) and its
+EnsureIndex/expression-index DDL (Table/TableCollection.cs:535-591).
+
+In a columnar warehouse the "index" is the physical layout:
+
+- **date partitioning** of time-series logs -> partition pruning at the
+  scan (the equivalent of the reference's index range scan on ts)
+- **key bucketing** (hash(guid) % n as a partition column) -> co-located
+  per-device reads and shuffle-free per-bucket work
+- **sort-within-partitions on (guid, ts)** -> parquet row-group min/max
+  stats make per-guid range scans skip row groups (the equivalent of the
+  reference's per-field skip lists)
+
+`write_timeseries_layout` applies all three; `tests/test_layout.py`
+asserts the pruning actually shows up in the physical plan
+(PartitionFilters), which is the contract that keeps a 100 TB scan
+touching only the partitions a query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_timeseries_layout(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "guid",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write a time-series log partitioned by (event date, key bucket) and
+    sorted by (key, ts) within partitions."""
+    out = (
+        df.withColumn("p_date", F.to_date(F.col(ts_col)))
+        .withColumn(
+            "p_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        .repartition("p_date", "p_bucket")
+        # prefix the sort with the write's partition columns: the dynamic
+        # partition writer requires ordering by them and would otherwise
+        # inject its own (unstable) sort, destroying the (key, ts) order
+        .sortWithinPartitions("p_date", "p_bucket", key_col, ts_col)
+    )
+    out.write.mode(mode).partitionBy("p_date", "p_bucket").parquet(path)
+
+
+def read_timeseries_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Read the layout back; date/bucket predicates prune partitions."""
+    return spark.read.parquet(path)
+
+
+def bucket_for(key_value, n_buckets: int = 16):
+    """Column expression for the bucket of a literal key — push this into
+    the filter so the scan prunes to one bucket directory."""
+    return F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets))

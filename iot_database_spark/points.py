@@ -1,0 +1,172 @@
+"""PointStore — the integrated IotValue write path: gated point writes
+fanning out to the time-series store and the blockchain per point flags.
+
+Reference: any entity whose IotValue carries TimeSeries/BlockChain flags
+is copied to a background queue on insert/update/upsert and fanned out to
+the TS store and the block chain (Table/TableCollection.cs:1411-1433,
+:290-298, :1178-1184; drain loop Base/BaseDatabase.cs:83-107). Password
+values are hashed before storage (IotValue.SetPassword :708-715).
+
+Spark-first shape: a point registry table (guid, flags, strict_type,
+unit) plus three append-only logs in the warehouse —
+
+    point_writes(guid, ts, priority, value)      the raw write log
+    ts_writes(...)                               TimeSeries-flagged subset
+    chain_blocks(guid, ts, data, prev_hash, hash)  BlockChain-flagged
+
+`write_batch` validates (gating + strict type), hashes password values,
+and fans out in ONE pass over the batch — the reference's three queue
+drains collapse into three filtered projections of the same DataFrame.
+Reads go through operators/iotvalue.replay_slots and
+operators/timeseries LOCF/resample on the logs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iot_database_spark.database import IotDatabase
+from iot_database_spark.operators import blockchain as bc
+from iot_database_spark.operators import iotvalue as iv
+
+_WRITE_SCHEMA = "guid string, ts timestamp, priority int, value string"
+
+
+class PointStore:
+    def __init__(self, db: IotDatabase):
+        self.db = db
+        self.registry = db.tables(
+            "point_registry",
+            "id bigint, guid string, name string, flags int, "
+            "strict_type string, unit string",
+            unique=["guid"],
+        )
+        self.writes = db.tables("point_writes", "id bigint, " + _WRITE_SCHEMA)
+        self.ts_writes = db.tables("ts_writes", "id bigint, " + _WRITE_SCHEMA)
+        self.chain = db.tables(
+            "chain_blocks",
+            "id bigint, guid string, ts timestamp, data string, "
+            "prev_hash string, hash string",
+        )
+
+    def register_point(
+        self,
+        guid: str,
+        name: str = "",
+        flags: int = 0,
+        strict_type: str | None = None,
+        unit: str | None = None,
+    ) -> None:
+        self.registry.insert(
+            [{
+                "id": None, "guid": guid, "name": name, "flags": flags,
+                "strict_type": strict_type, "unit": unit,
+            }]
+        )
+
+    def write_batch(self, batch: DataFrame) -> dict[str, int]:
+        """Apply a batch of point writes (guid, ts, priority, value):
+
+        1. join the registry (broadcast — it is the small side)
+        2. drop writes failing the gating rules (Priority9Only / manual)
+        3. enforce StrictDataType via try_cast (IotValue.cs:1104-1109)
+        4. hash PasswordValue values (SetPassword :708-715)
+        5. fan out: all -> point_writes; TimeSeries flag -> ts_writes;
+           BlockChain flag -> chain_blocks (chained per guid)
+
+        Returns counts per sink. Rejected rows are dropped silently like
+        the reference's background drain (it logs and continues).
+        """
+        reg = self.registry.df.select("guid", "flags", "strict_type")
+        joined = batch.join(F.broadcast(reg), "guid", "inner")
+
+        gated = joined.filter(
+            iv.write_allowed(F.col("priority"), F.col("flags"))
+        )
+        type_ok = gated.filter(
+            F.col("strict_type").isNull()
+            | (
+                (F.col("strict_type") == "double")
+                & F.col("value").try_cast("double").isNotNull()
+            )
+            | (
+                (F.col("strict_type") == "bool")
+                & F.col("value").try_cast("boolean").isNotNull()
+            )
+        )
+        hashed = type_ok.withColumn(
+            "value",
+            F.when(
+                iv.has_flag(F.col("flags"), iv.FLAG_PASSWORD_VALUE),
+                iv.password_hash(F.col("value")),
+            ).otherwise(F.col("value")),
+        )
+
+        accepted = hashed.select("guid", "ts", "priority", "value")
+        n_all = self.writes.insert(self._assign_ids(self.writes, accepted))
+
+        ts_batch = hashed.filter(
+            iv.has_flag(F.col("flags"), iv.FLAG_TIME_SERIES)
+        ).select("guid", "ts", "priority", "value")
+        n_ts = self.ts_writes.insert(self._assign_ids(self.ts_writes, ts_batch))
+
+        chain_src = hashed.filter(
+            iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
+        ).select("guid", "ts", F.col("value").alias("data"))
+        n_chain = 0
+        if chain_src.limit(1).count():
+            # rebuild affected chains: existing blocks + new data, per-key
+            # (at Delta scale: MERGE only the touched guid partitions)
+            existing = self.chain.df.select("guid", "ts", "data")
+            rebuilt = bc.append_chain(
+                bc.dedup_consecutive(existing.unionByName(chain_src))
+            )
+            with_ids = self._assign_ids(self.chain, rebuilt, base=0)
+            n_chain = with_ids.count()
+            self.chain._write(
+                with_ids.select(*[f.name for f in self.chain.df.schema.fields])
+            )
+        return {"writes": n_all, "ts": n_ts, "chain": n_chain}
+
+    @staticmethod
+    def _assign_ids(table, batch: DataFrame, base: int | None = None) -> DataFrame:
+        """Append-log ids: deterministic row_number over the batch order
+        columns, offset past the table's current max. (The id is only a
+        same-timestamp tiebreaker; at cluster scale this becomes a
+        per-partition monotonic id + partition offset.)"""
+        from pyspark.sql import Window as W
+
+        if base is None:
+            base = table.max("id") or 0
+        order = [c for c in ("guid", "ts", "priority", "value", "data") if c in batch.columns]
+        rn = F.row_number().over(W.orderBy(*[F.col(c) for c in order]))
+        out = batch.withColumn("id", (rn + F.lit(base)).cast("bigint"))
+        return out.select("id", *[c for c in batch.columns])
+
+    # -- reads ------------------------------------------------------------
+
+    def current_state(self) -> DataFrame:
+        """Per-point slot state + effective value (replay_slots over the
+        write log)."""
+        return iv.replay_slots(self.writes.df, tiebreak="id")
+
+    def get_series(self, start, end, interval: str | None = None) -> DataFrame:
+        """GetTimeSeries equivalents: LOCF merge, or grid resample when an
+        interval is given (TsCollection.cs:130-233)."""
+        from iot_database_spark.operators import timeseries as ts_ops
+
+        log = self.ts_writes.df.filter(
+            (F.col("ts") >= start) & (F.col("ts") <= end)
+        )
+        if interval is None:
+            return ts_ops.locf_merge(log, priorities=tuple(range(1, 17)), tiebreak="id")
+        return ts_ops.resample(
+            log.withColumn("value", F.col("value").cast("double")),
+            start,
+            end,
+            interval,
+        )
+
+    def verify_chains(self) -> DataFrame:
+        return bc.verify_chain(self.chain.df)

@@ -1,0 +1,56 @@
+"""Layout tests: partition pruning must be visible in the physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_database_spark.layout import (
+    bucket_for,
+    read_timeseries_layout,
+    write_timeseries_layout,
+)
+from iot_database_spark.plans.audit import explain_str
+
+
+def test_partition_pruning_on_date_and_bucket(spark, tmp_path, smoke_dir):
+    events = spark.read.parquet(f"{smoke_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("guid"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "value",
+    )
+    path = str(tmp_path / "ts_layout")
+    write_timeseries_layout(events, path, n_buckets=4)
+
+    back = read_timeseries_layout(spark, path)
+    assert back.count() == events.count()
+
+    one_day = back.filter(F.col("p_date") == "2024-01-03")
+    plan = explain_str(one_day)
+    assert "PartitionFilters" in plan and "p_date" in plan
+    # pruned scan reads strictly fewer rows than the full log
+    assert 0 < one_day.count() < back.count()
+
+    one_series = back.filter(
+        (F.col("p_bucket") == bucket_for("7", 4)) & (F.col("guid") == "7")
+    )
+    plan2 = explain_str(one_series)
+    assert "p_bucket" in plan2
+    assert one_series.count() == back.filter("guid = '7'").count()
+
+
+def test_sorted_within_partitions(spark, tmp_path, smoke_dir):
+    events = spark.read.parquet(f"{smoke_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("guid"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "value",
+    )
+    path = str(tmp_path / "sorted_layout")
+    write_timeseries_layout(events, path, n_buckets=2)
+    # every parquet file is internally sorted by (guid, ts): check one
+    # partition's rows are non-decreasing when read file-ordered
+    import glob
+
+    files = glob.glob(f"{path}/p_date=*/p_bucket=*/part-*.parquet")
+    assert files
+    one = spark.read.parquet(files[0]).select("guid", "ts").collect()
+    assert one == sorted(one, key=lambda r: (r["guid"], r["ts"]))

@@ -1,0 +1,123 @@
+"""Integration test of the PointStore fan-out write path — the
+reference's signature flow (TableCollection.cs:1411-1433): gated writes
+land in the write log, TimeSeries-flagged points feed the TS store,
+BlockChain-flagged points extend their hash chain, passwords are hashed."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from iot_database_spark.database import IotDatabase
+from iot_database_spark.operators import iotvalue as iv
+from iot_database_spark.points import PointStore
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    db = IotDatabase("pointdb", str(tmp_path), spark)
+    ps = PointStore(db)
+    ps.register_point("plain", flags=0)
+    ps.register_point("tsflag", flags=iv.FLAG_TIME_SERIES)
+    ps.register_point(
+        "chained", flags=iv.FLAG_TIME_SERIES | iv.FLAG_BLOCK_CHAIN
+    )
+    ps.register_point("p9", flags=iv.FLAG_PRIORITY9_ONLY)
+    ps.register_point("pw", flags=iv.FLAG_PASSWORD_VALUE)
+    ps.register_point("typed", flags=0, strict_type="double")
+    return ps
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "guid string, ts timestamp, priority int, value string"
+    )
+
+
+def test_fanout_per_flags(store, spark):
+    counts = store.write_batch(
+        _batch(
+            spark,
+            [
+                ("plain", _ts("2024-01-01T00:00:00"), 15, "1.0"),
+                ("tsflag", _ts("2024-01-01T00:00:00"), 15, "2.0"),
+                ("chained", _ts("2024-01-01T00:00:00"), 15, "3.0"),
+                ("chained", _ts("2024-01-01T00:01:00"), 15, "4.0"),
+            ],
+        )
+    )
+    assert counts == {"writes": 4, "ts": 3, "chain": 2}
+    assert store.writes.count() == 4
+    assert store.ts_writes.count() == 3  # tsflag + chained only
+    chain = {r["ts"]: r for r in store.chain.df.collect()}
+    assert chain[_ts("2024-01-01T00:01:00")]["prev_hash"] == chain[
+        _ts("2024-01-01T00:00:00")
+    ]["hash"]
+    verify = store.verify_chains().collect()
+    assert all(r["valid"] for r in verify)
+
+
+def test_gating_and_strict_type_drop_rows(store, spark):
+    counts = store.write_batch(
+        _batch(
+            spark,
+            [
+                ("p9", _ts("2024-01-01T00:00:00"), 15, "nope"),   # p9only: blocked
+                ("p9", _ts("2024-01-01T00:00:00"), 9, "ok"),      # allowed
+                ("plain", _ts("2024-01-01T00:00:00"), 1, "manual"),  # no AllowManual
+                ("typed", _ts("2024-01-01T00:00:00"), 15, "abc"),  # strict double: reject
+                ("typed", _ts("2024-01-01T00:01:00"), 15, "42.5"),  # ok
+            ],
+        )
+    )
+    assert counts["writes"] == 2
+    vals = {r["guid"]: r["value"] for r in store.writes.df.collect()}
+    assert vals == {"p9": "ok", "typed": "42.5"}
+
+
+def test_password_hashing_and_state(store, spark):
+    store.write_batch(
+        _batch(spark, [("pw", _ts("2024-01-01T00:00:00"), 15, "hunter2")])
+    )
+    row = store.writes.df.collect()[0]
+    assert row["value"] == hashlib.sha256(b"hunter2").hexdigest()
+
+    store.write_batch(
+        _batch(
+            spark,
+            [
+                ("plain", _ts("2024-01-01T00:00:00"), 15, "low"),
+                ("plain", _ts("2024-01-01T00:05:00"), 9, "strategy-wins"),
+            ],
+        )
+    )
+    state = {r["guid"]: r for r in store.current_state().collect()}
+    assert state["plain"]["value"] == "strategy-wins"
+    assert state["plain"]["priority"] == 9
+
+
+def test_get_series_reads(store, spark):
+    store.write_batch(
+        _batch(
+            spark,
+            [
+                ("tsflag", _ts("2024-01-01T01:00:00"), 15, "10"),
+                ("tsflag", _ts("2024-01-01T03:00:00"), 15, "30"),
+            ],
+        )
+    )
+    locf = store.get_series(_ts("2024-01-01T00:00:00"), _ts("2024-01-01T04:00:00"))
+    assert [r["eff_value"] for r in locf.orderBy("ts").collect()] == ["10", "30"]
+
+    grid = store.get_series(
+        "2024-01-01 00:00:00", "2024-01-01 04:00:00", interval="1 HOUR"
+    )
+    by_ts = {r["grid_ts"]: r for r in grid.collect()}
+    assert by_ts[_ts("2024-01-01T02:00:00")]["value"] == pytest.approx(20.0)
+    assert by_ts[_ts("2024-01-01T02:00:00")]["interpolated"] is True
