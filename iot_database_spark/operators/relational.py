@@ -474,3 +474,78 @@ _sql(
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Sessionization + exact percentiles — standard event-pipeline shapes,
+# written identically for both engines (window arithmetic, no engine-
+# specific percentile implementations)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "event_sessionization",
+    """
+    WITH marked AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               ts,
+               CASE WHEN unix_micros(ts) - LAG(unix_micros(ts)) OVER w
+                         > 1800000000 OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT) ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    oracle="""
+    WITH marked AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000 OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT) ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+
+_sql(
+    "exact_percentiles",
+    """
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS bal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN bal END) AS median_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN bal END) AS p90_disc,
+           MAX(n) AS n
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)

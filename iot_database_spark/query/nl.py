@@ -492,3 +492,28 @@ def execute_find(
 def natural_query(query: str, resolver) -> DataFrame:
     """Parse + execute a FIND query (QueryEngine.NaturalQuery)."""
     return execute_find(parse_find(query), resolver)
+
+
+def explain_find(query: str, resolver) -> dict:
+    """EXPLAIN for the FIND dialect — the reference's EXPLAIN yields a
+    plan document (QueryPlan.GetExecutionPlan — LiteDB/Engine/Query/
+    Structures/QueryPlan.cs:139-211). Ours returns the parsed logical
+    spec plus the Catalyst physical plan of the compiled DataFrame."""
+    spec = parse_find(query)
+    df = execute_find(spec, resolver)
+    from iot_database_spark.plans.audit import explain_str, plan_report
+
+    return {
+        "tables": spec.tables,
+        "on": spec.on,
+        "conditions": spec.conditions,
+        "columns": spec.columns,
+        "includes": [
+            {"table": i.table, "condition": i.condition, "columns": i.columns}
+            for i in spec.includes
+        ],
+        "order_by": spec.order_by,
+        "limit": spec.limit,
+        "physical_plan": explain_str(df, "simple"),
+        "plan_report": plan_report(df),
+    }

@@ -132,3 +132,16 @@ def test_bad_queries_raise(db):
         parse_find("SELECT * FROM x")
     with pytest.raises(ValueError, match="unknown column"):
         natural_query("FIND Customer WHERE Nope > 1", db).collect()
+
+
+def test_explain_find(db):
+    from iot_database_spark.query.nl import explain_find
+
+    plan = explain_find(
+        "FIND Customer WHERE Age > 25 SELECT Name as Person ORDER BY Person LIMIT 5",
+        db,
+    )
+    assert plan["tables"] == ["Customer"]
+    assert plan["limit"] == 5
+    assert "TakeOrderedAndProject" in plan["physical_plan"]
+    assert plan["plan_report"]["take_ordered"] is True
