@@ -549,3 +549,45 @@ _sql(
     GROUP BY c_mktsegment
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: RANGE frames, ntile, first/last_value, dense_rank
+# (SURVEY §2.5 — absent in the reference; full surface exposed here)
+# ---------------------------------------------------------------------------
+
+_sql(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS events_last_hour
+    FROM events
+    """,
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) OVER (PARTITION BY CAST(user_id AS BIGINT)
+                          ORDER BY epoch_us(date_trunc('microsecond', ts))
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS events_last_hour
+    FROM events
+    """,
+)
+
+_sql(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS cheapest,
+           CAST(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DOUBLE) AS priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)

@@ -63,12 +63,51 @@ def test_oracle_parity(name, spark, sf_dir):
 
     con = _duck(sf_dir)
     res = con.execute(_ORACLES[name])
-    dcols = [d[0] for d in res.description]
+    res_description = res.description
+    dcols = [d[0] for d in res_description]
     drows = res.fetchall()
     con.close()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    # schema-category check: the driver compares schemas too — a Spark
+    # double where the oracle yields BIGINT (or vice versa) must fail here
+    # even though Python 5.0 == 5 would mask it in the value compare
+    _CATEGORY = {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float",
+        "string": "str", "boolean": "bool",
+        "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    }
+    _DUCK_CATEGORY = {
+        "NUMBER": None,  # duckdb reports NUMBER for every numeric: skip
+        "STRING": "str", "BOOL": "bool", "bool": "bool",
+        "DATETIME": "ts", "TIMESTAMP": "ts", "Date": "date", "DATE": "date",
+    }
+    duck_types = dict(zip(dcols, [d[1] for d in res_description]))
+    for c in scols:
+        s_cat = _CATEGORY.get(dict(sdf.dtypes)[c])
+        d_cat = _DUCK_CATEGORY.get(duck_types.get(c, ""), None)
+        if s_cat and d_cat:
+            assert s_cat == d_cat, f"{name}.{c}: spark {s_cat} vs duck {d_cat}"
+    # numeric subtlety: DuckDB's cursor flattens int/float to NUMBER, so
+    # use the raw python values to distinguish: no float on one side where
+    # the other yields int
+    for i, c in enumerate(scols):
+        s_py = next((r[i] for r in srows if r[i] is not None), None)
+        j = dcols.index(c)
+        d_py = next((r[j] for r in drows if r[j] is not None), None)
+        if s_py is None or d_py is None:
+            continue
+        s_is_float = isinstance(s_py, float)
+        import decimal
+
+        d_is_float = isinstance(d_py, (float, decimal.Decimal))
+        s_is_int = isinstance(s_py, int) and not isinstance(s_py, bool)
+        d_is_int = isinstance(d_py, int) and not isinstance(d_py, bool)
+        assert not (s_is_float and d_is_int), f"{name}.{c}: spark float vs duck int"
+        assert not (s_is_int and d_is_float), f"{name}.{c}: spark int vs duck float"
 
     s_norm = _normalize(srows, scols)
     d_norm = _normalize(drows, dcols)
