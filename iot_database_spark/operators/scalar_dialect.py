@@ -225,3 +225,32 @@ _sql(
     FROM customer
     """,
 )
+
+# Misc.cs EXTEND/KEYS/VALUES — document/map surface over parsed JSON
+# (EXTEND = map merge Misc.cs:44-67; KEYS :102-114; VALUES :116-128)
+_sql(
+    "map_functions",
+    """
+    WITH m AS (
+        SELECT event_id,
+               FROM_JSON(props, 'map<string,string>') AS doc
+        FROM events
+    )
+    SELECT event_id,
+           ARRAY_JOIN(ARRAY_SORT(MAP_KEYS(doc)), ',')      AS keys_joined,
+           SIZE(MAP_KEYS(doc))                             AS n_keys,
+           CAST(doc['k'] AS INT)                           AS k_value,
+           ARRAY_JOIN(ARRAY_SORT(MAP_KEYS(
+               MAP_CONCAT(doc, MAP('extra', '1')))), ',')  AS extended_keys
+    FROM m
+    """,
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_joined,
+           CAST(len(json_keys(props)) AS INT)                AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_value,
+           array_to_string(list_sort(list_append(json_keys(props), 'extra')), ',')
+               AS extended_keys
+    FROM events
+    """,
+)
