@@ -191,36 +191,41 @@ def jaccard_pairs(
     the self-join — the skew guard that keeps the join linear in the
     number of truly-shared rare shingles.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(F.col(content), n))).alias("s"),
-        )
-    )
-    sizes = toks.groupBy("id").agg(F.count("*").alias("set_size"))
-    rare = toks.join(
-        toks.groupBy("s").agg(F.countDistinct("id").alias("df_count")),
-        "s",
-    ).filter(F.col("df_count") <= max_df)
+    from pyspark.sql import Window as W
 
-    a = rare.select(F.col("id").alias("id_a"), "s")
-    b = rare.select(F.col("id").alias("id_b"), "s")
+    # one explode, then window counts instead of re-aggregating the same
+    # subtree three times: set_size = count over id, df_count = count
+    # over shingle; carrying set_size through the join removes the two
+    # post-join lookups as well
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(content), n))).alias("s"),
+    )
+    annotated = toks.select(
+        "id",
+        "s",
+        F.count("*").over(W.partitionBy("id")).alias("set_size"),
+        F.count("*").over(W.partitionBy("s")).alias("df_count"),
+    )
+    rare = annotated.filter(F.col("df_count") <= max_df)
+
+    a = rare.select(F.col("id").alias("id_a"), "s", F.col("set_size").alias("size_a"))
+    b = rare.select(F.col("id").alias("id_b"), "s", F.col("set_size").alias("size_b"))
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): the unit-rule compiler agrees with
+direct Python arithmetic, and the NL condition compiler matches Python
+evaluation on generated data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from iot_database_spark.functions.units import compile_rule
+from iot_database_spark.query.nl import compile_condition
+
+# -- unit rules -------------------------------------------------------------
+
+coef = st.floats(min_value=0.1, max_value=1000, allow_nan=False).map(
+    lambda x: round(x, 3)
+)
+
+
+@st.composite
+def rules(draw):
+    a = draw(coef)
+    b = draw(coef)
+    form = draw(st.sampled_from([
+        "value * {a}",
+        "value / {a}",
+        "value + {a}",
+        "value - {a}",
+        "value * {a} + {b}",
+        "(value + {a}) * {b}",
+        "(value - {a}) / {b}",
+        "value * {a} / {b} + {a}",
+    ]))
+    return form.format(a=a, b=b)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(max_examples=25, deadline=None)
+@given(rule=rules(), value=st.floats(min_value=-1e6, max_value=1e6,
+                                     allow_nan=False).map(lambda x: round(x, 4)))
+def test_rule_compiler_matches_python(rule, value, _spark):
+    fn = compile_rule(rule)
+    got = _spark.range(1).select(fn(F.lit(float(value))).alias("v")).collect()[0]["v"]
+    expected = eval(rule.replace("value", repr(float(value))))  # noqa: S307 — same grammar, test-only
+    assert got == pytest.approx(expected, rel=1e-12, abs=1e-12)
+
+
+# -- NL conditions ----------------------------------------------------------
+
+names = st.sampled_from(["Widget", "gadget", "THING", "x y", ""])
+ages = st.integers(min_value=0, max_value=99)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(st.tuples(names, ages), min_size=1, max_size=8),
+       cutoff=ages, needle=st.sampled_from(["DGE", "widget", "Z", "x "]))
+def test_nl_condition_matches_python(rows, cutoff, needle, _spark):
+    df = _spark.createDataFrame(
+        [(i, n, a) for i, (n, a) in enumerate(rows)], ["id", "name", "age"]
+    )
+    cond = f"age >= {cutoff} AND name contains '{needle}'"
+    got = {r["id"] for r in df.filter(compile_condition(cond, df)).collect()}
+    expected = {
+        i for i, (n, a) in enumerate(rows)
+        if a >= cutoff and needle.lower() in n.lower()
+    }
+    assert got == expected
