@@ -57,3 +57,22 @@ def bucket_for(key_value, n_buckets: int = 16):
     """Column expression for the bucket of a literal key — push this into
     the filter so the scan prunes to one bucket directory."""
     return F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed table write — the co-located-join layout: two tables
+    bucketed by the same key with the same bucket count join WITHOUT a
+    shuffle (Catalyst sees compatible output partitioning). This is the
+    'EnsureIndex on the join key' of the columnar world."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -604,3 +604,46 @@ _sql(
       AND l_quantity < 24
     """,
 )
+
+# Skew-salted aggregation (operators/skew.py): identical answer to the
+# plain GROUP BY — the oracle IS the plain GROUP BY; only the shuffle
+# distribution differs.
+def _skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_database_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    tables = load_views(spark, sf_dir)
+    li = tables["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        "l_quantity",
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_price": ("sum", "price_dec"),
+            "n": ("count", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n",
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           COUNT(l_quantity) AS n,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)(_skew_salted)

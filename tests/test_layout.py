@@ -54,3 +54,26 @@ def test_sorted_within_partitions(spark, tmp_path, smoke_dir):
     assert files
     one = spark.read.parquet(files[0]).select("guid", "ts").collect()
     assert one == sorted(one, key=lambda r: (r["guid"], r["ts"]))
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path, smoke_dir):
+    from iot_database_spark.layout import write_bucketed_table
+    from iot_database_spark.plans.audit import count_exchanges, explain_str
+
+    orders = spark.read.parquet(f"{smoke_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{smoke_dir}/lineitem.parquet")
+    write_bucketed_table(orders, "orders_b", "o_orderkey", 8)
+    write_bucketed_table(lineitem, "lineitem_b", "l_orderkey", 8)
+
+    joined = spark.sql(
+        """
+        SELECT /*+ MERGE(o) */ o.o_orderkey, o.o_totalprice, l.l_quantity
+        FROM orders_b o JOIN lineitem_b l ON l.l_orderkey = o.o_orderkey
+        """
+    )
+    # both sides pre-bucketed on the join key: zero shuffle exchanges
+    assert count_exchanges(joined) == 0, explain_str(joined, "simple")
+    assert joined.count() > 0
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -136,3 +136,15 @@ def test_decode_without_decoder_raises(spark):
     )
     with pytest.raises(NotImplementedError, match="decoder"):
         mm.decode_media(media, decoder=None)
+
+
+def test_hll_sketch_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL sketch) — the cardinality primitive for
+    100 TB profiling; no cross-engine oracle (sketches differ), so assert
+    tolerance against the exact count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06

@@ -79,3 +79,41 @@ def test_streaming_effective_value_carries_state(spark, tmp_path):
     # across both files; manual override (slot 1) beats slot 9
     p1_final = sorted(by_guid["p1"], key=lambda r: r["ts_us"])[-1]
     assert p1_final["value"] == "MANUAL" and p1_final["priority"] == 1
+
+
+def test_windowed_rollup_with_watermark(spark, tmp_path):
+    from iot_database_spark.streaming.windowed import windowed_rollup
+
+    src = tmp_path / "stream_rollup"
+    src.mkdir()
+    _write_batch(
+        src / "b1.json",
+        [
+            {"guid": "g", "ts": "2024-01-01T00:01:00", "value": 10.0},
+            {"guid": "g", "ts": "2024-01-01T00:03:00", "value": 30.0},
+            {"guid": "g", "ts": "2024-01-01T00:07:00", "value": 70.0},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "guid string, ts timestamp, value double"
+    ).json(str(src))
+    out = windowed_rollup(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import datetime as dt
+
+    rows = {
+        r["bucket_start"]: r
+        for r in spark.sql("SELECT * FROM rollup_windows").collect()
+    }
+    w0 = rows[dt.datetime.fromisoformat("2024-01-01T00:00:00")]
+    assert w0["n_samples"] == 2
+    assert w0["first_value"] == 10.0 and w0["last_value"] == 30.0
+    w1 = rows[dt.datetime.fromisoformat("2024-01-01T00:05:00")]
+    assert w1["n_samples"] == 1 and w1["max_value"] == 70.0
