@@ -135,3 +135,37 @@ class IotDatabase:
     def _save_meta(self) -> None:
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
+
+    # -- DDL (SqlParser.cs DROP/RENAME; CHECKPOINT/REBUILD ~ compaction) ----
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE: remove data + metadata (cascade NOT applied — the
+        reference's DropCollection drops in place; FK children keep rows)."""
+        import shutil
+
+        t = self.table(name)
+        shutil.rmtree(t.path, ignore_errors=True)
+        self._meta["tables"].pop(name, None)
+        self._tables.pop(name, None)
+        self._save_meta()
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        """RENAME COLLECTION equivalent."""
+        import os as _os
+
+        if new_name in self._meta["tables"]:
+            raise ValueError(f"table {new_name!r} already exists")
+        t = self.table(name)
+        new_path = _os.path.join(self.tables_dir, new_name)
+        if _os.path.exists(t.path):
+            _os.rename(t.path, new_path)
+        self._meta["tables"][new_name] = self._meta["tables"].pop(name)
+        self._tables.pop(name, None)
+        self._save_meta()
+
+    def compact_table(self, name: str, target_files: int = 1) -> None:
+        """CHECKPOINT/REBUILD analog: rewrite a table into fewer files
+        (Delta OPTIMIZE at cluster scale). Reclaims small-file overhead
+        from incremental appends."""
+        t = self.table(name)
+        t._write(t.df.coalesce(target_files))

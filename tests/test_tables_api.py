@@ -134,3 +134,22 @@ def test_catalog_introspection(db):
     assert "customers" in db.list_tables()
     cols = {r["column"] for r in db.describe("customers").collect()}
     assert cols == {"id", "name", "age"}
+
+
+def test_ddl_drop_rename_compact(db):
+    db.tables("tmp_tbl", "id bigint, v string").insert(
+        [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    )
+    db.table("tmp_tbl").insert([{"id": 3, "v": "c"}])  # second append -> more files
+
+    db.compact_table("tmp_tbl")
+    assert db.table("tmp_tbl").count() == 3
+
+    db.rename_table("tmp_tbl", "tmp_tbl2")
+    assert "tmp_tbl" not in db.list_tables()
+    assert db.table("tmp_tbl2").count() == 3
+
+    db.drop_table("tmp_tbl2")
+    assert "tmp_tbl2" not in db.list_tables()
+    with pytest.raises(KeyError):
+        db.table("tmp_tbl2")
