@@ -436,8 +436,20 @@ def execute_find(
             lt, lc, rt, rc = _parse_on(spec.on[idx - 1])
             on_clause = F.col(f"{lt}.{lc}") == F.col(f"{rt}.{rc}")
         else:
-            ct, cc, pt, pc = infer_on(tname, primary_name)
-            on_clause = F.col(f"{ct}.{cc}") == F.col(f"{pt}.{pc}")
+            # FK inference tries every earlier table, nearest first — t3
+            # may relate to t2 rather than t1 (QueryEngine3.cs:271-305)
+            last_err = None
+            for earlier in reversed(spec.tables[:idx]):
+                try:
+                    ct, cc, pt, pc = infer_on(tname, earlier)
+                    on_clause = F.col(f"{ct}.{cc}") == F.col(f"{pt}.{pc}")
+                    break
+                except ValueError as exc:
+                    last_err = exc
+            if on_clause is None:
+                raise last_err or ValueError(
+                    f"no FK relationship found for {tname}; specify ON"
+                )
         joined = joined.join(t, on_clause, "inner")
 
     out = joined

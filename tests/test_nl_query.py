@@ -145,3 +145,27 @@ def test_explain_find(db):
     assert plan["limit"] == 5
     assert "TakeOrderedAndProject" in plan["physical_plan"]
     assert plan["plan_report"]["take_ordered"] is True
+
+
+def test_triple_fk_inference_through_middle_table(db):
+    # t3 relates to t2, not to the primary (QueryEngine3.cs:271-305)
+    db.tables(
+        "OrderLine",
+        "id bigint, OrderId bigint, Item string",
+        foreign_keys=[ForeignKey(column="OrderId", parent="Order")],
+    ).insert(
+        [
+            {"id": 1, "OrderId": 1, "Item": "widget"},
+            {"id": 2, "OrderId": 3, "Item": "gizmo"},
+        ]
+    )
+    rows = natural_query(
+        "FIND Customer, Order, OrderLine "
+        "WHERE Age > 0 AND Amount > 0 AND Item contains 'g' "
+        "SELECT Name, Amount, Item ORDER BY Item",
+        db,
+    ).collect()
+    assert [(r["Name"], r["Item"]) for r in rows] == [
+        ("Jack Major", "gizmo"),
+        ("John Smith", "widget"),
+    ]
