@@ -1,0 +1,67 @@
+"""Tests for the LiteDB SQL dialect translation (query/litesql.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_database_spark.query.litesql import lite_sql, translate
+
+
+def test_path_translation():
+    assert translate("SELECT $.Name FROM c WHERE $.Age > 25") == (
+        "SELECT Name FROM c WHERE Age > 25"
+    )
+    assert translate("SELECT $.a.b.c FROM t") == "SELECT a.b.c FROM t"
+    assert translate("SELECT $.arr[2] FROM t") == "SELECT element_at(arr, 3) FROM t"
+    assert translate("SELECT $.arr[*] FROM t") == "SELECT arr FROM t"
+    assert (
+        translate("SELECT $.items[@.x > 1] FROM t")
+        == "SELECT filter(items, _it -> _it.x > 1) FROM t"
+    )
+    assert translate("SELECT IIF($.a = 1, 'y', 'n') FROM t") == (
+        "SELECT IF(a = 1, 'y', 'n') FROM t"
+    )
+
+
+def test_param_substitution_quotes_safely():
+    out = translate(
+        "SELECT * FROM t WHERE name = @n AND age > @a",
+        {"n": "O'Brien", "a": 30},
+    )
+    assert out == "SELECT * FROM t WHERE name = 'O''Brien' AND age > 30"
+    with pytest.raises(KeyError, match="missing SQL parameter"):
+        translate("SELECT @nope", {})
+
+
+def test_execute_against_views(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "John", 30, [{"x": 1}, {"x": 5}]),
+            (2, "Jane", 22, [{"x": 9}]),
+        ],
+        "id int, Name string, Age int, items array<struct<x:int>>",
+    )
+    df.createOrReplaceTempView("People")
+
+    rows = lite_sql(
+        spark,
+        "SELECT $.Name, UPPER($.Name) AS U FROM People "
+        "WHERE $.Age > @min ORDER BY $.Name LIMIT 5",
+        {"min": 25},
+    ).collect()
+    assert [(r["Name"], r["U"]) for r in rows] == [("John", "JOHN")]
+
+    filt = lite_sql(
+        spark, "SELECT $.id, $.items[@.x > 2] AS big FROM People ORDER BY $.id"
+    ).collect()
+    assert [[x["x"] for x in r["big"]] for r in filt] == [[5], [9]]
+
+    idx = lite_sql(spark, "SELECT $.items[0].x AS first_x FROM People WHERE $.id = 1")
+    assert idx.collect()[0]["first_x"] == 1
+
+
+def test_bare_expression_select(spark):
+    # SELECT-without-FROM evaluates the expression (Select.cs:44-53)
+    row = lite_sql(spark, "SELECT 1 + 2 AS v, UPPER('ab') AS u").collect()[0]
+    assert row["v"] == 3 and row["u"] == "AB"
