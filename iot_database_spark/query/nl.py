@@ -491,6 +491,32 @@ def execute_find(
         if sel:
             out = out.select(*sel)
 
+    # flatten JOIN...SELECT: explode every <table>_Data array into flat
+    # rows, then project the requested columns from primary + related
+    # (ParseExecuteCommand — QueryEngine.cs:826-957; the reference caps at
+    # 2 related rows per parent, a quirk we deliberately do not replicate)
+    if spec.flatten_join is not None:
+        for inc in spec.includes:
+            data_col = f"{inc.table}_Data"
+            out = out.withColumn(
+                "_x", F.explode_outer(F.col(data_col))
+            ).drop(data_col)
+            inner = [f for f in out.schema["_x"].dataType.fieldNames()]
+            for fname in inner:
+                if fname not in out.columns:
+                    out = out.withColumn(fname, F.col(f"_x.{fname}"))
+            out = out.drop("_x")
+        if spec.join_select:
+            sel2 = []
+            for name, alias in spec.join_select:
+                matches = [c for c in out.columns if c.lower() == name.lower()]
+                if not matches:
+                    raise ValueError(
+                        f"JOIN SELECT column {name!r} not found; have {out.columns}"
+                    )
+                sel2.append(F.col(matches[0]).alias(alias))
+            out = out.select(*sel2)
+
     if spec.order_by:
         fld, asc = spec.order_by
         matches = [c for c in out.columns if c.lower() == fld.lower()]

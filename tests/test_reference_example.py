@@ -95,3 +95,23 @@ def test_explicit_on_dual_query(db):
         ("John", 150.0),
         ("John", 200.0),
     ]
+
+
+def test_flatten_join_select(db):
+    """The commented Find/Include + Execute('Join ... Select ...') shape
+    (Program.cs:47-51): INCLUDE results flattened into rows with the
+    selected columns. True inner-flatten of all related rows (the
+    reference's 2-row cap is a documented quirk, not replicated)."""
+    rows = natural_query(
+        "FIND Customer WHERE Age > 0 "
+        "INCLUDE Order WHERE Amount > 100 SELECT Amount as Total "
+        "INCLUDE Address WHERE AddressLine1 contains 'Main' SELECT AddressLine1 as Addr "
+        "JOIN as mytable SELECT Name as Person, Total, Addr "
+        "ORDER BY Name",
+        db,
+    ).collect()
+    assert {tuple(r) for r in rows} == {
+        ("John", 150.0, "123 Main St"),
+        ("John", 200.0, "123 Main St"),
+        ("Jane", None, None),  # outer flatten keeps parents without matches
+    }
