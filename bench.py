@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_fingerprint",
     "nl_find_dual_join",
+    "event_sessionization",
+    "skew_salted_agg",
 ]
 
 

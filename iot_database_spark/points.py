@@ -78,6 +78,11 @@ class PointStore:
         Returns counts per sink. Rejected rows are dropped silently like
         the reference's background drain (it logs and continues).
         """
+        # pin the batch rows before any sink write: a batch derived from a
+        # query over this store's own tables (e.g. a continuous-query
+        # result landing in slot 14) would otherwise re-resolve files the
+        # first sink rewrite deletes
+        batch = batch.localCheckpoint(eager=True)
         reg = self.registry.df.select("guid", "flags", "strict_type")
         joined = batch.join(F.broadcast(reg), "guid", "inner")
 

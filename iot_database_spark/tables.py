@@ -87,6 +87,10 @@ class Table:
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        # drop the cached file listing for this path: DataFrames created
+        # before the rewrite (including self-referential query results
+        # being written back) would otherwise resolve deleted files
+        self.db.spark.catalog.refreshByPath(self.path)
 
     # -- insert (TableCollection.cs:922-1070) -----------------------------
 

@@ -9,6 +9,7 @@ import datetime as dt
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from iot_database_spark.database import IotDatabase
 from iot_database_spark.operators import iotvalue as iv
@@ -121,3 +122,42 @@ def test_get_series_reads(store, spark):
     by_ts = {r["grid_ts"]: r for r in grid.collect()}
     assert by_ts[_ts("2024-01-01T02:00:00")]["value"] == pytest.approx(20.0)
     assert by_ts[_ts("2024-01-01T02:00:00")]["interpolated"] is True
+
+
+def test_continuous_query_result_lands_in_slot14(store, spark):
+    """End-to-end: a continuous query's result materialized as a
+    priority-14 write through the PointStore (IotValue.cs:1193-1252 —
+    slot 17 holds the config, slot 14 receives the result)."""
+    from iot_database_spark.streaming.continuous import (
+        ContinuousQueryService,
+        QueryConfiguration,
+        as_point_writes,
+    )
+
+    store.write_batch(
+        _batch(
+            spark,
+            [
+                ("plain", _ts("2024-01-01T00:00:00"), 15, "10"),
+                ("plain", _ts("2024-01-01T00:10:00"), 15, "30"),
+            ],
+        )
+    )
+    store.register_point("avg-point", flags=0)
+
+    svc = ContinuousQueryService(spark)
+    svc.add_query(
+        QueryConfiguration(
+            "mean_plain",
+            lambda s: store.writes.df.filter("guid = 'plain'").agg(
+                F.avg(F.col("value").cast("double")).alias("mean_value")
+            ),
+            interval_ms=0,  # lazy
+        )
+    )
+    result = svc.read("mean_plain")
+    store.write_batch(as_point_writes(result, guid="avg-point"))
+
+    state = {r["guid"]: r for r in store.current_state().collect()}
+    assert state["avg-point"]["priority"] == 14
+    assert float(state["avg-point"]["value"]) == 20.0
