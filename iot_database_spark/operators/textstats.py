@@ -4,7 +4,7 @@ quality scoring, token counting, document fingerprinting.
 Not in the reference (closest surface: its string expression methods,
 LiteDB/Document/Expression/Methods/String.cs); these are the standard
 corpus-curation metrics, all as built-in Column expressions — one scan,
-no Python, no shuffle except the fingerprint window.
+no Python, no shuffle (the fingerprint sliding window is a per-row HOF).
 """
 
 from __future__ import annotations
@@ -108,29 +108,62 @@ def fingerprint(
     Output per doc: n_fingerprints, min_fingerprint, fingerprint_xor
     (an order-insensitive digest of the whole set).
 
-    Implemented with one explode + one window — shuffles once on doc id.
-    """
-    from pyspark.sql import Window as W
+    Implemented entirely with per-row higher-order functions — a pure
+    scan, NO shuffle, no window exchange: scales linearly and is immune
+    to shuffle contention. (Full windows only, like the reference
+    formulation: the first window-1 positions don't emit.)
 
+    Catalyst pitfall this formulation dodges: a column computed in one
+    projection and referenced k times in the next gets INLINED k times
+    by CollapseProject (an exchange/repartition between them does NOT
+    reliably block the collapse, and HOF lambdas get no common-subexpr
+    elimination) — re-evaluating the md5 chain once per window position
+    made the naive split 30x slower. `_let` binds the expensive array
+    to a lambda variable (evaluated once per invocation), and the final
+    explode(array(struct)) puts a Generate node between the struct
+    computation and the downstream filter/field-projection, which
+    CollapseProject cannot cross.
+    """
     from iot_database_spark.operators.dedup import shingles
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(shingles(F.col(text), n)).alias("pos", "s"),
-    ).select("id", "pos", hash64(F.col("s")).alias("h"))
-    w = (
-        W.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), W.currentRow)
+    def _let(value: Column, body) -> Column:
+        """Let-binding: evaluate `value` once, reference it many times
+        via the lambda variable."""
+        return F.transform(F.array(value), body)[0]
+
+    hashed = F.transform(shingles(F.col(text), n), lambda s: hash64(s))
+
+    def _fps(hs: Column) -> Column:
+        idx = F.when(
+            F.size(hs) >= window,
+            F.sequence(F.lit(window), F.size(hs)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_min(F.slice(hs, i - (window - 1), window)),
+            )
+        )
+
+    stats = _let(
+        hashed,
+        lambda hs: _let(
+            _fps(hs),
+            lambda f: F.struct(
+                F.size(f).cast("bigint").alias("n_fingerprints"),
+                F.array_min(f).alias("min_fingerprint"),
+                F.aggregate(
+                    f, F.lit(0).cast("bigint"), lambda a, x: a.bitwiseXOR(x)
+                ).alias("fingerprint_xor"),
+            ),
+        ),
     )
-    fps = (
-        sh.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") >= window - 1)  # full windows only
-        .select("id", "fp")
-        .distinct()
+    gen = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(stats)).alias("_s")
     )
-    return fps.groupBy("id").agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("fp").alias("min_fingerprint"),
-        F.expr("bit_xor(fp)").alias("fingerprint_xor"),
+    return gen.filter(F.col("_s.n_fingerprints") > 0).select(
+        "id",
+        "_s.n_fingerprints",
+        "_s.min_fingerprint",
+        "_s.fingerprint_xor",
     )

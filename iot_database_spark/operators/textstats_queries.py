@@ -102,28 +102,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirrors the HOF formulation: per-row shingle hashes -> sliding-window
+# minima -> distinct -> count/min/xor-fold. No unnest, no window.
 _FP_ORACLE = f"""
-    WITH words AS (
-        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+    WITH hashed AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               list_transform(
+                   list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]),
+                   s -> {duck_hash64('s')}) AS hs
         FROM documents
         WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
-        SELECT id, i - 1 AS pos,
-               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
-    ),
-    hashed AS (SELECT id, pos, {duck_hash64('s')} AS h FROM sh),
     fps AS (
-        SELECT DISTINCT id,
-               MIN(h) OVER (PARTITION BY id ORDER BY pos
-                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+        SELECT id,
+               list_distinct(list_transform(range(5, len(hs) + 1),
+                   i -> list_min(hs[i-4:i]))) AS f
         FROM hashed
-        QUALIFY pos >= 4
     )
-    SELECT id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fingerprint,
-           BIT_XOR(fp) AS fingerprint_xor
-    FROM fps GROUP BY id
+    SELECT id,
+           CAST(len(f) AS BIGINT) AS n_fingerprints,
+           list_min(f) AS min_fingerprint,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), f),
+                       (a, x) -> xor(a, x)) AS fingerprint_xor
+    FROM fps
+    WHERE len(f) > 0
 """
 
 
