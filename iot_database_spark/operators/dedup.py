@@ -193,19 +193,32 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    # one explode, then window counts instead of re-aggregating the same
-    # subtree three times: set_size = count over id, df_count = count
-    # over shingle; carrying set_size through the join removes the two
-    # post-join lookups as well
+    from iot_database_spark.operators.hof import let
+
+    # set_size is computed per row BEFORE the explode (array size — a
+    # pure scan) rather than as a count-over-id window on the exploded
+    # rows: that window was a full extra exchange+sort of the token
+    # table. The one remaining window (df_count over shingle) hash-
+    # partitions on s, which is exactly the self-join key — the join
+    # reuses that exchange instead of adding its own. let-binding keeps
+    # the shingle chain from being inlined into both the size() and the
+    # generator by CollapseProject.
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(content), n))).alias("s"),
-    )
-    annotated = toks.select(
-        "id",
-        "s",
-        F.count("*").over(W.partitionBy("id")).alias("set_size"),
-        F.count("*").over(W.partitionBy("s")).alias("df_count"),
+        F.explode(
+            let(
+                F.array_distinct(shingles(F.col(content), n)),
+                lambda sh: F.transform(
+                    sh,
+                    lambda s: F.struct(
+                        F.size(sh).alias("set_size"), s.alias("s")
+                    ),
+                ),
+            )
+        ).alias("t"),
+    ).select("id", "t.set_size", "t.s")
+    annotated = toks.withColumn(
+        "df_count", F.count("*").over(W.partitionBy("s"))
     )
     rare = annotated.filter(F.col("df_count") <= max_df)
 

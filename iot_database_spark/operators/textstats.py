@@ -125,11 +125,7 @@ def fingerprint(
     CollapseProject cannot cross.
     """
     from iot_database_spark.operators.dedup import shingles
-
-    def _let(value: Column, body) -> Column:
-        """Let-binding: evaluate `value` once, reference it many times
-        via the lambda variable."""
-        return F.transform(F.array(value), body)[0]
+    from iot_database_spark.operators.hof import let as _let
 
     hashed = F.transform(shingles(F.col(text), n), lambda s: hash64(s))
 
