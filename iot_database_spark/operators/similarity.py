@@ -35,16 +35,39 @@ def ivf_assign(
     centroid_vec: str = "centroid_vec",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (L2, ties -> lowest
-    centroid id). Broadcast join: |centroids| is small by construction."""
-    joined = items.crossJoin(F.broadcast(centroids))
-    d = l2_distance_sq(F.col(embedding), F.col(centroid_vec))
-    w = W.partitionBy(id_col).orderBy(d.asc(), F.col(centroid_id).asc())
-    return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", centroid_vec)
-        .withColumnRenamed(centroid_id, "bucket")
+    centroid id).
+
+    Pure scan: the centroid set collapses to ONE broadcast row holding
+    an id-sorted array<struct>, and the argmin is a per-row HOF fold —
+    no expansion to |items|*K rows and no shuffle (the previous
+    crossJoin + row_number window re-partitioned that expansion by
+    vec_id, which at cluster scale is K times the table through the
+    wire). array_position takes the FIRST match of the min distance, so
+    the id-sorted array keeps the lowest-id tie-break."""
+    from iot_database_spark.operators.hof import let
+
+    packed = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id).alias("cid"),
+                    F.col(centroid_vec).alias("cvec"),
+                )
+            )
+        ).alias("_cents")
     )
+    joined = items.crossJoin(F.broadcast(packed))
+    emb = F.col(embedding)
+    best = let(
+        F.col("_cents"),
+        lambda cents: let(
+            F.transform(cents, lambda c: l2_distance_sq(emb, c["cvec"])),
+            lambda ds: F.element_at(
+                cents, F.array_position(ds, F.array_min(ds)).cast("int")
+            )["cid"],
+        ),
+    )
+    return joined.withColumn("bucket", best).drop("_cents")
 
 
 def default_centroids(
