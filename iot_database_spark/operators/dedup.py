@@ -8,14 +8,15 @@ built Spark-first:
 - shingles / minhash    word n-gram shingles -> k seeded min-hashes,
                         all computed with array HOFs (NO explode, no
                         shuffle until the LSH band join)
-- lsh_candidate_pairs   band the signatures, self-join per bucket —
-                        the only O(pairs) work happens inside buckets
+- lsh_candidate_pairs   band the signatures, group per bucket, generate
+                        i<j pairs in-place — the only O(pairs) work
+                        happens inside buckets, after ONE exchange
 - simhash               sign-aggregated token hashes -> n-bit fingerprint
-- jaccard_pairs         shingle-set overlap via explode + join, with a
-                        document-frequency cap to bound join fan-out
-                        (the classic skew guard: a shingle appearing in
-                        half the corpus would otherwise quadratically
-                        explode the join)
+- jaccard_pairs         shingle-set overlap via explode + grouped
+                        posting lists, with a document-frequency cap to
+                        bound pair fan-out (the classic skew guard: a
+                        shingle appearing in half the corpus would
+                        otherwise quadratically explode)
 - embedding_neardup     cosine >= threshold within blocking keys
 
 Scale notes: minhash signatures are computed per-row with higher-order
@@ -75,6 +76,26 @@ def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     return F.array(*[min_hash(seed) for seed in range(k)])
 
 
+def _ordered_pairs(members: Column, build) -> Column:
+    """All i<j element pairs of `members` as a flat struct array.
+
+    `build(x, y) -> Column(struct)` shapes each pair. Replaces a
+    bucket-key self-join: the grouped rows are already co-located after
+    one groupBy exchange, so pair generation is pure per-row compute —
+    no second shuffle of the (wide) member payload and no join sort.
+    Output size is identical to the join's (quadratic per bucket); the
+    caller bounds bucket sizes (max_df / LSH banding) exactly as it
+    would have bounded the join fan-out."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)), lambda y: build(x, y)
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     content: str = "text",
@@ -85,7 +106,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, n_matching_bands,
     sig_agreement). Docs land in the same bucket when a whole band of
-    their signatures agrees; the join is per (band, band_hash) bucket."""
+    their signatures agrees; pairs are generated per (band, band_hash)
+    bucket after a single groupBy exchange."""
     rows_per_band = k // bands
     # materialize the per-shingle hash array through an exchange before
     # deriving the k mins: without the repartition boundary Catalyst
@@ -127,30 +149,36 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
-        .agg(
-            F.count("*").alias("n_matching_bands"),
-            F.first(
+    # one exchange co-locates each bucket; pairs + signature agreement
+    # are then pure per-row compute (agreement is symmetric in x/y, so
+    # id ordering via least/greatest needs no sig swap)
+    def build(x: Column, y: Column) -> Column:
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            (
                 F.size(
                     F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
                         lambda eq: eq,
                     )
                 )
-                / F.lit(16)
-            ).alias("sig_agreement"),
+                / F.lit(k)
+            ).alias("agree"),
+        )
+
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode(_ordered_pairs(F.col("m"), build)).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_matching_bands"),
+            F.first("agree").alias("sig_agreement"),
         )
         .filter(F.col("n_matching_bands") >= min_matching_bands)
     )
@@ -191,18 +219,15 @@ def jaccard_pairs(
     the self-join — the skew guard that keeps the join linear in the
     number of truly-shared rare shingles.
     """
-    from pyspark.sql import Window as W
-
     from iot_database_spark.operators.hof import let
 
     # set_size is computed per row BEFORE the explode (array size — a
-    # pure scan) rather than as a count-over-id window on the exploded
-    # rows: that window was a full extra exchange+sort of the token
-    # table. The one remaining window (df_count over shingle) hash-
-    # partitions on s, which is exactly the self-join key — the join
-    # reuses that exchange instead of adding its own. let-binding keeps
-    # the shingle chain from being inlined into both the size() and the
-    # generator by CollapseProject.
+    # pure scan); let-binding keeps the shingle chain from being inlined
+    # into both the size() and the generator by CollapseProject. One
+    # groupBy(s) exchange then co-locates each shingle's posting list;
+    # the df-cap filter and the i<j pair generation are per-row compute
+    # on the grouped arrays — no self-join, no second shuffle of the
+    # token table, no window sort.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -217,16 +242,24 @@ def jaccard_pairs(
             )
         ).alias("t"),
     ).select("id", "t.set_size", "t.s")
-    annotated = toks.withColumn(
-        "df_count", F.count("*").over(W.partitionBy("s"))
-    )
-    rare = annotated.filter(F.col("df_count") <= max_df)
 
-    a = rare.select(F.col("id").alias("id_a"), "s", F.col("set_size").alias("size_a"))
-    b = rare.select(F.col("id").alias("id_b"), "s", F.col("set_size").alias("size_b"))
+    def build(x: Column, y: Column) -> Column:
+        lt = x["id"] < y["id"]
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            F.when(lt, x["set_size"]).otherwise(y["set_size"]).alias("size_a"),
+            F.when(lt, y["set_size"]).otherwise(x["set_size"]).alias("size_b"),
+        )
+
+    postings = (
+        toks.groupBy("s")
+        .agg(F.collect_list(F.struct("id", "set_size")).alias("m"))
+        .filter(F.size("m").between(2, max_df))
+    )
     inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode(_ordered_pairs(F.col("m"), build)).alias("p"))
+        .select("p.*")
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("n_common"),
