@@ -165,7 +165,8 @@ class IotDatabase:
 
     def compact_table(self, name: str, target_files: int = 1) -> None:
         """CHECKPOINT/REBUILD analog: rewrite a table into fewer files
-        (Delta OPTIMIZE at cluster scale). Reclaims small-file overhead
-        from incremental appends."""
+        (Delta OPTIMIZE at cluster scale). Reclaims the small-file +
+        old-version overhead of incremental appends."""
         t = self.table(name)
         t._write(t.df.coalesce(target_files))
+        t.vacuum(keep_last=1)

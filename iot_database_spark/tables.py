@@ -14,14 +14,35 @@ Reference: Iot.Database/Table/TableCollection.cs —
 Spark has no engine-level constraints, so validation runs as JOINS before
 the write (anti-join for parent existence — scales as a broadcast of the
 new batch against the parent's id column) and cascades run as recursive
-anti-join rewrites. Storage is one Parquet dataset per table; mutations
-rewrite the dataset (at cluster scale this layer targets Delta MERGE /
-DELETE — same plans, transactional commit).
+anti-join rewrites.
+
+Storage is a versioned Parquet dataset per table with an atomic commit
+log — the same protocol Delta Lake's transaction log uses (and the Spark
+analog of the reference's WAL + snapshot isolation, LiteDB/Engine/
+Services/WalIndexService.cs):
+
+    <table>/_txn/<N>.json   manifest N: the data dirs visible at version N
+    <table>/data/<uuid>/    one write job's immutable parquet file set
+
+Readers resolve max committed N and scan exactly its dirs. Writers stage
+a NEW data dir (never touching files a reader may hold), then publish it
+with an os.replace of the manifest — atomic on POSIX, so a crash mid-
+write leaves only an invisible orphan dir and the previous version
+intact. Inserts commit prev_dirs + [staged] (O(batch) I/O, no table
+rewrite); update/delete/upsert commit [staged] (one write job — the old
+double-write staging copy is gone, and self-referential writes are safe
+because the staged dir is disjoint from every dir being read). vacuum()
+garbage-collects dirs no longer referenced by the newest manifests. At
+cluster scale the same layer maps 1:1 onto Delta (MERGE/OPTIMIZE/VACUUM).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -69,28 +90,104 @@ class Table:
         self.unique: list[str] = unique
         self.path = path
 
-    # -- storage --------------------------------------------------------
+    # -- storage: versioned parquet + atomic commit log -----------------
+
+    def _txn_dir(self) -> str:
+        return os.path.join(self.path, "_txn")
+
+    def _current_version(self) -> int:
+        """Max committed manifest version, -1 if the table is empty."""
+        d = self._txn_dir()
+        if not os.path.isdir(d):
+            return -1
+        vs = [
+            int(f[:-5])
+            for f in os.listdir(d)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(vs, default=-1)
+
+    def _manifest_dirs(self, version: int) -> list[str]:
+        with open(os.path.join(self._txn_dir(), f"{version}.json")) as f:
+            return json.load(f)["dirs"]
+
+    @property
+    def columns(self) -> list[str]:
+        return [
+            f.name
+            for f in self.db.spark.createDataFrame([], self.schema).schema.fields
+        ]
 
     @property
     def df(self) -> DataFrame:
-        if os.path.exists(self.path):
-            return self.db.spark.read.parquet(self.path)
-        return self.db.spark.createDataFrame([], self.schema)
+        v = self._current_version()
+        if v < 0:
+            # legacy/plain layout fallback: a bare parquet dir at `path`
+            if glob.glob(os.path.join(self.path, "*.parquet")):
+                return self.db.spark.read.schema(self.schema).parquet(self.path)
+            return self.db.spark.createDataFrame([], self.schema)
+        paths = [
+            p
+            for d in self._manifest_dirs(v)
+            if glob.glob(os.path.join(p := os.path.join(self.path, d), "*.parquet"))
+        ]
+        if not paths:  # committed empty snapshot (e.g. delete-all)
+            return self.db.spark.createDataFrame([], self.schema)
+        # explicit schema: per-file columns resolve by name, so dirs
+        # written from differently-ordered batches read consistently
+        return self.db.spark.read.schema(self.schema).parquet(*paths)
+
+    def _stage(self, df: DataFrame) -> str:
+        """Write one immutable data dir; return its path relative to the
+        table root. Not visible to readers until a manifest commits it."""
+        sub = os.path.join("data", uuid.uuid4().hex)
+        df.select(*self.columns).write.mode("overwrite").parquet(
+            os.path.join(self.path, sub)
+        )
+        return sub
+
+    def _commit(self, dirs: list[str]) -> None:
+        os.makedirs(self._txn_dir(), exist_ok=True)
+        v = self._current_version() + 1
+        tmp = os.path.join(self._txn_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "dirs": dirs}, f)
+        os.replace(tmp, os.path.join(self._txn_dir(), f"{v}.json"))
 
     def _write(self, df: DataFrame) -> None:
-        # rewrite via a staging path: Spark cannot overwrite a dataset
-        # it is concurrently reading (self-overwrite reads stale footers)
-        staging = self.path + ".staging"
-        df.write.mode("overwrite").parquet(staging)
-        final = self.db.spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(self.path)
-        import shutil
+        """Full-snapshot rewrite (update/delete/upsert): one write job to
+        a fresh dir, then publish."""
+        self._commit([self._stage(df)])
 
-        shutil.rmtree(staging, ignore_errors=True)
-        # drop the cached file listing for this path: DataFrames created
-        # before the rewrite (including self-referential query results
-        # being written back) would otherwise resolve deleted files
-        self.db.spark.catalog.refreshByPath(self.path)
+    def _append(self, df: DataFrame) -> None:
+        """Insert path: stage only the new batch — O(batch) I/O."""
+        v = self._current_version()
+        prev = self._manifest_dirs(v) if v >= 0 else []
+        self._commit(prev + [self._stage(df)])
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Remove data dirs unreferenced by the newest `keep_last`
+        manifests (and the superseded manifests). Old snapshots stay
+        readable until vacuumed — Delta VACUUM semantics."""
+        v = self._current_version()
+        if v < 0:
+            return 0
+        floor = max(0, v - keep_last + 1)
+        live: set[str] = set()
+        for x in range(floor, v + 1):
+            if os.path.exists(os.path.join(self._txn_dir(), f"{x}.json")):
+                live |= set(self._manifest_dirs(x))
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if os.path.join("data", d) not in live:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed += 1
+        for f in os.listdir(self._txn_dir()):
+            if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) < floor:
+                os.remove(os.path.join(self._txn_dir(), f))
+        return removed
 
     # -- insert (TableCollection.cs:922-1070) -----------------------------
 
@@ -150,16 +247,13 @@ class Table:
                 raise ConstraintViolation(f"{self.name}.{col}: unique violated")
 
         n = batch.count()
-        self._write(current.unionByName(batch)) if os.path.exists(
-            self.path
-        ) else batch.write.mode("overwrite").parquet(self.path)
+        self._append(batch)
         return n
 
     def _with_ids(self, rows: list[dict]) -> list[dict]:
         need = [r for r in rows if r.get("id") is None]
         if need:
-            cur = self.df
-            base = (cur.agg(F.max("id")).collect()[0][0] or 0) if os.path.exists(self.path) else 0
+            base = self.df.agg(F.max("id")).collect()[0][0] or 0
             for i, r in enumerate(need, start=1):
                 r["id"] = base + i
         return rows

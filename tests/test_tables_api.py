@@ -153,3 +153,67 @@ def test_ddl_drop_rename_compact(db):
     assert "tmp_tbl2" not in db.list_tables()
     with pytest.raises(KeyError):
         db.table("tmp_tbl2")
+
+
+# -- versioned storage: commit log semantics (tables.py storage layer) ----
+
+
+def test_insert_appends_without_rewrite(db):
+    """An insert stages only the new batch: the previous version's data
+    dirs are reused verbatim in the next manifest (O(batch) I/O)."""
+    t = db.table("customers")
+    v0 = t._current_version()
+    dirs0 = t._manifest_dirs(v0)
+    t.insert([{"id": 10, "name": "Zed", "age": 50}])
+    v1 = t._current_version()
+    assert v1 == v0 + 1
+    dirs1 = t._manifest_dirs(v1)
+    assert dirs1[: len(dirs0)] == dirs0 and len(dirs1) == len(dirs0) + 1
+    assert t.count() == 4
+
+
+def test_uncommitted_staged_dir_is_invisible(db):
+    """Crash-safety: a staged data dir with no manifest entry (a write
+    that died before commit) must not be readable."""
+    t = db.table("customers")
+    before = t.count()
+    # simulate a crashed writer: stage a batch but never commit it
+    ghost = db.spark.createDataFrame([(999, "Ghost", 1)], t.schema)
+    t._stage(ghost)
+    assert t.count() == before
+    assert t.find("id = 999").count() == 0
+
+
+def test_snapshot_isolation_across_rewrite(db):
+    """A DataFrame resolved before an update still reads its own version's
+    files afterwards — rewrites never delete or overwrite visible dirs."""
+    t = db.table("customers")
+    old = t.df
+    t.update_many({"name": F.upper(F.col("name"))}, "id = 2")
+    assert old.filter("id = 2").collect()[0]["name"] == "jane"  # old snapshot
+    assert t.find_one("id = 2")["name"] == "JANE"  # new version
+
+
+def test_vacuum_reclaims_old_versions(db):
+    t = db.table("customers")
+    for i in range(3):
+        t.update_many({"age": F.col("age") + 1}, "id = 1")
+    import os
+
+    data_root = os.path.join(t.path, "data")
+    n_dirs_before = len(os.listdir(data_root))
+    removed = t.vacuum(keep_last=1)
+    assert removed > 0
+    assert len(os.listdir(data_root)) == n_dirs_before - removed
+    # newest version still fully readable
+    assert t.count() == 3
+    assert t.find_one("id = 1")["age"] == 33
+
+
+def test_delete_all_then_readable_and_insert_again(db):
+    t = db.tables("scratch", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    t.delete("id > 0")
+    assert t.count() == 0  # committed empty snapshot reads as empty
+    t.insert([{"id": 5, "v": "c"}])
+    assert [r["id"] for r in t.find_all().collect()] == [5]
