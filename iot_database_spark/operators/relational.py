@@ -245,6 +245,27 @@ _sql(
     """,
 )
 
+# TPC-H Q14 shape: fact-to-dim join (part broadcasts) + conditional
+# decimal aggregate per month. The CASE sums as exact DECIMAL; months
+# with no promo rows yield NULL on both engines (no ELSE branch).
+_sql(
+    "join_part_promo_monthly",
+    """
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+
 # INCLUDE (1:N nest) flattened to its SQL-checkable shape: parent + child
 # aggregate. The true nested <table>_Data shape is produced by
 # operators/include.py and checked in pytest (arrays don't hash-compare

@@ -88,6 +88,54 @@ def default_centroids(
     )
 
 
+def kmeans_refine(
+    items: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means refinement of a centroid set, as pure DataFrame ops
+    (the production build step `default_centroids` stands in for).
+
+    Each iteration: assign every vector to its nearest centroid (pure
+    broadcast scan, no shuffle), then recompute each centroid as the
+    per-dimension mean of its bucket — posexplode to (bucket, dim,
+    value), partial+final avg, re-assemble the array ordered by dim.
+    Two keyed shuffles per iteration, both on small keys; the wide
+    embedding column crosses the wire only as (dim, value) pairs that
+    combine map-side. Empty buckets keep their previous centroid.
+    Deterministic throughout — no sampling, stable tie-breaks."""
+    for _ in range(iters):
+        assigned = ivf_assign(items, centroids, embedding=embedding, id_col=id_col)
+        means = (
+            assigned.select(
+                "bucket", F.posexplode(F.col(embedding)).alias("dim", "v")
+            )
+            .groupBy("bucket", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_vec")
+            )
+        )
+        centroids = (
+            centroids.join(
+                means, centroids["centroid_id"] == means["bucket"], "left"
+            )
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_vec"), F.col("centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+    return centroids
+
+
 def ivf_probe_buckets(
     query_vec: Column, centroids: DataFrame, nprobe: int
 ) -> DataFrame:

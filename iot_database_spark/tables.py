@@ -165,6 +165,35 @@ class Table:
         prev = self._manifest_dirs(v) if v >= 0 else []
         self._commit(prev + [self._stage(df)])
 
+    def as_of(self, version: int) -> DataFrame:
+        """Time-travel read of a committed version (Delta `versionAsOf`;
+        the storage analog of the reference's per-file version chains,
+        FileManager/FileVersionNode.cs). Raises if the version was
+        vacuumed or never committed."""
+        path = os.path.join(self._txn_dir(), f"{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"{self.name}: no committed version {version}")
+        paths = [
+            p
+            for d in self._manifest_dirs(version)
+            if glob.glob(os.path.join(p := os.path.join(self.path, d), "*.parquet"))
+        ]
+        if not paths:
+            return self.db.spark.createDataFrame([], self.schema)
+        return self.db.spark.read.schema(self.schema).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Commit log listing: [{'version': N, 'n_dirs': k}, ...] newest
+        first ($transactions-style introspection)."""
+        d = self._txn_dir()
+        if not os.path.isdir(d):
+            return []
+        vs = sorted(
+            (int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()),
+            reverse=True,
+        )
+        return [{"version": v, "n_dirs": len(self._manifest_dirs(v))} for v in vs]
+
     def vacuum(self, keep_last: int = 2) -> int:
         """Remove data dirs unreferenced by the newest `keep_last`
         manifests (and the superseded manifests). Old snapshots stay

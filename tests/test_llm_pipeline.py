@@ -148,3 +148,40 @@ def test_hll_sketch_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact < 0.06
+
+
+def test_kmeans_refine_improves_objective(spark, sf_dir):
+    """Lloyd iterations must not increase the k-means objective (sum of
+    squared distances to the assigned centroid), and the refined set
+    still drives the same IVF search path."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"), "embedding")
+        .limit(400)
+    )
+
+    def objective(centroids):
+        assigned = sim.ivf_assign(emb, centroids)
+        packed = centroids.agg(
+            F.map_from_arrays(
+                F.collect_list("centroid_id"), F.collect_list("centroid_vec")
+            ).alias("_m")
+        )
+        d = assigned.crossJoin(F.broadcast(packed)).select(
+            vec.l2_distance_sq(
+                F.col("embedding"), F.element_at(F.col("_m"), F.col("bucket"))
+            ).alias("d2")
+        )
+        return d.agg(F.sum("d2")).collect()[0][0]
+
+    c0 = sim.default_centroids(emb, k=8)
+    c1 = sim.kmeans_refine(emb, c0, iters=2)
+    obj0, obj1 = objective(c0), objective(c1)
+    assert obj1 <= obj0 + 1e-6
+    assert c1.count() == 8
+    # refined centroids keep the schema contract for search
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    assigned = sim.ivf_assign(emb, c1)
+    top = sim.ivf_search_cosine(assigned, c1, q, k=5, nprobe=4).collect()
+    assert top[0]["vec_id"] == 0

@@ -217,3 +217,21 @@ def test_delete_all_then_readable_and_insert_again(db):
     assert t.count() == 0  # committed empty snapshot reads as empty
     t.insert([{"id": 5, "v": "c"}])
     assert [r["id"] for r in t.find_all().collect()] == [5]
+
+
+def test_time_travel_as_of_and_history(db):
+    t = db.table("customers")
+    v0 = t._current_version()
+    t.insert([{"id": 20, "name": "New", "age": 20}])
+    t.delete("id = 1")
+    # v0 snapshot: original 3 rows; head: 3 (one added, one deleted)
+    assert t.as_of(v0).count() == 3
+    assert {r["id"] for r in t.as_of(v0).collect()} == {1, 2, 3}
+    assert {r["id"] for r in t.df.collect()} == {2, 3, 20}
+    hist = t.history()
+    assert hist[0]["version"] == t._current_version()
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    with pytest.raises(ValueError, match="no committed version"):
+        t.as_of(999)
