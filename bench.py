@@ -26,6 +26,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "scan_filter_project",
     "join4_revenue_by_nation",
+    "join6_local_supplier_revenue",
+    "join_part_promo_monthly",
     "join2_orders_customer",
     "groupby_having",
     "window_topk_per_group",

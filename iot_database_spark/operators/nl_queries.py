@@ -19,6 +19,8 @@ from iot_database_spark.registry import load_views, register
 _TESTDATA_FKS = {
     ("orders", "customer"): ("o_custkey", "c_custkey"),
     ("lineitem", "orders"): ("l_orderkey", "o_orderkey"),
+    ("lineitem", "part"): ("l_partkey", "p_partkey"),
+    ("lineitem", "supplier"): ("l_suppkey", "s_suppkey"),
     ("customer", "nation"): ("c_nationkey", "n_nationkey"),
     ("supplier", "nation"): ("s_nationkey", "n_nationkey"),
     ("nation", "region"): ("n_regionkey", "r_regionkey"),

@@ -245,6 +245,32 @@ _sql(
     """,
 )
 
+# TPC-H Q5 shape: 6-table join through supplier with the local-supplier
+# constraint (c_nationkey = s_nationkey). The two fact-size inputs join
+# on their keys; every dim side is broadcastable. Exercises join
+# reordering across the largest tree in the schema.
+_sql(
+    "join6_local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+
 # TPC-H Q14 shape: fact-to-dim join (part broadcasts) + conditional
 # decimal aggregate per month. The CASE sums as exact DECIMAL; months
 # with no promo rows yield NULL on both engines (no ELSE branch).

@@ -93,11 +93,48 @@ def translate(sql: str, params: dict | None = None) -> str:
     return out
 
 
+# SELECT <expr> INTO <target> [FROM ...]  (Select.cs:26-160; executed by
+# QueryExecutor.ExecuteQueryInto :149-180). Captured non-greedily so the
+# FROM/WHERE tail stays with the query.
+_INTO = re.compile(r"^(\s*SELECT\b.*?)\bINTO\s+(\w+)\s*(.*)$", re.IGNORECASE | re.DOTALL)
+
+
 def lite_sql(
-    spark: SparkSession, sql: str, params: dict | None = None
+    spark: SparkSession,
+    sql: str,
+    params: dict | None = None,
+    db=None,
 ) -> DataFrame:
     """Execute a LiteDB-dialect SQL string (db.Execute equivalent —
     LiteDatabase.Execute, LiteDB/Client/Database/LiteDatabase.cs:229-257).
     Tables must be registered views (IotDatabase registers its tables;
-    load_tables registers the testdata)."""
-    return spark.sql(translate(sql, params))
+    load_tables registers the testdata).
+
+    SELECT ... INTO <target> pipes the result into a sink
+    (QueryExecutor.ExecuteQueryInto :149-180): an `IotDatabase` table
+    when `db` is given (created on first write, appended otherwise —
+    the engine's insert-into-collection behavior), else a temp view
+    named <target>. Returns the piped rows either way."""
+    m = _INTO.match(sql)
+    if m is None:
+        return spark.sql(translate(sql, params))
+    query = f"{m.group(1)} {m.group(3)}"
+    target = m.group(2)
+    out = spark.sql(translate(query, params))
+    if db is not None:
+        from pyspark.sql import functions as F
+
+        piped = out
+        if "id" not in piped.columns:
+            # INTO targets get an auto-id (the engine's :autoid sequence;
+            # unique-not-dense here, like any distributed id assignment)
+            piped = piped.withColumn("id", F.monotonically_increasing_id())
+        if target not in db.list_tables():
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in piped.schema.fields
+            )
+            db.tables(target, ddl)
+        db.table(target).insert(piped)
+    else:
+        out.createOrReplaceTempView(target)
+    return out

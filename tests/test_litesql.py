@@ -65,3 +65,28 @@ def test_bare_expression_select(spark):
     # SELECT-without-FROM evaluates the expression (Select.cs:44-53)
     row = lite_sql(spark, "SELECT 1 + 2 AS v, UPPER('ab') AS u").collect()[0]
     assert row["v"] == 3 and row["u"] == "AB"
+
+
+def test_select_into_temp_view(spark):
+    spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9)], "id bigint, k string, v int"
+    ).createOrReplaceTempView("src_lsql")
+    out = lite_sql(spark, "SELECT $.k, $.v INTO picked FROM src_lsql WHERE $.v > 6")
+    assert out.count() == 1
+    assert spark.table("picked").collect()[0]["k"] == "b"
+
+
+def test_select_into_database_table(spark, tmp_path):
+    from iot_database_spark.database import IotDatabase
+
+    db = IotDatabase("litesqldb", str(tmp_path), spark)
+    spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0)], "id bigint, name string, score double"
+    ).createOrReplaceTempView("src_lsql2")
+    lite_sql(spark, "SELECT $.name, $.score INTO results FROM src_lsql2", db=db)
+    t = db.table("results")
+    assert t.count() == 2
+    assert "id" in t.df.columns  # auto-id added
+    # second INTO appends (engine insert-into-collection behavior)
+    lite_sql(spark, "SELECT $.name, $.score INTO results FROM src_lsql2", db=db)
+    assert t.count() == 4

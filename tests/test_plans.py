@@ -74,3 +74,13 @@ def test_report_shape(spark, sf):
         "take_ordered",
         "shuffle_exchanges",
     }
+
+
+def test_q5_q14_shapes_broadcast_dims(spark, sf):
+    """The 6-table Q5 tree and the Q14 part join must broadcast every
+    dimension side — the fact tables are the only shuffle participants."""
+    for name in ("join6_local_supplier_revenue", "join_part_promo_monthly"):
+        df = _Q[name](spark, sf)
+        assert audit.uses_broadcast_join(df), name
+        rep = audit.plan_report(df)
+        assert rep["shuffle_exchanges"] <= 3, (name, rep["shuffle_exchanges"])
