@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import time
 
+from pyspark.sql import functions as F
+
 from iot_database_spark.streaming.stateful import streaming_effective_value
 
 
@@ -117,3 +119,52 @@ def test_windowed_rollup_with_watermark(spark, tmp_path):
     assert w0["first_value"] == 10.0 and w0["last_value"] == 30.0
     w1 = rows[dt.datetime.fromisoformat("2024-01-01T00:05:00")]
     assert w1["n_samples"] == 1 and w1["max_value"] == 70.0
+
+
+def test_streaming_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming==batch equivalence on real testdata: the SAME
+    windowed_rollup over the events table, executed once through
+    Structured Streaming (availableNow over the parquet files) and once
+    as a batch plan, must produce identical window rows — the
+    correctness statement that makes the two paths interchangeable."""
+    from iot_database_spark.streaming.windowed import windowed_rollup
+
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    # the streaming parquet source requires a directory
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    os.symlink(path, stream_dir / "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    convert = lambda df: df.select(  # noqa: E731 — nanos long -> us ts
+        F.col("user_id").cast("string").alias("guid"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    stream = convert(spark.readStream.schema(raw_schema).parquet(str(stream_dir)))
+    q = (
+        windowed_rollup(stream, window="1 hour", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("events_rollup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = windowed_rollup(
+        convert(spark.read.parquet(path)),
+        window="1 hour",
+        watermark="1 minute",
+    )
+
+    key = lambda r: (r["guid"], r["bucket_start"])  # noqa: E731
+    got = {key(r): r for r in spark.table("events_rollup_stream").collect()}
+    want = {key(r): r for r in batch.collect()}
+    assert set(got) == set(want) and len(got) > 10
+    for k, w in want.items():
+        g = got[k]
+        for c in ("n_samples", "min_value", "max_value", "first_value", "last_value"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
