@@ -39,6 +39,28 @@ class IotDatabase:
             with open(self._meta_path) as f:
                 self._meta = json.load(f)
         self._tables: dict[str, Table] = {}
+        self._txn: "_Transaction | None" = None
+
+    # -- transactions (BEGIN/COMMIT/ROLLBACK — SqlParser.cs:24-49; WAL
+    # commit-point semantics, LiteDB/Engine/Services/TransactionService.cs) --
+
+    def transaction(self) -> "_Transaction":
+        """Transaction scope over the commit-log storage:
+
+            with db.transaction():
+                t1.insert(...); t2.delete(...)
+
+        Writes stage their data dirs immediately but defer the manifest
+        publish; leaving the scope publishes every table's manifest
+        (commit) or removes the staged dirs (rollback on exception or
+        explicit `.rollback()`). Reads inside the scope see the
+        transaction-start snapshot (snapshot isolation — a writer's own
+        uncommitted rows are not visible to its reads, matching Delta's
+        optimistic-transaction model). Per-table publish is atomic
+        (os.replace); cross-table publishes are sequenced at commit."""
+        if self._txn is not None:
+            raise RuntimeError("transaction already active (no nesting)")
+        return _Transaction(self)
 
     # -- table management ---------------------------------------------------
 
@@ -170,3 +192,52 @@ class IotDatabase:
         t = self.table(name)
         t._write(t.df.coalesce(target_files))
         t.vacuum(keep_last=1)
+
+
+class _Transaction:
+    """Deferred-publish buffer: table -> (pending manifest dirs, staged
+    dirs to GC on rollback). Created via IotDatabase.transaction()."""
+
+    def __init__(self, db: IotDatabase):
+        self.db = db
+        self.pending: dict[str, list[str]] = {}
+        self.staged: list[tuple[Table, str]] = []
+        self._done = False
+
+    # called by Table._commit while this txn is active
+    def record(self, table: Table, dirs: list[str], staged: str) -> None:
+        self.pending[table.name] = dirs
+        self.staged.append((table, staged))
+
+    def base_dirs(self, table: Table) -> list[str] | None:
+        """The dirs an append should chain on: this txn's pending state
+        for the table, if any (else the committed manifest)."""
+        return self.pending.get(table.name)
+
+    def commit(self) -> None:
+        self._done = True
+        self.db._txn = None
+        for name, dirs in self.pending.items():
+            self.db.table(name)._publish(dirs)
+
+    def rollback(self) -> None:
+        import shutil
+
+        self._done = True
+        self.db._txn = None
+        for table, sub in self.staged:
+            shutil.rmtree(os.path.join(table.path, sub), ignore_errors=True)
+        self.pending.clear()
+
+    def __enter__(self) -> "_Transaction":
+        self.db._txn = self
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if self._done:
+            return False
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()
+        return False

@@ -146,7 +146,8 @@ class Table:
         )
         return sub
 
-    def _commit(self, dirs: list[str]) -> None:
+    def _publish(self, dirs: list[str]) -> None:
+        """Atomically publish a manifest making `dirs` the new version."""
         os.makedirs(self._txn_dir(), exist_ok=True)
         v = self._current_version() + 1
         tmp = os.path.join(self._txn_dir(), f".tmp-{uuid.uuid4().hex}.json")
@@ -154,16 +155,46 @@ class Table:
             json.dump({"version": v, "dirs": dirs}, f)
         os.replace(tmp, os.path.join(self._txn_dir(), f"{v}.json"))
 
+    def _commit(self, dirs: list[str], staged: str) -> None:
+        """Publish immediately, or defer into the active transaction."""
+        txn = getattr(self.db, "_txn", None)
+        if txn is not None:
+            txn.record(self, dirs, staged)
+        else:
+            self._publish(dirs)
+
+    def _base_dirs(self) -> list[str]:
+        """The dirs the next write chains on: the active transaction's
+        pending state for this table if any, else the committed manifest."""
+        txn = getattr(self.db, "_txn", None)
+        if txn is not None:
+            pending = txn.base_dirs(self)
+            if pending is not None:
+                return pending
+        v = self._current_version()
+        return self._manifest_dirs(v) if v >= 0 else []
+
+    def _dirs_df(self, dirs: list[str]) -> DataFrame:
+        paths = [
+            p
+            for d in dirs
+            if glob.glob(os.path.join(p := os.path.join(self.path, d), "*.parquet"))
+        ]
+        if not paths:
+            return self.db.spark.createDataFrame([], self.schema)
+        return self.db.spark.read.schema(self.schema).parquet(*paths)
+
     def _write(self, df: DataFrame) -> None:
         """Full-snapshot rewrite (update/delete/upsert): one write job to
         a fresh dir, then publish."""
-        self._commit([self._stage(df)])
+        sub = self._stage(df)
+        self._commit([sub], sub)
 
     def _append(self, df: DataFrame) -> None:
         """Insert path: stage only the new batch — O(batch) I/O."""
-        v = self._current_version()
-        prev = self._manifest_dirs(v) if v >= 0 else []
-        self._commit(prev + [self._stage(df)])
+        base = self._base_dirs()
+        sub = self._stage(df)
+        self._commit(base + [sub], sub)
 
     def as_of(self, version: int) -> DataFrame:
         """Time-travel read of a committed version (Delta `versionAsOf`;
@@ -230,10 +261,11 @@ class Table:
             else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
         )
 
-        current = self.df
+        current = self._dirs_df(self._base_dirs())
         # FK parent existence: anti-join new batch against parent ids
         for fk in self.foreign_keys:
-            parent = self.db.table(fk.parent).df.select(F.col("id").alias("_pid"))
+            pt = self.db.table(fk.parent)
+            parent = pt._dirs_df(pt._base_dirs()).select(F.col("id").alias("_pid"))
             orphans = (
                 batch.filter(F.col(fk.column).isNotNull())
                 .join(parent, batch[fk.column] == F.col("_pid"), "left_anti")
@@ -282,7 +314,10 @@ class Table:
     def _with_ids(self, rows: list[dict]) -> list[dict]:
         need = [r for r in rows if r.get("id") is None]
         if need:
-            base = self.df.agg(F.max("id")).collect()[0][0] or 0
+            # chain on the transaction's pending state so two inserts in
+            # one transaction never reuse ids
+            cur = self._dirs_df(self._base_dirs())
+            base = cur.agg(F.max("id")).collect()[0][0] or 0
             for i, r in enumerate(need, start=1):
                 r["id"] = base + i
         return rows
@@ -291,7 +326,11 @@ class Table:
 
     def delete(self, predicate: Column | str) -> int:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        doomed_ids = self.df.filter(pred).select(F.col("id").alias("_did"))
+        doomed_ids = (
+            self._dirs_df(self._base_dirs())
+            .filter(pred)
+            .select(F.col("id").alias("_did"))
+        )
         return self._delete_ids(doomed_ids)
 
     def _delete_ids(self, doomed_ids: DataFrame) -> int:
@@ -302,7 +341,7 @@ class Table:
             return 0
         for child_name, fk in self.db.children_of(self.name):
             child = self.db.table(child_name)
-            cdf = child.df
+            cdf = child._dirs_df(child._base_dirs())
             affected_ids = cdf.join(
                 doomed_ids, cdf[fk.column] == F.col("_did"), "left_semi"
             ).select(F.col("id").alias("_did"))
@@ -334,7 +373,7 @@ class Table:
                 )
                 child._write(new_cdf)
 
-        current = self.df
+        current = self._dirs_df(self._base_dirs())
         self._write(
             current.join(doomed_ids, current["id"] == F.col("_did"), "left_anti")
         )
@@ -346,7 +385,7 @@ class Table:
         """UpdateMany(transform, predicate): apply column expressions to
         matching rows, e.g. {'name': F.upper(F.col('name'))}."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        current = self.df
+        current = self._dirs_df(self._base_dirs())
         n = current.filter(pred).count()
         cols = []
         for c in current.columns:
@@ -367,7 +406,7 @@ class Table:
             if isinstance(rows, DataFrame)
             else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
         )
-        current = self.df
+        current = self._dirs_df(self._base_dirs())
         keep = current.join(batch.select("id"), "id", "left_anti")
         self._write(keep.unionByName(batch))
         return batch.count()

@@ -235,3 +235,58 @@ def test_time_travel_as_of_and_history(db):
     )
     with pytest.raises(ValueError, match="no committed version"):
         t.as_of(999)
+
+
+def test_transaction_commit_publishes_all(db):
+    c, o = db.table("customers"), db.table("orders2")
+    with db.transaction():
+        c.insert([{"id": 50, "name": "Txn", "age": 40}])
+        o.insert([{"id": 50, "customers_id": 1, "amount": 5.0}])
+        # snapshot isolation: own writes invisible inside the scope
+        assert c.find("id = 50").count() == 0
+    assert c.find("id = 50").count() == 1
+    assert o.find("id = 50").count() == 1
+
+
+def test_transaction_rollback_discards_everything(db):
+    import os
+
+    c = db.table("customers")
+    n0 = c.count()
+    data_root = os.path.join(c.path, "data")
+    with pytest.raises(RuntimeError, match="boom"):
+        with db.transaction():
+            c.insert([{"id": 60, "name": "Gone", "age": 1}])
+            c.update_many({"age": F.lit(0)}, "id = 1")
+            raise RuntimeError("boom")
+    assert c.count() == n0
+    assert c.find_one("id = 1")["age"] == 30  # update rolled back
+    # staged dirs were GC'd, not orphaned
+    live = set(c._manifest_dirs(c._current_version()))
+    assert {os.path.join("data", d) for d in os.listdir(data_root)} == live
+
+
+def test_transaction_sequential_inserts_chain_ids(db):
+    c = db.table("customers")
+    with db.transaction():
+        c.insert([{"name": "A1", "age": 1}])
+        c.insert([{"name": "A2", "age": 2}])
+    ids = [r["id"] for r in c.find("name like 'A%'").collect()]
+    assert len(ids) == len(set(ids)) == 2
+
+
+def test_no_nested_transactions(db):
+    with db.transaction():
+        with pytest.raises(RuntimeError, match="already active"):
+            db.transaction()
+
+
+def test_transaction_insert_then_update_composes(db):
+    """A rewrite later in the transaction must chain on the pending
+    insert, not the committed snapshot — otherwise the insert is lost."""
+    c = db.table("customers")
+    with db.transaction():
+        c.insert([{"id": 70, "name": "seventy", "age": 7}])
+        c.update_many({"age": F.col("age") * 10}, "id = 70")
+    row = c.find_one("id = 70")
+    assert row is not None and row["age"] == 70
