@@ -138,3 +138,105 @@ def lite_sql(
     else:
         out.createOrReplaceTempView(target)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full command dispatch (SqlParser.Execute — SqlParser.cs:24-49): the
+# non-SELECT commands route onto the table API. Grammar per the
+# reference's command parsers (Commands/Insert.cs, Update.cs, Delete.cs,
+# Drop.cs:13, Rename.cs:12):
+#
+#   INSERT INTO {collection} VALUES {doc0} [, {docN}]
+#   UPDATE {collection} SET {k} = {expr} [, ...] [WHERE {expr}]
+#   DELETE {collection} [WHERE {expr}]
+#   DROP COLLECTION {collection}
+#   RENAME COLLECTION {collection} TO {newName}
+#   CHECKPOINT | REBUILD      (compaction analogs)
+# ---------------------------------------------------------------------------
+
+_INSERT_CMD = re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)$", re.I | re.S)
+_UPDATE_CMD = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_DELETE_CMD = re.compile(r"^\s*DELETE\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S)
+_DROP_CMD = re.compile(r"^\s*DROP\s+(?:COLLECTION|TABLE)\s+(\w+)\s*$", re.I)
+_RENAME_CMD = re.compile(
+    r"^\s*RENAME\s+COLLECTION\s+(\w+)\s+TO\s+(\w+)\s*$", re.I
+)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` outside quotes/parens/braces/brackets."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def execute(db, sql: str, params: dict | None = None):
+    """db.Execute equivalent over the full command surface. SELECT (and
+    EXPLAIN) return a DataFrame; DML returns the affected-row count; DDL
+    returns None."""
+    import json as _json
+
+    kw = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    if kw in ("SELECT", "EXPLAIN"):
+        for t in db.list_tables():
+            db.table(t).df.createOrReplaceTempView(t)
+        return lite_sql(db.spark, sql, params, db=db)
+    if kw == "INSERT":
+        m = _INSERT_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: INSERT INTO <collection> VALUES {doc}[, ...]")
+        def sub_json(doc: str) -> str:
+            # params inside documents substitute as JSON literals, not
+            # SQL literals (single quotes would break json.loads)
+            if params is None:
+                return doc
+            return _PARAM.sub(lambda mm: _json.dumps(params[mm.group(1)]), doc)
+
+        docs = [_json.loads(sub_json(d)) for d in _split_top_level(m.group(2))]
+        return db.table(m.group(1)).insert(docs)
+    if kw == "UPDATE":
+        m = _UPDATE_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: UPDATE <collection> SET k = expr [WHERE expr]")
+        transforms = {}
+        for assign in _split_top_level(m.group(2), sep=","):
+            k, _, expr = assign.partition("=")
+            transforms[translate(k.strip())] = translate(expr.strip(), params)
+        where = translate(m.group(3), params) if m.group(3) else "true"
+        return db.table(m.group(1)).update_many(transforms, where)
+    if kw == "DELETE":
+        m = _DELETE_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: DELETE <collection> [WHERE expr]")
+        where = translate(m.group(2), params) if m.group(2) else "true"
+        return db.table(m.group(1)).delete(where)
+    if kw == "DROP":
+        m = _DROP_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: DROP COLLECTION <collection>")
+        return db.drop_table(m.group(1))
+    if kw == "RENAME":
+        m = _RENAME_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: RENAME COLLECTION <a> TO <b>")
+        return db.rename_table(m.group(1), m.group(2))
+    if kw in ("CHECKPOINT", "REBUILD"):
+        for t in db.list_tables():
+            db.compact_table(t)
+        return None
+    raise ValueError(f"unsupported command: {kw!r}")

@@ -90,3 +90,34 @@ def test_select_into_database_table(spark, tmp_path):
     # second INTO appends (engine insert-into-collection behavior)
     lite_sql(spark, "SELECT $.name, $.score INTO results FROM src_lsql2", db=db)
     assert t.count() == 4
+
+
+def test_execute_full_command_surface(spark, tmp_path):
+    """db.Execute over INSERT/UPDATE/DELETE/SELECT/RENAME/DROP
+    (SqlParser.cs:24-49)."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("cmds", str(tmp_path), spark)
+    db.tables("people", "id bigint, name string, age int")
+
+    n = execute(
+        db,
+        'INSERT INTO people VALUES {"id": 1, "name": "Ann", "age": 30}, '
+        '{"id": 2, "name": "Bob", "age": @bobage}',
+        params={"bobage": 22},
+    )
+    assert n == 2
+
+    n = execute(db, "UPDATE people SET $.name = UPPER($.name) WHERE $.age > 25")
+    assert n == 1
+    out = execute(db, "SELECT $.name FROM people ORDER BY $.name")
+    assert [r["name"] for r in out.collect()] == ["ANN", "Bob"]
+
+    n = execute(db, "DELETE people WHERE $.age < 25")
+    assert n == 1 and db.table("people").count() == 1
+
+    execute(db, "RENAME COLLECTION people TO folks")
+    assert "folks" in db.list_tables() and "people" not in db.list_tables()
+    execute(db, "DROP COLLECTION folks")
+    assert db.list_tables() == []
