@@ -163,6 +163,11 @@ _DROP_CMD = re.compile(r"^\s*DROP\s+(?:COLLECTION|TABLE)\s+(\w+)\s*$", re.I)
 _RENAME_CMD = re.compile(
     r"^\s*RENAME\s+COLLECTION\s+(\w+)\s+TO\s+(\w+)\s*$", re.I
 )
+# CREATE [UNIQUE] INDEX {name} ON {collection} ({expr}) — Create.cs:12
+_CREATE_INDEX_CMD = re.compile(
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+\w+\s+ON\s+(\w+)\s*\(([^)]+)\)\s*$", re.I
+)
+_DROP_INDEX_CMD = re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\.(\w+)\s*$", re.I)
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -225,7 +230,19 @@ def execute(db, sql: str, params: dict | None = None):
             raise ValueError("expected: DELETE <collection> [WHERE expr]")
         where = translate(m.group(2), params) if m.group(2) else "true"
         return db.table(m.group(1)).delete(where)
+    if kw == "CREATE":
+        m = _CREATE_INDEX_CMD.match(sql)
+        if not m:
+            raise ValueError(
+                "expected: CREATE [UNIQUE] INDEX <name> ON <collection> (<column>)"
+            )
+        return db.table(m.group(2)).ensure_index(
+            translate(m.group(3).strip()), unique=m.group(1) is not None
+        )
     if kw == "DROP":
+        mi = _DROP_INDEX_CMD.match(sql)
+        if mi:
+            return db.table(mi.group(1)).drop_index(mi.group(2))
         m = _DROP_CMD.match(sql)
         if not m:
             raise ValueError("expected: DROP COLLECTION <collection>")

@@ -196,6 +196,57 @@ class Table:
         sub = self._stage(df)
         self._commit(base + [sub], sub)
 
+    def ensure_index(self, column: str, unique: bool = False) -> None:
+        """EnsureIndex equivalent (TableCollection.cs:535-591; SQL
+        `CREATE [UNIQUE] INDEX` — Commands/Create.cs:12).
+
+        Spark has no secondary indexes; the idiomatic analog is LAYOUT:
+        rewrite the table range-partitioned + sorted by the column, so
+        every parquet row group carries tight min/max stats on it and a
+        point/range filter skips whole row groups and files (the same
+        role the reference's skip-list index plays, without a second
+        structure to maintain). The index column is recorded in table
+        metadata; `unique` validates now and on every future insert."""
+        if unique and column not in self.unique:
+            dup = (
+                self.df.filter(F.col(column).isNotNull())
+                .groupBy(column)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dup:
+                raise ConstraintViolation(
+                    f"{self.name}.{column}: existing values not unique"
+                )
+            self.unique.append(column)
+        sorted_df = self.df.repartitionByRange(
+            max(1, self.db.spark.sparkContext.defaultParallelism // 4),
+            F.col(column),
+        ).sortWithinPartitions(column)
+        self._write(sorted_df)
+        meta = self.db._meta["tables"][self.name]
+        idx = meta.setdefault("indexes", [])
+        entry = {"column": column, "unique": unique}
+        if entry not in idx:
+            idx.append(entry)
+        if unique and column not in meta["unique"]:
+            meta["unique"].append(column)
+        self.db._save_meta()
+
+    def drop_index(self, column: str) -> None:
+        """DROP INDEX equivalent: forget the layout metadata (data stays
+        sorted until the next rewrite; nothing else to remove)."""
+        meta = self.db._meta["tables"][self.name]
+        meta["indexes"] = [
+            e for e in meta.get("indexes", []) if e["column"] != column
+        ]
+        self.db._save_meta()
+
+    def indexes(self) -> list[dict]:
+        """$indexes-style introspection."""
+        return list(self.db._meta["tables"][self.name].get("indexes", []))
+
     def as_of(self, version: int) -> DataFrame:
         """Time-travel read of a committed version (Delta `versionAsOf`;
         the storage analog of the reference's per-file version chains,

@@ -290,3 +290,41 @@ def test_transaction_insert_then_update_composes(db):
         c.update_many({"age": F.col("age") * 10}, "id = 70")
     row = c.find_one("id = 70")
     assert row is not None and row["age"] == 70
+
+
+def test_ensure_index_sorted_layout_and_unique(db):
+    """ensure_index rewrites range-partitioned+sorted (parquet row-group
+    stats become the skip index) and records metadata; unique indexes
+    validate existing data and gate future inserts."""
+    import pyarrow.parquet as pq
+    import glob as g
+    import os
+
+    t = db.table("customers")
+    t.ensure_index("age")
+    assert t.indexes() == [{"column": "age", "unique": False}]
+    # every committed file is sorted by age
+    v = t._current_version()
+    for d in t._manifest_dirs(v):
+        for f in g.glob(os.path.join(t.path, d, "*.parquet")):
+            ages = pq.read_table(f, columns=["age"])["age"].to_pylist()
+            assert ages == sorted(ages)
+    assert t.count() == 3  # data intact
+
+    with pytest.raises(ConstraintViolation, match="not unique"):
+        # two customers could share an age after inserts; name is unique now
+        t.insert([{"id": 90, "name": "John", "age": 1}])  # dup name blocked?
+        t.ensure_index("name", unique=True)
+        t.insert([{"id": 91, "name": "John", "age": 2}])
+    t.drop_index("age")
+    assert t.indexes() == [] or all(e["column"] != "age" for e in t.indexes())
+
+
+def test_create_index_sql_command(db):
+    from iot_database_spark.query.litesql import execute
+
+    execute(db, "CREATE INDEX idx_age ON customers ($.age)")
+    t = db.table("customers")
+    assert any(e["column"] == "age" for e in t.indexes())
+    execute(db, "DROP INDEX customers.age")
+    assert all(e["column"] != "age" for e in t.indexes())
