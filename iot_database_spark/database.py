@@ -190,8 +190,8 @@ class IotDatabase:
         (Delta OPTIMIZE at cluster scale). Reclaims the small-file +
         old-version overhead of incremental appends."""
         t = self.table(name)
-        t._write(t.df.coalesce(target_files))
-        t.vacuum(keep_last=1)
+        t._write(t._dirs_df(t._base_dirs()).coalesce(target_files))
+        t.vacuum(keep_last=1)  # raises inside a transaction (staged dirs)
 
 
 class _Transaction:
@@ -230,6 +230,10 @@ class _Transaction:
         self.pending.clear()
 
     def __enter__(self) -> "_Transaction":
+        if self._done:
+            raise RuntimeError("transaction already finished; create a new one")
+        if self.db._txn is not None and self.db._txn is not self:
+            raise RuntimeError("transaction already active (no nesting)")
         self.db._txn = self
         return self
 

@@ -103,11 +103,19 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     min_matching_bands: int = 1,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, n_matching_bands,
     sig_agreement). Docs land in the same bucket when a whole band of
     their signatures agrees; pairs are generated per (band, band_hash)
-    bucket after a single groupBy exchange."""
+    bucket after a single groupBy exchange.
+
+    max_bucket is the skew guard (same role as jaccard's max_df): a
+    degenerate bucket — e.g. thousands of identical/empty documents
+    colliding on a band hash — would otherwise materialize its full
+    quadratic pair array inside one row. Such buckets are dropped; at
+    that size the members are candidate-duplicates of each other by
+    construction, and exact_dedup is the right tool for them."""
     rows_per_band = k // bands
     # materialize the per-shingle hash array through an exchange before
     # deriving the k mins: without the repartition boundary Catalyst
@@ -170,7 +178,7 @@ def lsh_candidate_pairs(
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("id", "sig")).alias("m"))
-        .filter(F.size("m") >= 2)
+        .filter(F.size("m").between(2, max_bucket))
     )
     pairs = (
         buckets.select(F.explode(_ordered_pairs(F.col("m"), build)).alias("p"))

@@ -94,9 +94,28 @@ def translate(sql: str, params: dict | None = None) -> str:
 
 
 # SELECT <expr> INTO <target> [FROM ...]  (Select.cs:26-160; executed by
-# QueryExecutor.ExecuteQueryInto :149-180). Captured non-greedily so the
-# FROM/WHERE tail stays with the query.
-_INTO = re.compile(r"^(\s*SELECT\b.*?)\bINTO\s+(\w+)\s*(.*)$", re.IGNORECASE | re.DOTALL)
+# QueryExecutor.ExecuteQueryInto :149-180).
+_INTO_AT = re.compile(r"\bINTO\s+(\w+)\s*", re.IGNORECASE)
+
+
+def _split_into(sql: str) -> tuple[str, str] | None:
+    """Find a top-level INTO clause (outside string literals) and return
+    (query_without_into, target). A regex alone would split at an INTO
+    inside a quoted literal."""
+    quote = None
+    for i, ch in enumerate(sql):
+        if quote:
+            if ch == quote and sql[i - 1] != "\\":
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "Ii" and re.match(r"(?i)^into\s", sql[i:]) and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        ):
+            m = _INTO_AT.match(sql, i)
+            if m:
+                return sql[:i] + " " + sql[m.end():], m.group(1)
+    return None
 
 
 def lite_sql(
@@ -115,11 +134,10 @@ def lite_sql(
     when `db` is given (created on first write, appended otherwise —
     the engine's insert-into-collection behavior), else a temp view
     named <target>. Returns the piped rows either way."""
-    m = _INTO.match(sql)
-    if m is None:
+    found = _split_into(sql) if sql.lstrip().upper().startswith("SELECT") else None
+    if found is None:
         return spark.sql(translate(sql, params))
-    query = f"{m.group(1)} {m.group(3)}"
-    target = m.group(2)
+    query, target = found
     out = spark.sql(translate(query, params))
     if db is not None:
         from pyspark.sql import functions as F
@@ -127,8 +145,15 @@ def lite_sql(
         piped = out
         if "id" not in piped.columns:
             # INTO targets get an auto-id (the engine's :autoid sequence;
-            # unique-not-dense here, like any distributed id assignment)
-            piped = piped.withColumn("id", F.monotonically_increasing_id())
+            # unique-not-dense). Offset past the target's current max id:
+            # monotonically_increasing_id restarts at 0 per query, so a
+            # bare value would collide on append re-runs.
+            base = 0
+            if target in db.list_tables():
+                base = db.table(target).max("id") or 0
+            piped = piped.withColumn(
+                "id", F.monotonically_increasing_id() + F.lit(int(base) + 1)
+            )
         if target not in db.list_tables():
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in piped.schema.fields
@@ -165,8 +190,9 @@ _RENAME_CMD = re.compile(
 )
 # CREATE [UNIQUE] INDEX {name} ON {collection} ({expr}) — Create.cs:12
 _CREATE_INDEX_CMD = re.compile(
-    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+\w+\s+ON\s+(\w+)\s*\(([^)]+)\)\s*$", re.I
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(([^)]+)\)\s*$", re.I
 )
+# DROP INDEX {collection}.{indexNameOrColumn} — Drop.cs drops by name
 _DROP_INDEX_CMD = re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\.(\w+)\s*$", re.I)
 
 
@@ -206,11 +232,35 @@ def execute(db, sql: str, params: dict | None = None):
         if not m:
             raise ValueError("expected: INSERT INTO <collection> VALUES {doc}[, ...]")
         def sub_json(doc: str) -> str:
-            # params inside documents substitute as JSON literals, not
-            # SQL literals (single quotes would break json.loads)
+            # params substitute as JSON literals (not SQL literals), and
+            # ONLY outside JSON string literals — '@' inside a string
+            # value ("ann@example.com") is data, not a parameter
             if params is None:
                 return doc
-            return _PARAM.sub(lambda mm: _json.dumps(params[mm.group(1)]), doc)
+            out, i, in_str = [], 0, False
+            while i < len(doc):
+                ch = doc[i]
+                if in_str:
+                    out.append(ch)
+                    if ch == "\\" and i + 1 < len(doc):
+                        out.append(doc[i + 1])
+                        i += 1
+                    elif ch == '"':
+                        in_str = False
+                elif ch == '"':
+                    in_str = True
+                    out.append(ch)
+                elif ch == "@":
+                    mm = re.match(r"@(\w+)", doc[i:])
+                    if mm:
+                        out.append(_json.dumps(params[mm.group(1)]))
+                        i += mm.end() - 1
+                    else:
+                        out.append(ch)
+                else:
+                    out.append(ch)
+                i += 1
+            return "".join(out)
 
         docs = [_json.loads(sub_json(d)) for d in _split_top_level(m.group(2))]
         return db.table(m.group(1)).insert(docs)
@@ -236,8 +286,10 @@ def execute(db, sql: str, params: dict | None = None):
             raise ValueError(
                 "expected: CREATE [UNIQUE] INDEX <name> ON <collection> (<column>)"
             )
-        return db.table(m.group(2)).ensure_index(
-            translate(m.group(3).strip()), unique=m.group(1) is not None
+        return db.table(m.group(3)).ensure_index(
+            translate(m.group(4).strip()),
+            unique=m.group(1) is not None,
+            name=m.group(2),
         )
     if kw == "DROP":
         mi = _DROP_INDEX_CMD.match(sql)

@@ -196,7 +196,9 @@ class Table:
         sub = self._stage(df)
         self._commit(base + [sub], sub)
 
-    def ensure_index(self, column: str, unique: bool = False) -> None:
+    def ensure_index(
+        self, column: str, unique: bool = False, name: str | None = None
+    ) -> None:
         """EnsureIndex equivalent (TableCollection.cs:535-591; SQL
         `CREATE [UNIQUE] INDEX` — Commands/Create.cs:12).
 
@@ -207,9 +209,10 @@ class Table:
         role the reference's skip-list index plays, without a second
         structure to maintain). The index column is recorded in table
         metadata; `unique` validates now and on every future insert."""
+        current = self._dirs_df(self._base_dirs())  # txn-pending aware
         if unique and column not in self.unique:
             dup = (
-                self.df.filter(F.col(column).isNotNull())
+                current.filter(F.col(column).isNotNull())
                 .groupBy(column)
                 .count()
                 .filter(F.col("count") > 1)
@@ -220,27 +223,31 @@ class Table:
                     f"{self.name}.{column}: existing values not unique"
                 )
             self.unique.append(column)
-        sorted_df = self.df.repartitionByRange(
+        sorted_df = current.repartitionByRange(
             max(1, self.db.spark.sparkContext.defaultParallelism // 4),
             F.col(column),
         ).sortWithinPartitions(column)
         self._write(sorted_df)
         meta = self.db._meta["tables"][self.name]
         idx = meta.setdefault("indexes", [])
-        entry = {"column": column, "unique": unique}
+        entry = {"name": name or f"idx_{column}", "column": column, "unique": unique}
         if entry not in idx:
             idx.append(entry)
         if unique and column not in meta["unique"]:
             meta["unique"].append(column)
         self.db._save_meta()
 
-    def drop_index(self, column: str) -> None:
+    def drop_index(self, ident: str) -> None:
         """DROP INDEX equivalent: forget the layout metadata (data stays
-        sorted until the next rewrite; nothing else to remove)."""
+        sorted until the next rewrite). `ident` matches the index NAME
+        (the reference drops by name — Commands/Drop.cs) or the column.
+        Raises if nothing matches — a silent no-op would mask typos."""
         meta = self.db._meta["tables"][self.name]
-        meta["indexes"] = [
-            e for e in meta.get("indexes", []) if e["column"] != column
-        ]
+        before = meta.get("indexes", [])
+        after = [e for e in before if ident not in (e["name"], e["column"])]
+        if len(after) == len(before):
+            raise KeyError(f"{self.name}: no index named {ident!r}")
+        meta["indexes"] = after
         self.db._save_meta()
 
     def indexes(self) -> list[dict]:
@@ -279,7 +286,13 @@ class Table:
     def vacuum(self, keep_last: int = 2) -> int:
         """Remove data dirs unreferenced by the newest `keep_last`
         manifests (and the superseded manifests). Old snapshots stay
-        readable until vacuumed — Delta VACUUM semantics."""
+        readable until vacuumed — Delta VACUUM semantics. Refused inside
+        a transaction: staged-but-unpublished dirs are not in any
+        committed manifest and would be swept as garbage."""
+        if getattr(self.db, "_txn", None) is not None:
+            raise RuntimeError(
+                "vacuum inside a transaction would delete its staged dirs"
+            )
         v = self._current_version()
         if v < 0:
             return 0
@@ -437,6 +450,12 @@ class Table:
         matching rows, e.g. {'name': F.upper(F.col('name'))}."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         current = self._dirs_df(self._base_dirs())
+        unknown = set(transforms) - set(current.columns)
+        if unknown:
+            raise KeyError(
+                f"{self.name}: update targets {sorted(unknown)} are not "
+                f"columns (nested-path SET is not supported)"
+            )
         n = current.filter(pred).count()
         cols = []
         for c in current.columns:

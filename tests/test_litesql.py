@@ -121,3 +121,55 @@ def test_execute_full_command_surface(spark, tmp_path):
     assert "folks" in db.list_tables() and "people" not in db.list_tables()
     execute(db, "DROP COLLECTION folks")
     assert db.list_tables() == []
+
+
+def test_select_into_append_ids_stay_unique(spark, tmp_path):
+    """Auto-ids must not collide across INTO append re-runs
+    (monotonically_increasing_id restarts per query — the sink offsets
+    past the target's max id)."""
+    from iot_database_spark.database import IotDatabase
+
+    db = IotDatabase("intodb2", str(tmp_path), spark)
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, name string"
+    ).createOrReplaceTempView("src_ids")
+    lite_sql(spark, "SELECT $.name INTO sink FROM src_ids", db=db)
+    lite_sql(spark, "SELECT $.name INTO sink FROM src_ids", db=db)
+    ids = [r["id"] for r in db.table("sink").df.collect()]
+    assert len(ids) == 4 and len(set(ids)) == 4
+
+
+def test_into_inside_string_literal_not_split(spark):
+    spark.createDataFrame(
+        [(1, "went INTO town"), (2, "stayed home")], "id bigint, txt string"
+    ).createOrReplaceTempView("notes_lsql")
+    out = lite_sql(spark, "SELECT $.id FROM notes_lsql WHERE $.txt = 'went INTO town'")
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_insert_param_at_sign_inside_json_string(spark, tmp_path):
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("emaildb", str(tmp_path), spark)
+    db.tables("users", "id bigint, email string, age int")
+    execute(
+        db,
+        'INSERT INTO users VALUES {"id": 1, "email": "ann@example.com", "age": @age}',
+        params={"age": 30},
+    )
+    row = db.table("users").find_one("id = 1")
+    assert row["email"] == "ann@example.com" and row["age"] == 30
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("updb", str(tmp_path), spark)
+    db.tables("people2", "id bigint, name string")
+    db.table("people2").insert([{"id": 1, "name": "a"}])
+    import pytest
+
+    with pytest.raises(KeyError, match="not"):
+        execute(db, "UPDATE people2 SET $.nmae = 'x' WHERE $.id = 1")

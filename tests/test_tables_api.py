@@ -302,7 +302,7 @@ def test_ensure_index_sorted_layout_and_unique(db):
 
     t = db.table("customers")
     t.ensure_index("age")
-    assert t.indexes() == [{"column": "age", "unique": False}]
+    assert t.indexes() == [{"name": "idx_age", "column": "age", "unique": False}]
     # every committed file is sorted by age
     v = t._current_version()
     for d in t._manifest_dirs(v):
@@ -311,20 +311,54 @@ def test_ensure_index_sorted_layout_and_unique(db):
             assert ages == sorted(ages)
     assert t.count() == 3  # data intact
 
+    # phase 1: a unique index over duplicated existing values is refused
+    t.insert([{"id": 90, "name": "John", "age": 1}])  # duplicates id-1's name
     with pytest.raises(ConstraintViolation, match="not unique"):
-        # two customers could share an age after inserts; name is unique now
-        t.insert([{"id": 90, "name": "John", "age": 1}])  # dup name blocked?
         t.ensure_index("name", unique=True)
+    # phase 2: once values are unique the index takes, and gates inserts
+    t.delete("id = 90")
+    t.ensure_index("name", unique=True)
+    with pytest.raises(ConstraintViolation, match="unique"):
         t.insert([{"id": 91, "name": "John", "age": 2}])
+    # phase 3: drop by name or column; unknown ident raises
     t.drop_index("age")
-    assert t.indexes() == [] or all(e["column"] != "age" for e in t.indexes())
+    assert all(e["column"] != "age" for e in t.indexes())
+    with pytest.raises(KeyError, match="no index"):
+        t.drop_index("age")
 
 
 def test_create_index_sql_command(db):
     from iot_database_spark.query.litesql import execute
 
-    execute(db, "CREATE INDEX idx_age ON customers ($.age)")
+    execute(db, "CREATE INDEX my_age_idx ON customers ($.age)")
     t = db.table("customers")
-    assert any(e["column"] == "age" for e in t.indexes())
-    execute(db, "DROP INDEX customers.age")
-    assert all(e["column"] != "age" for e in t.indexes())
+    assert t.indexes() == [
+        {"name": "my_age_idx", "column": "age", "unique": False}
+    ]
+    execute(db, "DROP INDEX customers.my_age_idx")  # drops by NAME
+    assert t.indexes() == []
+
+
+def test_finished_transaction_cannot_be_reentered(db):
+    t = db.transaction()
+    with t:
+        pass
+    with pytest.raises(RuntimeError, match="already finished"):
+        with t:
+            pass
+    # and the db is usable afterwards — writes publish normally
+    c = db.table("customers")
+    c.insert([{"id": 80, "name": "After", "age": 8}])
+    assert c.find("id = 80").count() == 1
+
+
+def test_vacuum_refused_inside_transaction(db):
+    c = db.table("customers")
+    with db.transaction():
+        c.insert([{"id": 81, "name": "Stage", "age": 8}])
+        with pytest.raises(RuntimeError, match="staged"):
+            c.vacuum()
+        with pytest.raises(RuntimeError, match="staged"):
+            db.compact_table("customers")
+    # txn still committed its insert despite the refused vacuums
+    assert c.find("id = 81").count() == 1
