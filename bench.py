@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_scores",
     "text_fingerprint",
+    "pipeline_clean_corpus",
     "nl_find_dual_join",
     "event_sessionization",
     "skew_salted_agg",

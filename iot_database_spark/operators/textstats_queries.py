@@ -145,3 +145,127 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return tx.fingerprint(docs)
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH feat AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_distinct,
+               LEN(list_distinct(string_split(text, ' ')))
+                 / CAST(GREATEST(LEN(string_split(text, ' ')), 1) AS DOUBLE)
+                 AS uniq,
+               CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                 AS word_tokens
+        FROM documents
+    ), kept AS (
+        SELECT * FROM feat WHERE n_tokens >= 20 AND uniq >= 0.3
+    ), dedup AS (
+        SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+    ), clean AS (
+        SELECT k.* FROM kept k JOIN dedup d ON k.doc_id = d.keep_id
+    ), langs AS (
+        SELECT doc_id, word_tokens, n_distinct, n_tokens,
+               CASE
+                 WHEN GREATEST(
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['der','die','das','und','ist','ein','zu'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['the','a','of','and','to','in','is'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['el','la','de','y','que','en','un'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['le','la','de','et','un','que','pour'], w)))) = 0
+                   THEN 'unknown'
+                 WHEN LEN(list_filter(string_split(LOWER(text), ' '),
+                     w -> list_contains(['der','die','das','und','ist','ein','zu'], w))) = GREATEST(
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['der','die','das','und','ist','ein','zu'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['the','a','of','and','to','in','is'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['el','la','de','y','que','en','un'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['le','la','de','et','un','que','pour'], w))))
+                   THEN 'de'
+                 WHEN LEN(list_filter(string_split(LOWER(text), ' '),
+                     w -> list_contains(['the','a','of','and','to','in','is'], w))) = GREATEST(
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['der','die','das','und','ist','ein','zu'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['the','a','of','and','to','in','is'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['el','la','de','y','que','en','un'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['le','la','de','et','un','que','pour'], w))))
+                   THEN 'en'
+                 WHEN LEN(list_filter(string_split(LOWER(text), ' '),
+                     w -> list_contains(['el','la','de','y','que','en','un'], w))) = GREATEST(
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['der','die','das','und','ist','ein','zu'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['the','a','of','and','to','in','is'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['el','la','de','y','que','en','un'], w))),
+                     LEN(list_filter(string_split(LOWER(text), ' '),
+                         w -> list_contains(['le','la','de','et','un','que','pour'], w))))
+                   THEN 'es'
+                 ELSE 'fr'
+               END AS lang
+        FROM clean
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(word_tokens) AS total_word_tokens,
+           CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS corpus_uniqueness
+    FROM langs GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in ONE plan: quality
+    filter (length + uniqueness) -> exact dedup (md5 groupBy keeping the
+    lowest id) -> language ID -> per-language corpus stats. Every stage
+    is the oracle-checked operator used standalone elsewhere; composed,
+    they stay a single declarative DataFrame flow (one scan of
+    documents, one dedup exchange, one final agg)."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    feat = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("uniq"),
+        tx.word_regex_count(F.col("text")).cast("bigint").alias("word_tokens"),
+    )
+    kept = feat.filter((F.col("n_tokens") >= 20) & (F.col("uniq") >= 0.3))
+    keep_ids = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    clean = kept.join(
+        keep_ids, kept["doc_id"] == keep_ids["keep_id"], "left_semi"
+    )
+    langs = clean.select(
+        "word_tokens",
+        "n_distinct",
+        "n_tokens",
+        tx.detect_language(F.col("text")).alias("lang"),
+    )
+    # corpus-level uniqueness = exact integer sums, ONE division — the
+    # per-doc-ratio average would sum doubles in engine-dependent order
+    return langs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("word_tokens").alias("total_word_tokens"),
+        (F.sum("n_distinct").cast("double") / F.sum("n_tokens")).alias(
+            "corpus_uniqueness"
+        ),
+    )
