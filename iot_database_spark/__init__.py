@@ -27,6 +27,25 @@ Layout:
 
 from iot_database_spark.session import get_spark, load_tables
 
-__all__ = ["get_spark", "load_tables"]
+
+def __getattr__(name):
+    # lazy re-exports of the user-facing entry points (importing them
+    # eagerly would pull pyspark sql modules before a session exists)
+    if name == "IotDatabase":
+        from iot_database_spark.database import IotDatabase
+
+        return IotDatabase
+    if name == "execute":
+        from iot_database_spark.query.litesql import execute
+
+        return execute
+    if name == "natural_query":
+        from iot_database_spark.query.nl import natural_query
+
+        return natural_query
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "load_tables", "IotDatabase", "execute", "natural_query"]
 
 __version__ = "0.1.0"
