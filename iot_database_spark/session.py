@@ -84,6 +84,11 @@ def load_tables(
     pushdown / column pruning; no caching here — operators decide what to
     persist.
     """
+    # The caller may hand us ANY session (the driver builds its own vanilla
+    # one), so every conf a query's correctness depends on must be applied
+    # here at runtime, not only in get_spark()'s builder. All of these are
+    # runtime-settable SQLConf entries.
+    _apply_runtime_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -94,6 +99,32 @@ def load_tables(
         if register_views:
             df.createOrReplaceTempView(name)
     return out
+
+
+def _apply_runtime_confs(spark: SparkSession) -> None:
+    """Make an externally-built SparkSession safe for this engine's queries.
+
+    Round 1 shipped with these only in get_spark()'s builder; the driver's
+    vanilla session then threw PARQUET_TYPE_ILLEGAL on the NANOS-timestamp
+    testdata before any query ran. Correctness-critical confs:
+
+    - nanosAsLong: the testdata stores TIMESTAMP(NANOS), unreadable by a
+      stock Spark session; read as long + convert in _fix_nanos.
+    - UTC session timezone: oracle comparisons must not depend on the host
+      JVM default timezone.
+    - Arrow: the vector/multimodal Pandas-UDF paths assume Arrow batches.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # never let a tuning conf break a load
 
 
 def _fix_nanos(spark: SparkSession, path: str) -> DataFrame:

