@@ -138,6 +138,172 @@ class IotDatabase:
                     return (c, "id")
         return None
 
+    # -- pragmas (EnginePragmas — LiteDB/Engine/EnginePragmas.cs:70-160;
+    # SQL surface `PRAGMA name` / `PRAGMA name = value` — SqlParser.cs) ----
+
+    _PRAGMA_DEFAULTS: dict = {
+        "USER_VERSION": 0,
+        "COLLATION": "en-US/IgnoreCase",  # read-only, like the reference
+        "TIMEOUT": 60,
+        "LIMIT_SIZE": 9223372036854775807,
+        "UTC_DATE": True,  # this engine always stores/compares UTC
+        "CHECKPOINT": 1000,
+    }
+
+    def pragma(self, name: str, value=None):
+        """Read (value is None) or write a database pragma. Mirrors the
+        reference's validation: COLLATION is read-only, TIMEOUT must be
+        positive, LIMIT_SIZE has a floor, unknown names error."""
+        key = name.upper()
+        pragmas = self._meta.setdefault("pragmas", {})
+        if key not in self._PRAGMA_DEFAULTS:
+            raise KeyError(f"unknown pragma: {name}")
+        if value is None:
+            return pragmas.get(key, self._PRAGMA_DEFAULTS[key])
+        if key == "COLLATION":
+            raise ValueError("Pragma COLLATION is read only")
+        if key == "TIMEOUT" and int(value) <= 0:
+            raise ValueError("Pragma TIMEOUT must be greater than zero")
+        if key == "LIMIT_SIZE" and int(value) < 32768:
+            raise ValueError("Pragma LIMIT_SIZE must be at least 32768 bytes")
+        if key == "CHECKPOINT" and int(value) < 0:
+            raise ValueError("Pragma CHECKPOINT must be non-negative")
+        if key == "UTC_DATE":
+            value = bool(value)
+        else:
+            value = int(value)
+        pragmas[key] = value
+        self._save_meta()
+        return value
+
+    # -- system collections ($database/$cols/$indexes/$sequences/
+    # $transactions/$snapshots/$open_cursors/$dump —
+    # LiteDB/Engine/Engine/Register.cs:16-31 + Sys*.cs) ---------------------
+
+    def system_collection(self, name: str) -> DataFrame:
+        """Virtual-table introspection, one DataFrame per `$name`. Shapes
+        follow the reference's Sys* documents re-expressed for this
+        engine's storage model (manifest commit log instead of pages)."""
+        import datetime as _dt
+
+        key = name.lower().lstrip("$")
+        if key == "database":
+            rows = [
+                (
+                    self.name,
+                    self.root,
+                    len(self._meta["tables"]),
+                    json.dumps(
+                        {
+                            k: self.pragma(k)
+                            for k in self._PRAGMA_DEFAULTS
+                        }
+                    ),
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, path string, n_tables int, pragmas string"
+            )
+        if key == "cols":
+            rows = [
+                (t, f.name, f.dataType.simpleString(), f.nullable)
+                for t in self.list_tables()
+                for f in self.table(t).df.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "table string, column string, type string, nullable boolean"
+            )
+        if key == "indexes":
+            rows = [
+                (t, e["name"], e["column"], bool(e["unique"]))
+                for t in self.list_tables()
+                for e in self.table(t).indexes()
+            ]
+            return self.spark.createDataFrame(
+                rows, "collection string, name string, expression string, unique boolean"
+            )
+        if key == "sequences":
+            # SysSequences.cs: (collection, value) — the next-id source;
+            # here the committed max id per table (parquet-stats read).
+            rows = [
+                (t, int(self.table(t).max("id") or 0)) for t in self.list_tables()
+            ]
+            return self.spark.createDataFrame(rows, "collection string, value bigint")
+        if key == "transactions":
+            # SysTransactions.cs:13-31 — the open transaction monitor.
+            rows = []
+            if self._txn is not None:
+                rows.append(
+                    (
+                        self._txn.txn_id,
+                        _dt.datetime.fromtimestamp(
+                            self._txn.start_time, _dt.timezone.utc
+                        ).replace(tzinfo=None),
+                        "Write",
+                        len(self._txn.pending),
+                        len(self._txn.staged),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "transactionID bigint, startTime timestamp, mode string, "
+                "n_tables int, n_staged_dirs int",
+            )
+        if key == "snapshots":
+            # SysSnapshots.cs:12-28 — one row per (txn, collection).
+            rows = []
+            if self._txn is not None:
+                for tname, dirs in self._txn.pending.items():
+                    t = self.table(tname)
+                    rows.append(
+                        (
+                            self._txn.txn_id,
+                            tname,
+                            "Write",
+                            int(t._current_version()),
+                            len(dirs),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "transactionID bigint, collection string, mode string, "
+                "readVersion bigint, n_pending_dirs int",
+            )
+        if key == "open_cursors":
+            # Spark has no server-side cursors; always empty, schema kept
+            # for SysOpenCursors.cs parity.
+            return self.spark.createDataFrame(
+                [],
+                "transactionID bigint, collection string, mode string, "
+                "elapsedMS bigint, documentsCount bigint",
+            )
+        if key == "dump":
+            # SysDump.cs analog over the manifest log: the physical layout
+            # (every committed version's data dirs + file/byte counts).
+            import glob as _glob
+
+            rows = []
+            for tname in self.list_tables():
+                t = self.table(tname)
+                for h in t.history():
+                    for d in t._manifest_dirs(h["version"]):
+                        files = _glob.glob(os.path.join(t.path, d, "*.parquet"))
+                        rows.append(
+                            (
+                                tname,
+                                h["version"],
+                                d,
+                                len(files),
+                                sum(os.path.getsize(f) for f in files),
+                            )
+                        )
+            return self.spark.createDataFrame(
+                rows,
+                "collection string, version bigint, dir string, "
+                "n_files int, bytes bigint",
+            )
+        raise KeyError(f"unknown system collection: ${name}")
+
     # -- catalog introspection ($cols / $database analogs) -------------------
 
     def list_tables(self) -> list[str]:
@@ -198,11 +364,29 @@ class _Transaction:
     """Deferred-publish buffer: table -> (pending manifest dirs, staged
     dirs to GC on rollback). Created via IotDatabase.transaction()."""
 
+    _NEXT_ID = 1
+
     def __init__(self, db: IotDatabase):
+        import time
+
         self.db = db
         self.pending: dict[str, list[str]] = {}
         self.staged: list[tuple[Table, str]] = []
         self._done = False
+        self.txn_id = _Transaction._NEXT_ID
+        _Transaction._NEXT_ID += 1
+        self.start_time = time.time()
+        self._commit_hooks: list = []
+        self._rollback_hooks: list = []
+
+    def on_commit(self, fn) -> None:
+        """Defer a metadata/side-effect mutation until commit (e.g.
+        ensure_index's persisted index entry)."""
+        self._commit_hooks.append(fn)
+
+    def on_rollback(self, fn) -> None:
+        """Register an undo for in-memory state changed inside the txn."""
+        self._rollback_hooks.append(fn)
 
     # called by Table._commit while this txn is active
     def record(self, table: Table, dirs: list[str], staged: str) -> None:
@@ -215,10 +399,40 @@ class _Transaction:
         return self.pending.get(table.name)
 
     def commit(self) -> None:
+        """Two-phase publish: write every table's tmp manifest first (any
+        failure there rolls the whole transaction back — nothing became
+        visible), then flip them in with os.replace, which only fails on
+        environmental IO errors. A partial flip is surfaced loudly with
+        the list of tables that did/didn't commit instead of silently
+        committing a prefix."""
+        prepared: list[tuple[str, str, str]] = []  # (table, tmp, final)
+        try:
+            for name, dirs in self.pending.items():
+                tmp, final = self.db.table(name)._prepare_publish(dirs)
+                prepared.append((name, tmp, final))
+        except Exception:
+            for _, tmp, _f in prepared:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            self.rollback()
+            raise
         self._done = True
         self.db._txn = None
-        for name, dirs in self.pending.items():
-            self.db.table(name)._publish(dirs)
+        committed: list[str] = []
+        for name, tmp, final in prepared:
+            try:
+                os.replace(tmp, final)
+                committed.append(name)
+            except OSError as exc:
+                remaining = [n for n, _, _ in prepared if n not in committed]
+                raise RuntimeError(
+                    f"partial transaction commit: committed={committed} "
+                    f"failed/unpublished={remaining}"
+                ) from exc
+        for fn in self._commit_hooks:
+            fn()
 
     def rollback(self) -> None:
         import shutil
@@ -228,6 +442,8 @@ class _Transaction:
         for table, sub in self.staged:
             shutil.rmtree(os.path.join(table.path, sub), ignore_errors=True)
         self.pending.clear()
+        for fn in self._rollback_hooks:
+            fn()
 
     def __enter__(self) -> "_Transaction":
         if self._done:

@@ -117,45 +117,61 @@ def lsh_candidate_pairs(
     that size the members are candidate-duplicates of each other by
     construction, and exact_dedup is the right tool for them."""
     rows_per_band = k // bands
-    # materialize the per-shingle hash array through an exchange before
-    # deriving the k mins: without the repartition boundary Catalyst
-    # collapses the projections and re-evaluates the md5 chain k times
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(content)), lambda s: hash64(s)).alias("_hs"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from iot_database_spark.operators.hof import let
 
-    def min_hash(seed: int) -> Column:
-        return F.array_min(
-            F.transform("_hs", lambda h: xor_permute(h, seed))
+    # The per-shingle md5 chain is referenced k times (one per permutation)
+    # and the signature array bands*rows_per_band more times. let-binding
+    # evaluates each exactly once per row (CollapseProject inlines plain
+    # column references k times and HOF lambdas get no CSE), and the
+    # explode-of-1-element-array puts a Generate barrier between this
+    # projection and downstream field references. Pure narrow compute —
+    # no repartition: round 1 shipped a full shuffle of the widest
+    # intermediate in the pipeline (per-shingle hash arrays) here, which
+    # at 100 TB is the corpus through the wire once for a compiler
+    # workaround.
+    def sig_and_bands(text: Column) -> Column:
+        return let(
+            F.transform(shingles(text), lambda s: hash64(s)),
+            lambda hs: let(
+                F.array(
+                    *[
+                        F.array_min(
+                            F.transform(hs, lambda h: xor_permute(h, seed))
+                        )
+                        for seed in range(k)
+                    ]
+                ),
+                lambda sig: F.struct(
+                    sig.alias("sig"),
+                    F.array(
+                        *[
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.element_at(
+                                            sig, b * rows_per_band + r + 1
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            )
+                            for b in range(bands)
+                        ]
+                    ).alias("buckets"),
+                ),
+            ),
         )
 
-    sigs = hashed.select(
-        "id", F.array(*[min_hash(seed) for seed in range(k)]).alias("sig")
+    packed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(sig_and_bands(F.col(content)))).alias("x"),
     )
-    banded = sigs.select(
+    banded = packed.select(
         "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+        F.col("x.sig").alias("sig"),
+        F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
+    )
 
     # one exchange co-locates each bucket; pairs + signature agreement
     # are then pure per-row compute (agreement is symmetric in x/y, so

@@ -124,11 +124,15 @@ class PointStore:
             # rebuild affected chains: existing blocks + new data, per-key
             # (at Delta scale: MERGE only the touched guid partitions)
             existing = self.chain.df.select("guid", "ts", "data")
+            n_prior = existing.count()
             rebuilt = bc.append_chain(
                 bc.dedup_consecutive(existing.unionByName(chain_src))
             )
             with_ids = self._assign_ids(self.chain, rebuilt, base=0)
-            n_chain = with_ids.count()
+            # 'chain' means blocks APPENDED by this batch (consecutive-dup
+            # drops excluded), consistent with the writes/ts counts —
+            # not the rebuilt-chain total
+            n_chain = with_ids.count() - n_prior
             self.chain._write(
                 with_ids.select(*[f.name for f in self.chain.df.schema.fields])
             )

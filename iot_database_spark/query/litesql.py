@@ -62,9 +62,43 @@ def _quote(v) -> str:
     return f"'{escaped}'"
 
 
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace quoted string literals with \\x00<i>\\x00 placeholders so
+    the textual rewrite passes (@param substitution, $.path/function
+    rewrites) can never fire inside literal data — 'mail@host.com' is a
+    value, not a missing parameter, and a literal containing '$.x' must
+    survive verbatim. SQL doubles quotes to escape them ('don''t'), which
+    this scan handles by treating '' as two adjacent literals — they
+    restore to the identical text."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            lits.append(sql[i : min(j + 1, n)])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+_PLACEHOLDER = re.compile("\x00(\\d+)\x00")
+
+
+def _unmask(masked: str, lits: list[str]) -> str:
+    return _PLACEHOLDER.sub(lambda m: lits[int(m.group(1))], masked)
+
+
 def translate(sql: str, params: dict | None = None) -> str:
-    """Rewrite a LiteDB-dialect SQL string into Spark SQL."""
-    out = sql
+    """Rewrite a LiteDB-dialect SQL string into Spark SQL. String literals
+    are masked for the duration of every regex pass (see _mask_literals)."""
+    out, lits = _mask_literals(sql)
 
     out = _PATH_FILTER.sub(
         lambda m: (
@@ -90,7 +124,27 @@ def translate(sql: str, params: dict | None = None) -> str:
             return _quote(params[name])
 
         out = _PARAM.sub(sub_param, out)
-    return out
+    return _unmask(out, lits)
+
+
+# $file_csv('path') / $file_json('path') system collections
+# (LiteDB/Engine/SystemCollections/SysFileCsv.cs:19-170, SysFileJson.cs):
+# usable as a FROM source or an INTO sink. Matched against the
+# literal-masked SQL so a string VALUE containing "$file_csv(...)" is
+# never mis-routed. Spark-first note: the sink writes a distributed
+# directory of part files (splittable, parallel), not the reference's
+# single local file — the correct shape for a 100 TB export.
+_FILE_REF = re.compile(r"\$file_(csv|json)\s*\(\s*\x00(\d+)\x00\s*\)", re.I)
+_FILE_SINK = re.compile(
+    r"\bINTO\s+\$file_(csv|json)\s*\(\s*\x00(\d+)\x00\s*\)\s*", re.I
+)
+
+
+def _lit_text(lits: list[str], idx: str) -> str:
+    """Unquote a masked literal: '…' -> … (doubled quotes unescaped)."""
+    raw = lits[int(idx)]
+    q, body = raw[0], raw[1:-1]
+    return body.replace(q + q, q)
 
 
 # SELECT <expr> INTO <target> [FROM ...]  (Select.cs:26-160; executed by
@@ -133,7 +187,34 @@ def lite_sql(
     (QueryExecutor.ExecuteQueryInto :149-180): an `IotDatabase` table
     when `db` is given (created on first write, appended otherwise —
     the engine's insert-into-collection behavior), else a temp view
-    named <target>. Returns the piped rows either way."""
+    named <target>. `$file_csv('path')` / `$file_json('path')` route to
+    the file system collections as both source and sink. Returns the
+    piped rows either way."""
+    masked, lits = _mask_literals(sql)
+    file_sink: tuple[str, str] | None = None
+    ms = _FILE_SINK.search(masked)
+    if ms:
+        file_sink = (ms.group(1).lower(), _lit_text(lits, ms.group(2)))
+        masked = masked[: ms.start()] + " " + masked[ms.end() :]
+    if _FILE_REF.search(masked):
+        from iot_database_spark.sources.files import read_csv, read_json
+
+        def to_view(m: re.Match) -> str:
+            kind, path = m.group(1).lower(), _lit_text(lits, m.group(2))
+            df = read_csv(spark, path) if kind == "csv" else read_json(spark, path)
+            view = f"file_{kind}_{abs(hash(path)) % 10**9}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        masked = _FILE_REF.sub(to_view, masked)
+    sql = _unmask(masked, lits)
+    if file_sink is not None:
+        from iot_database_spark.sources.files import write_csv, write_json
+
+        out = spark.sql(translate(sql, params))
+        kind, path = file_sink
+        (write_csv if kind == "csv" else write_json)(out, path)
+        return out
     found = _split_into(sql) if sql.lstrip().upper().startswith("SELECT") else None
     if found is None:
         return spark.sql(translate(sql, params))
@@ -194,6 +275,12 @@ _CREATE_INDEX_CMD = re.compile(
 )
 # DROP INDEX {collection}.{indexNameOrColumn} — Drop.cs drops by name
 _DROP_INDEX_CMD = re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\.(\w+)\s*$", re.I)
+# PRAGMA {name} | PRAGMA {name} = {value}  (SqlParser.cs:24-49 ->
+# EnginePragmas.cs:70-160)
+_PRAGMA_CMD = re.compile(r"^\s*PRAGMA\s+(\w+)(?:\s*=\s*(.+?))?\s*;?\s*$", re.I | re.S)
+# $collection references in SELECTs (Register.cs:16-31); $file_* is
+# routed separately by lite_sql
+_SYS_REF = re.compile(r"\$(\w+)")
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -226,7 +313,36 @@ def execute(db, sql: str, params: dict | None = None):
     if kw in ("SELECT", "EXPLAIN"):
         for t in db.list_tables():
             db.table(t).df.createOrReplaceTempView(t)
+        # resolve $system collections to registered views (literal-masked
+        # so '$indexes' inside a string value stays data)
+        masked, lits = _mask_literals(sql)
+        if _SYS_REF.search(masked):
+
+            def sysview(m: re.Match) -> str:
+                name = m.group(1)
+                if name.lower() in ("file_csv", "file_json"):
+                    return m.group(0)
+                view = f"sys_{name.lower()}"
+                db.system_collection(name).createOrReplaceTempView(view)
+                return view
+
+            masked = _SYS_REF.sub(sysview, masked)
+        sql = _unmask(masked, lits)
         return lite_sql(db.spark, sql, params, db=db)
+    if kw == "PRAGMA":
+        m = _PRAGMA_CMD.match(sql)
+        if not m:
+            raise ValueError("expected: PRAGMA <name> [= <value>]")
+        if m.group(2) is None:
+            return db.pragma(m.group(1))
+        raw = m.group(2).strip()
+        if raw[:1] in ("'", '"'):
+            value = raw[1:-1].replace(raw[0] * 2, raw[0])
+        elif raw.lower() in ("true", "false"):
+            value = raw.lower() == "true"
+        else:
+            value = int(raw)
+        return db.pragma(m.group(1), value)
     if kw == "INSERT":
         m = _INSERT_CMD.match(sql)
         if not m:

@@ -146,14 +146,22 @@ class Table:
         )
         return sub
 
-    def _publish(self, dirs: list[str]) -> None:
-        """Atomically publish a manifest making `dirs` the new version."""
+    def _prepare_publish(self, dirs: list[str]) -> tuple[str, str]:
+        """Phase 1 of a publish: write the tmp manifest for the next
+        version and return (tmp_path, final_path). The caller flips it in
+        with os.replace — this split lets a multi-table transaction stage
+        every manifest before making any of them visible."""
         os.makedirs(self._txn_dir(), exist_ok=True)
         v = self._current_version() + 1
         tmp = os.path.join(self._txn_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump({"version": v, "dirs": dirs}, f)
-        os.replace(tmp, os.path.join(self._txn_dir(), f"{v}.json"))
+        return tmp, os.path.join(self._txn_dir(), f"{v}.json")
+
+    def _publish(self, dirs: list[str]) -> None:
+        """Atomically publish a manifest making `dirs` the new version."""
+        tmp, final = self._prepare_publish(dirs)
+        os.replace(tmp, final)
 
     def _commit(self, dirs: list[str], staged: str) -> None:
         """Publish immediately, or defer into the active transaction."""
@@ -210,6 +218,7 @@ class Table:
         structure to maintain). The index column is recorded in table
         metadata; `unique` validates now and on every future insert."""
         current = self._dirs_df(self._base_dirs())  # txn-pending aware
+        appended_unique = False
         if unique and column not in self.unique:
             dup = (
                 current.filter(F.col(column).isNotNull())
@@ -222,20 +231,43 @@ class Table:
                 raise ConstraintViolation(
                     f"{self.name}.{column}: existing values not unique"
                 )
-            self.unique.append(column)
+            self.unique.append(column)  # gates inserts from now on (in-txn too)
+            appended_unique = True
         sorted_df = current.repartitionByRange(
             max(1, self.db.spark.sparkContext.defaultParallelism // 4),
             F.col(column),
         ).sortWithinPartitions(column)
         self._write(sorted_df)
-        meta = self.db._meta["tables"][self.name]
-        idx = meta.setdefault("indexes", [])
-        entry = {"name": name or f"idx_{column}", "column": column, "unique": unique}
-        if entry not in idx:
-            idx.append(entry)
-        if unique and column not in meta["unique"]:
-            meta["unique"].append(column)
-        self.db._save_meta()
+
+        def apply_meta() -> None:
+            meta = self.db._meta["tables"][self.name]
+            idx = meta.setdefault("indexes", [])
+            entry = {
+                "name": name or f"idx_{column}",
+                "column": column,
+                "unique": unique,
+            }
+            if entry not in idx:
+                idx.append(entry)
+            if unique and column not in meta["unique"]:
+                meta["unique"].append(column)
+            self.db._save_meta()
+
+        txn = getattr(self.db, "_txn", None)
+        if txn is None:
+            apply_meta()
+        else:
+            # inside a transaction the layout rewrite above is deferred to
+            # commit — the persisted metadata must defer with it, or a
+            # rollback leaves _meta claiming an index (and a unique
+            # constraint) the stored data never validated
+            txn.on_commit(apply_meta)
+            if appended_unique:
+                txn.on_rollback(
+                    lambda: self.unique.remove(column)
+                    if column in self.unique
+                    else None
+                )
 
     def drop_index(self, ident: str) -> None:
         """DROP INDEX equivalent: forget the layout metadata (data stays

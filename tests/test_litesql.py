@@ -173,3 +173,116 @@ def test_update_unknown_column_raises(spark, tmp_path):
 
     with pytest.raises(KeyError, match="not"):
         execute(db, "UPDATE people2 SET $.nmae = 'x' WHERE $.id = 1")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: literal masking, $file_csv/$file_json routing, PRAGMA,
+# $system collections
+# ---------------------------------------------------------------------------
+
+
+def test_translate_never_rewrites_inside_string_literals():
+    """ADVICE r1: '@' and '$.x' inside quoted literals are data."""
+    out = translate(
+        "SELECT * FROM t WHERE c = 'mail@host.com' AND d = @p", {"p": 1}
+    )
+    assert out == "SELECT * FROM t WHERE c = 'mail@host.com' AND d = 1"
+    out = translate("SELECT * FROM t WHERE c = 'path is $.x.y'")
+    assert out == "SELECT * FROM t WHERE c = 'path is $.x.y'"
+    # escaped quote inside literal survives
+    out = translate("SELECT * FROM t WHERE c = 'don''t @stop $.here'", {})
+    assert out == "SELECT * FROM t WHERE c = 'don''t @stop $.here'"
+    # IIF-style function names inside literals survive too
+    assert translate("SELECT 'IIF(LEN(' AS s") == "SELECT 'IIF(LEN(' AS s"
+
+
+def test_file_csv_roundtrip_through_dialect(spark, tmp_path):
+    """SysFileCsv.cs:19-170 — INTO $file_csv sink + FROM $file_csv source."""
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id int, name string, score double",
+    ).createOrReplaceTempView("csv_src_t")
+    out_path = str(tmp_path / "export_csv")
+    lite_sql(
+        spark,
+        f"SELECT $.id, $.name, $.score INTO $file_csv('{out_path}') "
+        "FROM csv_src_t WHERE $.id > 1",
+    )
+    back = lite_sql(
+        spark,
+        f"SELECT $.name, $.score FROM $file_csv('{out_path}') "
+        "WHERE $.score > 2 ORDER BY $.name",
+    ).collect()
+    assert [(r["name"], r["score"]) for r in back] == [("b", 2.5), ("c", 3.5)]
+
+
+def test_file_json_roundtrip_through_dialect(spark, tmp_path):
+    """SysFileJson.cs — same routing for JSON."""
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, tag string"
+    ).createOrReplaceTempView("json_src_t")
+    out_path = str(tmp_path / "export_json")
+    lite_sql(spark, f"SELECT $.id, $.tag INTO $file_json('{out_path}') FROM json_src_t")
+    back = lite_sql(
+        spark,
+        f"SELECT $.tag FROM $file_json('{out_path}') ORDER BY $.id",
+    ).collect()
+    assert [r["tag"] for r in back] == ["x", "y"]
+
+
+def test_pragma_get_set_validate(spark, tmp_path):
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("pragdb", str(tmp_path), spark)
+    assert execute(db, "PRAGMA USER_VERSION") == 0
+    assert execute(db, "PRAGMA USER_VERSION = 7") == 7
+    assert execute(db, "PRAGMA USER_VERSION") == 7
+    # persists across a reopen (header-page persistence analog)
+    db2 = IotDatabase("pragdb", str(tmp_path), spark)
+    assert db2.pragma("USER_VERSION") == 7
+    assert execute(db, "PRAGMA UTC_DATE") is True
+    with pytest.raises(ValueError, match="read only"):
+        execute(db, "PRAGMA COLLATION = 'x'")
+    with pytest.raises(ValueError, match="greater than zero"):
+        execute(db, "PRAGMA TIMEOUT = 0")
+    with pytest.raises(KeyError, match="unknown pragma"):
+        execute(db, "PRAGMA NOT_A_PRAGMA")
+
+
+def test_system_collections(spark, tmp_path):
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("sysdb", str(tmp_path), spark)
+    t = db.tables("items", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}, {"id": 5, "v": "b"}])
+    t.ensure_index("v")
+
+    cols = execute(db, "SELECT * FROM $cols WHERE $.table = 'items'").collect()
+    assert {r["column"] for r in cols} == {"id", "v"}
+
+    idx = execute(db, "SELECT * FROM $indexes").collect()
+    assert [(r["collection"], r["expression"]) for r in idx] == [("items", "v")]
+
+    seq = execute(db, "SELECT * FROM $sequences").collect()
+    assert [(r["collection"], r["value"]) for r in seq] == [("items", 5)]
+
+    dump = execute(db, "SELECT * FROM $dump WHERE $.collection = 'items'").collect()
+    assert len(dump) >= 1 and all(r["n_files"] >= 1 for r in dump)
+
+    dbrow = execute(db, "SELECT * FROM $database").collect()
+    assert dbrow[0]["name"] == "sysdb" and dbrow[0]["n_tables"] == 1
+
+    # no open transaction -> $transactions/$snapshots empty
+    assert execute(db, "SELECT * FROM $transactions").count() == 0
+    with db.transaction():
+        t.insert([{"id": 9, "v": "c"}])
+        txns = execute(db, "SELECT * FROM $transactions").collect()
+        assert len(txns) == 1 and txns[0]["mode"] == "Write"
+        snaps = execute(db, "SELECT * FROM $snapshots").collect()
+        assert [(r["collection"], r["n_pending_dirs"] > 0) for r in snaps] == [
+            ("items", True)
+        ]
+    assert execute(db, "SELECT * FROM $transactions").count() == 0
+    assert execute(db, "SELECT * FROM $open_cursors").count() == 0

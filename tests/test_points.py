@@ -161,3 +161,16 @@ def test_continuous_query_result_lands_in_slot14(store, spark):
     state = {r["guid"]: r for r in store.current_state().collect()}
     assert state["avg-point"]["priority"] == 14
     assert float(state["avg-point"]["value"]) == 20.0
+
+
+def test_chain_count_reports_only_appended_blocks(store, spark):
+    """ADVICE r1: 'chain' must mean blocks appended by THIS batch, like
+    'writes'/'ts' — not the rebuilt-chain total."""
+    store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T00:00:00"), 15, "1.0")])
+    )
+    counts = store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T00:01:00"), 15, "2.0")])
+    )
+    assert counts["chain"] == 1  # not 2 (pre-existing block excluded)
+    assert store.chain.count() == 2

@@ -362,3 +362,31 @@ def test_vacuum_refused_inside_transaction(db):
             db.compact_table("customers")
     # txn still committed its insert despite the refused vacuums
     assert c.find("id = 81").count() == 1
+
+
+def test_ensure_index_metadata_rolls_back_with_transaction(db):
+    """ADVICE r1: an ensure_index inside a rolled-back transaction must
+    not leave persisted index/unique metadata behind (a phantom unique
+    constraint the stored data never validated)."""
+    t = db.tables("idx_txn", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+
+    class Boom(RuntimeError):
+        pass
+
+    try:
+        with db.transaction():
+            t.ensure_index("v", unique=True)
+            raise Boom()
+    except Boom:
+        pass
+    assert t.indexes() == []
+    assert "v" not in db._meta["tables"]["idx_txn"]["unique"]
+    # the un-committed unique constraint must not gate future inserts
+    t.insert([{"id": 3, "v": "a"}])
+    assert t.count() == 3
+
+    # commit path persists metadata exactly once
+    with db.transaction():
+        t.ensure_index("id")
+    assert [e["column"] for e in t.indexes()] == ["id"]
