@@ -138,6 +138,105 @@ def test_decode_without_decoder_raises(spark):
         mm.decode_media(media, decoder=None)
 
 
+def _tiny_png(w: int, h: int) -> bytes:
+    """Minimal valid PNG: signature + IHDR (+ empty IDAT/IEND not needed
+    for header parsing, but included for realism)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = zlib.compress(b"".join(b"\x00" + b"\x7f" * w for _ in range(h)))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_wav(n_samples: int, rate: int = 8000, amp: float = 0.5) -> bytes:
+    """Square-wave 16-bit mono WAV via the stdlib writer."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        val = int(amp * 32768) - 1
+        frames = b"".join(
+            struct.pack("<h", val if i % 2 == 0 else -val)
+            for i in range(n_samples)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_container_decode(spark):
+    """auto_decoder REALLY parses PNG/GIF/BMP/JPEG/WAV bytes (pure stdlib
+    — no media libraries), and only falls back to fake for unknown bytes."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 20
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 240, 360) + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_tiny_png(12, 7)), {}),
+            (2, "image", bytearray(gif), {}),
+            (3, "image", bytearray(bmp), {}),
+            (4, "image", bytearray(jpeg), {}),
+            (5, "audio", bytearray(_tiny_wav(4000, rate=8000)), {}),
+            (6, "image", bytearray(b"not a known container"), {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    d = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert (d[1]["codec"], d[1]["width"], d[1]["height"]) == ("png", 12, 7)
+    assert (d[2]["codec"], d[2]["width"], d[2]["height"]) == ("gif", 320, 200)
+    assert (d[3]["codec"], d[3]["width"], d[3]["height"]) == ("bmp", 640, 480)
+    assert (d[4]["codec"], d[4]["width"], d[4]["height"]) == ("jpeg", 360, 240)
+    assert d[5]["codec"] == "wav"
+    assert d[5]["n_frames"] == 4000 and d[5]["duration_ms"] == 500
+    assert d[6]["codec"] == "fake"
+
+
+def test_audio_features_real_pcm(spark):
+    """audio_features decodes PCM and computes RMS/peak/ZCR with numpy —
+    a ±amp square wave has RMS == peak == amp and ZCR ~= 1."""
+    amp = 0.5
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_tiny_wav(4000, rate=8000, amp=amp)), {}),
+            (2, "audio", bytearray(b"junk, not RIFF"), {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    f = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert f[1]["sample_rate"] == 8000 and f[1]["n_channels"] == 1
+    assert f[1]["n_samples"] == 4000 and f[1]["duration_ms"] == 500
+    assert abs(f[1]["rms"] - amp) < 0.01
+    assert abs(f[1]["peak"] - amp) < 0.01
+    assert f[1]["zero_cross_rate"] > 0.95
+    assert f[2]["sample_rate"] == 0 and f[2]["rms"] is None
+
+
 def test_hll_sketch_within_tolerance(spark, sf_dir):
     """approx_count_distinct (HLL sketch) — the cardinality primitive for
     100 TB profiling; no cross-engine oracle (sketches differ), so assert
