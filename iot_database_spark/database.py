@@ -94,6 +94,7 @@ class IotDatabase:
                 "schema": schema,
                 "foreign_keys": [fk.to_dict() for fk in (foreign_keys or [])],
                 "unique": unique or [],
+                "seq": 0,  # auto-id sequence — id assignment without a Spark job
             }
             self._meta["tables"][name] = meta
             self._save_meta()
@@ -223,10 +224,11 @@ class IotDatabase:
                 rows, "collection string, name string, expression string, unique boolean"
             )
         if key == "sequences":
-            # SysSequences.cs: (collection, value) — the next-id source;
-            # here the committed max id per table (parquet-stats read).
+            # SysSequences.cs: (collection, value) — the next-id source:
+            # the persisted sequence counter (no Spark job; legacy tables
+            # fall back to a one-time max(id) read inside _seq_base)
             rows = [
-                (t, int(self.table(t).max("id") or 0)) for t in self.list_tables()
+                (t, self.table(t)._seq_base()) for t in self.list_tables()
             ]
             return self.spark.createDataFrame(rows, "collection string, value bigint")
         if key == "transactions":

@@ -210,3 +210,47 @@ def nl_find_include_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY c_custkey",
         _resolver(spark, sf_dir),
     )
+
+
+@register(
+    "remote_serialized_find",
+    oracle="""
+    SELECT c.c_name AS Person, CAST(o.o_totalprice AS DOUBLE) AS Total
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY' AND o.o_totalprice > 250000
+    ORDER BY Total DESC, Person
+    LIMIT 25
+    """,
+)
+def remote_serialized_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized remote query surface (Queries/QueryBuilder.cs:20-62):
+    the query arrives as a JSON wire payload — built client-side by
+    build_query, shippable over any transport — and executes through the
+    same FindSpec compiler as the NL dialect. Round-trip through
+    serialize/deserialize is part of the path under test."""
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.query import remote
+
+    payload = remote.build_query(
+        table="customer",
+        where="c_mktsegment = 'MACHINERY'",
+        select=[["c_name", "Person"]],
+        joins=[
+            {
+                "table": "orders",
+                "on": "orders.o_custkey = customer.c_custkey",
+                "where": "o_totalprice > 250000",
+                "select": [["o_totalprice", "Total"]],
+            }
+        ],
+        order_by={"field": "Total", "ascending": False},
+    )
+    # wire round-trip: deserialize(serialize(x)) is the executed plan
+    payload = remote.serialize_query(remote.deserialize_query(payload))
+    out = remote.execute_query(payload, _resolver(spark, sf_dir))
+    # deterministic top-25: Total has ties, break them by Person in both
+    # engines (the payload's single order key is the reference's limit)
+    out = out.orderBy(F.col("Total").desc(), F.col("Person")).limit(25)
+    return out.withColumn("Total", F.col("Total").cast("double"))

@@ -120,22 +120,40 @@ class PointStore:
             iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
         ).select("guid", "ts", F.col("value").alias("data"))
         n_chain = 0
-        if chain_src.limit(1).count():
+        # one job answers both "any chain writes in this batch?" and "how
+        # many blocks already exist?" (round 1 ran them as separate
+        # limit(1).count() + count() actions)
+        existing = self.chain.df.select("guid", "ts", "data")
+        sizes = {
+            r["_c"]: r["_n"]
+            for r in chain_src.agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.lit("new").alias("_c"), "_n")
+            .unionAll(
+                existing.agg(F.count(F.lit(1)).alias("_n")).select(
+                    F.lit("prior").alias("_c"), "_n"
+                )
+            )
+            .collect()
+        }
+        if sizes["new"]:
             # rebuild affected chains: existing blocks + new data, per-key
             # (at Delta scale: MERGE only the touched guid partitions)
-            existing = self.chain.df.select("guid", "ts", "data")
-            n_prior = existing.count()
             rebuilt = bc.append_chain(
                 bc.dedup_consecutive(existing.unionByName(chain_src))
             )
             with_ids = self._assign_ids(self.chain, rebuilt, base=0)
             # 'chain' means blocks APPENDED by this batch (consecutive-dup
-            # drops excluded), consistent with the writes/ts counts —
-            # not the rebuilt-chain total
-            n_chain = with_ids.count() - n_prior
+            # drops excluded), consistent with the writes/ts counts — the
+            # rebuilt-total count rides the write job as an observed metric
+            from pyspark.sql import Observation
+
+            obs = Observation()
             self.chain._write(
-                with_ids.select(*[f.name for f in self.chain.df.schema.fields])
+                with_ids.observe(obs, F.count(F.lit(1)).alias("n")).select(
+                    *[f.name for f in self.chain.df.schema.fields]
+                )
             )
+            n_chain = int(obs.get["n"]) - sizes["prior"]
         return {"writes": n_all, "ts": n_ts, "chain": n_chain}
 
     @staticmethod
@@ -147,7 +165,7 @@ class PointStore:
         from pyspark.sql import Window as W
 
         if base is None:
-            base = table.max("id") or 0
+            base = table._seq_base()  # persisted sequence — no Spark job
         order = [c for c in ("guid", "ts", "priority", "value", "data") if c in batch.columns]
         rn = F.row_number().over(W.orderBy(*[F.col(c) for c in order]))
         out = batch.withColumn("id", (rn + F.lit(base)).cast("bigint"))

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "nl_find_triple_join",
     "nl_find_include_digest",
     "nl_find_include_nested",
+    "remote_serialized_find",
     # IotValue semantics
     "iot_effective_value",
     "iot_write_gating",

@@ -350,28 +350,42 @@ class Table:
     def insert(self, rows: list[dict] | DataFrame) -> int:
         """Validated batch insert; raises ConstraintViolation on any FK /
         unique / 1:1 breach (the reference throws per-row; batch-first
-        here). Auto-assigns id = max(id)+n when id is null/absent."""
+        here). Auto-assigns ids from the table's persisted sequence.
+
+        Scale note: ALL validation counts (every FK orphan check, 1:1
+        check, unique check — plus the batch count/max-id when the input
+        is a DataFrame) are computed in ONE Spark action over a union of
+        single-row aggregates. Round 1 ran 2 + 2·|fk| + |unique| separate
+        jobs per insert, each rescanning the batch and the table."""
+        from_list = not isinstance(rows, DataFrame)
         batch = (
-            rows
-            if isinstance(rows, DataFrame)
-            else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            if from_list
+            else rows
         )
 
         current = self._dirs_df(self._base_dirs())
-        # FK parent existence: anti-join new batch against parent ids
+        # (label, count-DataFrame, exception-builder) per constraint, in
+        # the order violations must be reported
+        checks: list[tuple[str, DataFrame, object]] = []
         for fk in self.foreign_keys:
             pt = self.db.table(fk.parent)
             parent = pt._dirs_df(pt._base_dirs()).select(F.col("id").alias("_pid"))
             orphans = (
                 batch.filter(F.col(fk.column).isNotNull())
                 .join(parent, batch[fk.column] == F.col("_pid"), "left_anti")
-                .count()
+                .agg(F.count(F.lit(1)).alias("_n"))
             )
-            if orphans:
-                raise ConstraintViolation(
-                    f"{self.name}.{fk.column}: {orphans} row(s) reference "
-                    f"missing {fk.parent}.id"
+            checks.append(
+                (
+                    f"fk:{fk.column}",
+                    orphans,
+                    lambda n, fk=fk: ConstraintViolation(
+                        f"{self.name}.{fk.column}: {n} row(s) reference "
+                        f"missing {fk.parent}.id"
+                    ),
                 )
+            )
             if fk.one_to == "one":
                 # 1:1 — no parent may gain a second child
                 # (TableCollection.cs:941-966)
@@ -382,13 +396,18 @@ class Table:
                     .groupBy("_fk")
                     .count()
                     .filter(F.col("count") > 1)
-                    .count()
+                    .agg(F.count(F.lit(1)).alias("_n"))
                 )
-                if dup:
-                    raise ConstraintViolation(
-                        f"{self.name}.{fk.column}: 1:1 relationship to "
-                        f"{fk.parent} violated"
+                checks.append(
+                    (
+                        f"1to1:{fk.column}",
+                        dup,
+                        lambda n, fk=fk: ConstraintViolation(
+                            f"{self.name}.{fk.column}: 1:1 relationship to "
+                            f"{fk.parent} violated"
+                        ),
                     )
+                )
         # unique columns (TableCollection.cs:967-977)
         for col in self.unique:
             dup = (
@@ -398,24 +417,91 @@ class Table:
                 .groupBy("_u")
                 .count()
                 .filter(F.col("count") > 1)
-                .count()
+                .agg(F.count(F.lit(1)).alias("_n"))
             )
-            if dup:
-                raise ConstraintViolation(f"{self.name}.{col}: unique violated")
+            checks.append(
+                (
+                    f"uniq:{col}",
+                    dup,
+                    lambda n, col=col: ConstraintViolation(
+                        f"{self.name}.{col}: unique violated"
+                    ),
+                )
+            )
 
-        n = batch.count()
+        n = len(rows) if from_list else None
+        batch_max_id = None
+        if checks or not from_list:
+            if not from_list and len(checks) > 1:
+                batch = batch.persist()
+            stats = [
+                c.select(F.lit(label).alias("_c"), F.col("_n"))
+                for label, c, _ in checks
+            ]
+            if not from_list:
+                stats.append(
+                    batch.agg(
+                        F.count(F.lit(1)).alias("_n"),
+                        F.max("id").alias("_m"),
+                    ).select(F.lit("_batch").alias("_c"), F.col("_n"), F.col("_m"))
+                )
+            import functools
+
+            def pad(df: DataFrame) -> DataFrame:
+                return (
+                    df
+                    if "_m" in df.columns
+                    else df.select("_c", "_n", F.lit(None).cast("bigint").alias("_m"))
+                )
+
+            unioned = functools.reduce(
+                lambda a, b: a.unionAll(b), (pad(s) for s in stats)
+            )
+            counts = {r["_c"]: (r["_n"], r["_m"]) for r in unioned.collect()}
+            for label, _, exc in checks:
+                bad = counts[label][0]
+                if bad:
+                    if not from_list and len(checks) > 1:
+                        batch.unpersist()
+                    raise exc(bad)
+            if not from_list:
+                n, batch_max_id = counts["_batch"]
         self._append(batch)
+        if not from_list and len(checks) > 1:
+            batch.unpersist()
+        if batch_max_id is not None:
+            self._advance_seq(int(batch_max_id))
         return n
+
+    def _seq_base(self) -> int:
+        """Last id handed out by this table's sequence ($sequences analog
+        — LiteDB auto-id; SysSequences.cs). Persisted in table metadata so
+        id assignment costs zero Spark jobs; tables created before the
+        sequence existed migrate via a one-time max(id) read."""
+        meta = self.db._meta["tables"][self.name]
+        seq = meta.get("seq")
+        if seq is None:
+            cur = self._dirs_df(self._base_dirs())
+            seq = cur.agg(F.max("id")).collect()[0][0] or 0
+        return int(seq)
+
+    def _advance_seq(self, value: int) -> None:
+        """Monotone: never reuse ids, even after deleting the max row
+        (matching LiteDB sequence behavior)."""
+        meta = self.db._meta["tables"][self.name]
+        if value > int(meta.get("seq") or 0):
+            meta["seq"] = int(value)
+            self.db._save_meta()
 
     def _with_ids(self, rows: list[dict]) -> list[dict]:
         need = [r for r in rows if r.get("id") is None]
-        if need:
-            # chain on the transaction's pending state so two inserts in
-            # one transaction never reuse ids
-            cur = self._dirs_df(self._base_dirs())
-            base = cur.agg(F.max("id")).collect()[0][0] or 0
-            for i, r in enumerate(need, start=1):
-                r["id"] = base + i
+        explicit_max = max(
+            (r["id"] for r in rows if r.get("id") is not None), default=0
+        )
+        base = self._seq_base()
+        for i, r in enumerate(need, start=1):
+            r["id"] = base + i
+        self._advance_seq(max(base + len(need), explicit_max))
         return rows
 
     # -- delete with FK behavior (TableCollection.cs:316-460) -------------
@@ -488,7 +574,6 @@ class Table:
                 f"{self.name}: update targets {sorted(unknown)} are not "
                 f"columns (nested-path SET is not supported)"
             )
-        n = current.filter(pred).count()
         cols = []
         for c in current.columns:
             if c in transforms:
@@ -497,21 +582,42 @@ class Table:
                 cols.append(F.when(pred, t).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))
-        self._write(current.select(*cols))
-        return n
+        # the affected-row count rides the write job as an observed metric
+        # — no separate count() pass over the table
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = current.observe(
+            obs, F.sum(F.when(pred, 1).otherwise(0)).alias("n")
+        ).select(*cols)
+        self._write(observed)
+        return int(obs.get["n"] or 0)
 
     def upsert(self, rows: list[dict] | DataFrame) -> int:
         """Insert-or-replace by id (TableCollection.cs:1195-1240). At
         cluster scale this is a Delta MERGE; here: anti-join + union."""
+        from_list = not isinstance(rows, DataFrame)
         batch = (
-            rows
-            if isinstance(rows, DataFrame)
-            else self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            if from_list
+            else rows
         )
+        if from_list:
+            n = len(rows)
+        else:
+            batch = batch.persist()
+            row = batch.agg(
+                F.count(F.lit(1)).alias("n"), F.max("id").alias("m")
+            ).collect()[0]
+            n = row["n"]
         current = self._dirs_df(self._base_dirs())
         keep = current.join(batch.select("id"), "id", "left_anti")
         self._write(keep.unionByName(batch))
-        return batch.count()
+        if not from_list:
+            batch.unpersist()
+            if row["m"] is not None:
+                self._advance_seq(int(row["m"]))
+        return n
 
     # -- reads (TableCollection.cs:666-891) --------------------------------
 

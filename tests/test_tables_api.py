@@ -390,3 +390,57 @@ def test_ensure_index_metadata_rolls_back_with_transaction(db):
     with db.transaction():
         t.ensure_index("id")
     assert [e["column"] for e in t.indexes()] == ["id"]
+
+
+def test_write_paths_use_few_spark_jobs(db):
+    """VERDICT r1 #8: insert must validate ALL constraints in one action
+    and assign ids without a max(id) job; update_many must count affected
+    rows as an observed metric of the write job, not a separate pass.
+    Job counts via the status tracker (AQE may split one action into a
+    few stage-jobs, so bounds are ceilings, not exact)."""
+    sc = db.spark.sparkContext
+    t = db.tables("jobs_plain", "id bigint, v string")
+    t.insert([{"id": None, "v": "warm"}])
+
+    # list insert, no constraints: the write job only — id assignment is
+    # the persisted sequence, zero validation actions
+    sc.setJobGroup("ins0", "plain insert")
+    t.insert([{"id": None, "v": "a"}, {"id": None, "v": "b"}])
+    assert len(sc.statusTracker().getJobIdsForGroup("ins0")) == 1
+
+    # constrained insert: one validation action (union of all FK/unique
+    # counts) + one write — AQE stage-jobs stay well under the old
+    # 2 + 2|fk| + |unique| separate actions' job count
+    parent = db.tables("jobs_p", "id bigint, v string")
+    child = db.tables(
+        "jobs_c",
+        "id bigint, p_id bigint, u string",
+        foreign_keys=[ForeignKey(column="p_id", parent="jobs_p")],
+        unique=["u"],
+    )
+    parent.insert([{"id": 1, "v": "x"}])
+    child.insert([{"id": None, "p_id": 1, "u": "w"}])
+    sc.setJobGroup("ins1", "constrained insert")
+    child.insert([{"id": None, "p_id": 1, "u": "a"}])
+    assert len(sc.statusTracker().getJobIdsForGroup("ins1")) <= 7
+
+    # update: exactly the write job (count observed on it)
+    sc.setJobGroup("upd", "update")
+    n = child.update_many({"u": F.concat(F.col("u"), F.lit("!"))}, "p_id = 1")
+    assert n == 2
+    assert len(sc.statusTracker().getJobIdsForGroup("upd")) == 1
+
+
+def test_sequence_is_monotone_and_survives_delete(db):
+    """LiteDB auto-id sequences never reuse ids, even after the max row
+    is deleted."""
+    t = db.tables("seq_t", "id bigint, v string")
+    t.insert([{"id": None, "v": "a"}, {"id": None, "v": "b"}])
+    assert [r["id"] for r in t.df.orderBy("id").collect()] == [1, 2]
+    t.delete("id = 2")
+    t.insert([{"id": None, "v": "c"}])
+    assert [r["id"] for r in t.df.orderBy("id").collect()] == [1, 3]
+    # explicit ids advance the sequence past themselves
+    t.insert([{"id": 10, "v": "d"}])
+    t.insert([{"id": None, "v": "e"}])
+    assert t.max("id") == 11
