@@ -16,6 +16,7 @@ collections (LiteDB/Engine/SystemCollections/Register.cs:16-31) via
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -278,6 +279,34 @@ class IotDatabase:
                 [],
                 "transactionID bigint, collection string, mode string, "
                 "elapsedMS bigint, documentsCount bigint",
+            )
+        if key == "page_list":
+            # SysPageList.cs:13-50 — the physical page walk. Parquet has
+            # no pager; the analog granularity is one row per data FILE in
+            # the CURRENT version (the unit Spark schedules and prunes).
+            rows = []
+            for tname in self.list_tables():
+                t = self.table(tname)
+                v = t._current_version()
+                if v < 0:
+                    continue
+                for d in t._manifest_dirs(v):
+                    for fpath in sorted(
+                        glob.glob(os.path.join(t.path, d, "*.parquet"))
+                    ):
+                        rows.append(
+                            (
+                                tname,
+                                v,
+                                d,
+                                os.path.basename(fpath),
+                                os.path.getsize(fpath),
+                            )
+                        )
+            return self.spark.createDataFrame(
+                rows,
+                "collection string, version bigint, dir string, "
+                "file string, bytes bigint",
             )
         if key == "dump":
             # SysDump.cs analog over the manifest log: the physical layout

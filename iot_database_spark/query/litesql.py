@@ -278,6 +278,9 @@ _DROP_INDEX_CMD = re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\.(\w+)\s*$", re.I)
 # PRAGMA {name} | PRAGMA {name} = {value}  (SqlParser.cs:24-49 ->
 # EnginePragmas.cs:70-160)
 _PRAGMA_CMD = re.compile(r"^\s*PRAGMA\s+(\w+)(?:\s*=\s*(.+?))?\s*;?\s*$", re.I | re.S)
+# $query('sql') sub-query system collection (SysQuery.cs:14-38) —
+# matched against literal-masked SQL, the argument is a masked literal
+_QUERY_REF = re.compile(r"\$query\s*\(\s*\x00(\d+)\x00\s*\)", re.I)
 # $collection references in SELECTs (Register.cs:16-31); $file_* is
 # routed separately by lite_sql
 _SYS_REF = re.compile(r"\$(\w+)")
@@ -316,6 +319,19 @@ def execute(db, sql: str, params: dict | None = None):
         # resolve $system collections to registered views (literal-masked
         # so '$indexes' inside a string value stays data)
         masked, lits = _mask_literals(sql)
+        # $query('sql') sub-queries first (SysQuery.cs:14-38): execute the
+        # inner dialect SQL recursively and expose it as a view
+        def subquery(m: re.Match) -> str:
+            inner = _lit_text(lits, m.group(1))
+            # reject BEFORE executing — a command sub-query must not run
+            # its side effects and then fail
+            if not inner.lstrip().upper().startswith("SELECT"):
+                raise ValueError("$query(sql) requires a SELECT sub-query")
+            view = f"sys_query_{abs(hash(inner)) % 10**9}"
+            execute(db, inner, params).createOrReplaceTempView(view)
+            return view
+
+        masked = _QUERY_REF.sub(subquery, masked)
         if _SYS_REF.search(masked):
 
             def sysview(m: re.Match) -> str:

@@ -286,3 +286,31 @@ def test_system_collections(spark, tmp_path):
         ]
     assert execute(db, "SELECT * FROM $transactions").count() == 0
     assert execute(db, "SELECT * FROM $open_cursors").count() == 0
+
+
+def test_sys_query_subquery_and_page_list(spark, tmp_path):
+    """$query('sql') sub-queries (SysQuery.cs:14-38) and $page_list
+    physical-layout rows (SysPageList.cs:13-50)."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("sysq", str(tmp_path), spark)
+    t = db.tables("nums", "id bigint, v int")
+    t.insert([{"id": i, "v": i * 10} for i in range(1, 6)])
+
+    out = execute(
+        db,
+        "SELECT COUNT(*) AS n FROM $query('SELECT * FROM nums WHERE $.v >= 30')",
+    ).collect()
+    assert out[0]["n"] == 3
+
+    # a string literal containing '$query(' stays data
+    lit = execute(db, "SELECT '$query(x)' AS s").collect()
+    assert lit[0]["s"] == "$query(x)"
+
+    with pytest.raises(ValueError, match="SELECT sub-query"):
+        execute(db, "SELECT * FROM $query('DROP COLLECTION nums')")
+
+    pages = execute(db, "SELECT * FROM $page_list WHERE $.collection = 'nums'").collect()
+    assert len(pages) >= 1
+    assert all(p["file"].endswith(".parquet") and p["bytes"] > 0 for p in pages)
