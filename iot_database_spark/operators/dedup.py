@@ -328,3 +328,82 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "blk", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters: undirected connected
+    components by iterative min-label propagation. Returns one row per
+    node: (id, cluster_id) where cluster_id = min node id reachable.
+
+    `pairs` needs columns (id_a, id_b); `nodes` provides the full vertex
+    set (so singletons — documents with no near-dup — get their own
+    cluster).
+
+    Scale notes: each iteration is one keyed shuffle (labels ⋈ edges +
+    groupBy min) and converges in O(graph diameter) rounds — near-dup
+    graphs are unions of small cliques, so 2-4 rounds in practice;
+    `max_iter` bounds pathological chains. Lineage is cut per round with
+    localCheckpoint so the plan doesn't grow unboundedly. For graphs with
+    giant components (web-crawl link graphs, not dedup graphs) switch to
+    the large-star/small-star algorithm; min-propagation is the right
+    cost model here because components are tiny.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "cluster_id")
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("_nbr"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("_nbr"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = (
+            stepped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = stepped
+        if not changed:
+            break
+    return labels
+
+
+def cluster_assign(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually ships: every
+    document labeled with its near-dup cluster, the cluster size, and
+    whether it is the canonical survivor (min id in cluster)."""
+    comp = connected_components(pairs, nodes, id_col=id_col)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

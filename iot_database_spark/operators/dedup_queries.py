@@ -209,3 +209,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
     )
     return dd.embedding_neardup_pairs(emb, block_col="label", min_cosine=0.4)
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    mh AS (
+        SELECT id, {_minhash_cols_sql()}
+        FROM sh GROUP BY id
+    ),
+    bands AS ({_band_selects_sql()}),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    strong AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN mh x ON x.id = c.id_a
+        JOIN mh y ON y.id = c.id_b
+        WHERE ({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(K))})
+              / 16.0 >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM strong
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM strong
+    ),
+    allnodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    reach(node, lbl) AS (
+        SELECT id, id FROM allnodes
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+           c.id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+@register("dedup_cluster_assign", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision a dedup pipeline ships: LSH candidate pairs filtered
+    to strong signature agreement (>= 0.5), grouped into clusters by
+    distributed connected components (iterative min-label propagation,
+    O(diameter) keyed shuffles), every document labeled with cluster id /
+    size / canonical-survivor flag. Singletons (including sub-3-word docs
+    that never shingle) keep their own id as cluster. Oracle: the same
+    pair SQL + a recursive-CTE transitive closure in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.lsh_candidate_pairs(docs, k=K, bands=BANDS).filter(
+        F.col("sig_agreement") >= 0.5
+    )
+    tables = load_views(spark, sf_dir)
+    nodes = tables["documents"].select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    out = dd.cluster_assign(
+        pairs.select("id_a", "id_b"), nodes, id_col="doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_cluster_assign",
     # text analysis
     "text_quality_scores",
     "text_token_count",

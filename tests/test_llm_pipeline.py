@@ -284,3 +284,18 @@ def test_kmeans_refine_improves_objective(spark, sf_dir):
     assigned = sim.ivf_assign(emb, c1)
     top = sim.ivf_search_cosine(assigned, c1, q, k=5, nprobe=4).collect()
     assert top[0]["vec_id"] == 0
+
+
+def test_connected_components_multi_hop(spark):
+    """A chain a-b-c-d must collapse to one cluster (requires multiple
+    propagation rounds), plus a pair and singletons."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id bigint")
+    out = {r["id"]: r for r in dd.cluster_assign(pairs, nodes).collect()}
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3, 4))
+    assert out[1]["cluster_size"] == 4 and out[1]["is_canonical"]
+    assert not out[4]["is_canonical"]
+    assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
+    assert out[99]["cluster_size"] == 1 and out[99]["is_canonical"]
