@@ -163,3 +163,106 @@ def fingerprint(
         "_s.min_fingerprint",
         "_s.fingerprint_xor",
     )
+
+
+def gopher_rules(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style document filter signals (Rae et al. 2021, "Scaling
+    Language Models" §A1.1.2 quality heuristics) + the combined pass
+    flag. Pure column expressions — one scan, no shuffle:
+
+    - n_words, mean_word_len
+    - symbol_word_ratio: '#'/ellipsis occurrences per word
+    - bullet_line_frac / ellipsis_line_frac: lines starting with a
+      bullet / ending with an ellipsis
+    - dup_line_frac: 1 - distinct(lines)/lines
+    - alpha_word_frac: words containing at least one letter
+    - stop_hits: distinct hits from a tiny English stopword list
+    - pass_gopher: the conjunction with the published thresholds
+      (50..100k words, mean word length 3..10, symbol ratio < .1,
+      bullets < .9, ellipsis < .3, alpha > .8, >= 2 stopword kinds,
+      duplicate lines < .3)
+    """
+    t = F.col(text)
+    words = tokens(t)
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+    def occurrences(sub: str) -> Column:
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(sub), F.lit(""))))
+            / len(sub)
+        ).cast("bigint")
+
+    symbol_ratio = (occurrences("#") + occurrences("...")) / nw
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).rlike("^[-*•]"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("\\.\\.\\.$"))) / n_lines
+    )
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw
+    )
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(sw, lambda s: F.array_contains(lowered, s)))
+
+    out = df.select(
+        *df.columns,
+        n_words.cast("bigint").alias("n_words"),
+        mean_token_len(t).alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s and count each kind — the
+    pre-training scrub pass. regexp_replace chains stay in codegen; one
+    scan, no Python."""
+    t = F.col(text)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(*df.columns, *counts, scrubbed.alias("scrubbed"))

@@ -269,3 +269,130 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_uniqueness"
         ),
     )
+
+
+_STOP_LIST = "['the','a','of','and','to','in','is']"
+_GOPHER_ORACLE = f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               string_split(text, ' ') AS words,
+               string_split(text, chr(10)) AS lines,
+               CAST(GREATEST(LEN(string_split(text, ' ')), 1) AS DOUBLE) AS nw,
+               CAST(GREATEST(LEN(string_split(text, chr(10))), 1) AS DOUBLE) AS nl
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(LEN(words) AS BIGINT) AS n_words,
+               list_reduce(list_prepend(0, list_transform(words,
+                   w -> CAST(LENGTH(w) AS INT))), (acc, x) -> acc + x) / nw
+                 AS mean_word_len,
+               (CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) AS BIGINT)
+                + CAST((LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3 AS BIGINT))
+                 / nw AS symbol_word_ratio,
+               LEN(list_filter(lines, l -> regexp_matches(TRIM(l), '^[-*•]'))) / nl
+                 AS bullet_line_frac,
+               LEN(list_filter(lines, l -> regexp_matches(TRIM(l), '\\.\\.\\.$'))) / nl
+                 AS ellipsis_line_frac,
+               1.0 - LEN(list_distinct(lines)) / nl AS dup_line_frac,
+               LEN(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / nw
+                 AS alpha_word_frac,
+               CAST(LEN(list_filter({_STOP_LIST},
+                   s -> list_contains(list_transform(words, w -> LOWER(w)), s)))
+                 AS BIGINT) AS stop_hits
+        FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio < 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND dup_line_frac < 0.3
+            AND alpha_word_frac > 0.8
+            AND stop_hits >= 2) AS pass_gopher
+    FROM feats
+"""
+
+
+@register("text_gopher_rules", oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule signals + pass flag per document — the
+    standard pre-training filter battery, as pure column expressions."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return tx.gopher_rules(docs).drop("text")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{2}-\d{3}-\d{3}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               c_name || ' <' ||
+               LOWER(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) ||
+               '@example.com> tel ' ||
+               LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+               LPAD(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+               LPAD(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+               LPAD(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') ||
+               ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1'
+                 AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(LEN(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(LEN(regexp_extract_all(contact, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(LEN(regexp_extract_all(contact, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g') AS scrubbed
+    FROM c
+"""
+
+
+@register("text_scrub_pii", oracle=_PII_ORACLE)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails/phones/IPv4s redacted and counted, in
+    codegen'd regexp chains. The contact strings are constructed
+    deterministically from customer columns (the synthetic documents
+    contain no PII), so both engines scrub identical inputs."""
+    tables = load_views(spark, sf_dir)
+    k = F.col("c_custkey")
+
+    def seg(mult: int, mod: int, width: int) -> F.Column:
+        return F.lpad(((k * mult) % mod).cast("string"), width, "0")
+
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]+", ".")),
+        F.lit("@example.com> tel "),
+        seg(1, 100, 2),
+        F.lit("-"),
+        seg(7, 1000, 3),
+        F.lit("-"),
+        seg(13, 1000, 3),
+        F.lit("-"),
+        seg(31, 10000, 4),
+        F.lit(" ip 10."),
+        (k % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    docs = tables["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        contact.alias("contact"),
+    )
+    out = tx.scrub_pii(docs, text="contact")
+    return out.select(
+        "c_custkey",
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ipv4"),
+        "scrubbed",
+    ).drop("contact")

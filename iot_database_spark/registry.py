@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count",
     "text_langid",
     "text_fingerprint",
+    "text_gopher_rules",
+    "text_scrub_pii",
     "pipeline_clean_corpus",
     # NL query surface
     "nl_find_filter_sort_limit",

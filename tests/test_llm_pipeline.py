@@ -299,3 +299,41 @@ def test_connected_components_multi_hop(spark):
     assert not out[4]["is_canonical"]
     assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
     assert out[99]["cluster_size"] == 1 and out[99]["is_canonical"]
+
+
+def test_gopher_rules_signals(spark):
+    """Bullet lines, duplicate lines, symbol ratio, and the pass flag."""
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog and runs to town"] * 5
+    )  # 60 words, stopwords present, all alpha
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dup_lines = "\n".join(["same line here"] * 10)
+    symbols = " ".join(["word ###"] * 30)
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dup_lines), (4, symbols)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.gopher_rules(df).collect()}
+    assert out[1]["pass_gopher"]
+    assert out[1]["alpha_word_frac"] == 1.0 and out[1]["stop_hits"] >= 2
+    assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["pass_gopher"]
+    assert out[3]["dup_line_frac"] == 0.9 and not out[3]["pass_gopher"]
+    assert out[4]["symbol_word_ratio"] >= 1.0 and not out[4]["pass_gopher"]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob at bob.smith+x@mail.example.org or 12-345-678-9012"),
+            (2, "server 192.168.0.1 and 10.0.0.2 are fine; version 1.2 is not an ip"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["scrubbed"] == "contact bob at [EMAIL] or [PHONE]"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["scrubbed"] == "server [IP] and [IP] are fine; version 1.2 is not an ip"
+    assert out[3]["scrubbed"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
