@@ -1,0 +1,82 @@
+"""Driver-graded Structured Streaming query.
+
+The reference's continuous layer is a poll-timer service
+(Queries/QueryExecutionService.cs:14 — 1 s tick, re-run registered
+queries); the Spark-first equivalent is Structured Streaming with
+event-time windows and watermarks (streaming/windowed.py). This module
+puts that path under the driver's DuckDB correctness gate: the SAME
+windowed_rollup plan runs as a real stream (file source, availableNow
+trigger, memory sink) and must hash-match a plain batch GROUP BY — the
+streaming==batch equivalence that makes the two paths interchangeable.
+
+Determinism notes: with availableNow over one input file the stream is
+one micro-batch, so no rows are late relative to the watermark and the
+result equals the batch aggregation bit-for-bit. first/last-value
+columns are dropped from the graded output because min_by/arg_min ties
+on duplicate timestamps are engine-nondeterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_database_spark.registry import load_views, register
+from iot_database_spark.streaming.windowed import windowed_rollup
+
+_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@register(
+    "stream_windowed_rollup",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', date_trunc('microsecond', ts)) AS bucket_start,
+           COUNT(*) AS n_samples,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', date_trunc('microsecond', ts))
+    """,
+)
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type rollup computed BY A RUNNING STREAM
+    (readStream file source -> watermark -> window agg -> memory sink,
+    availableNow trigger), then returned as the sink table."""
+    load_views(spark, sf_dir)  # applies the nanos/UTC runtime confs
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        # the file source monitors a DIRECTORY; glob-filter it down to
+        # the events table (sf_dir holds other tables' parquet too)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # testdata stores TIMESTAMP(NANOS) read as long under
+        # nanosAsLong; integer DIV keeps the floor-to-micros exact
+        # (ns-since-epoch exceeds double precision) — same expression
+        # as session._fix_nanos
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    rolled = windowed_rollup(
+        stream,
+        window="1 hour",
+        watermark="2 hours",
+        guid="event_type",
+        ts="ts",
+        value="value",
+    ).select("event_type", "bucket_start", "n_samples", "min_value", "max_value")
+
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    (
+        rolled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)

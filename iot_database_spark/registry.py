@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_rollup_hourly",
     "ts_detect_gaps",
     "ts_rate_of_change",
+    "stream_windowed_rollup",
     # blockchain
     "chain_append",
     "chain_verify",
@@ -148,6 +149,7 @@ def _ensure_loaded() -> None:
         "iot_database_spark.operators.dedup_queries",
         "iot_database_spark.operators.textstats_queries",
         "iot_database_spark.operators.nl_queries",
+        "iot_database_spark.operators.streaming_queries",
     ):
         try:
             importlib.import_module(mod)
