@@ -53,6 +53,12 @@ HEADLINE = [
     "nl_find_dual_join",
     "event_sessionization",
     "skew_salted_agg",
+    # round 2 additions
+    "dedup_cluster_assign",
+    "text_gopher_rules",
+    "text_scrub_pii",
+    "remote_serialized_find",
+    "stream_windowed_rollup",
 ]
 
 

@@ -358,9 +358,20 @@ def connected_components(
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.localCheckpoint(eager=False)
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    # iterate ONLY over edge-incident nodes — singletons (the vast
+    # majority of a dedup corpus) can never change label, so they join
+    # back in constant work at the end instead of riding every round
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
+    # labels only ever DECREASE (least of self and neighbors), so
+    # sum(cluster_id) is strictly monotone while anything changes —
+    # convergence is one tiny agg on the materialized frame, not a
+    # self-join diff
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -374,18 +385,18 @@ def connected_components(
                 F.col("cluster_id"), F.coalesce(F.col("_nbr"), F.col("cluster_id"))
             ).alias("cluster_id"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
-        changed = (
-            stepped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = stepped
-        if not changed:
+        labels = stepped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
-    return labels
+        prev_sum = cur_sum
+
+    singletons = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return labels.unionByName(singletons)
 
 
 def cluster_assign(
