@@ -517,17 +517,49 @@ class Table:
 
     def _delete_ids(self, doomed_ids: DataFrame) -> int:
         """Delete by an id set (a DataFrame, so cascades stay distributed —
-        the recursion never collects ids to the driver)."""
-        n = doomed_ids.count()
+        the recursion never collects ids to the driver).
+
+        The doomed count and every child's affected count come from ONE
+        Spark action (union of single-row aggregates), mirroring insert's
+        single validation pass — control flow (early exit, restrictive
+        raise, which children to touch) needs the counts before any
+        mutation, but not one job per count."""
+        children = list(self.db.children_of(self.name))
+        if children:
+            doomed_ids = doomed_ids.persist()
+        stats = [
+            doomed_ids.agg(F.count(F.lit(1)).alias("_n")).select(
+                F.lit("_doomed").alias("_c"), "_n"
+            )
+        ]
+        for child_name, fk in children:
+            child = self.db.table(child_name)
+            cdf = child._dirs_df(child._base_dirs())
+            stats.append(
+                cdf.join(doomed_ids, cdf[fk.column] == F.col("_did"), "left_semi")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(F.lit(child_name).alias("_c"), "_n")
+            )
+        import functools
+
+        counts = {
+            r["_c"]: r["_n"]
+            for r in functools.reduce(
+                lambda a, b: a.unionAll(b), stats
+            ).collect()
+        }
+        n = counts["_doomed"]
         if n == 0:
+            if children:
+                doomed_ids.unpersist()
             return 0
-        for child_name, fk in self.db.children_of(self.name):
+        for child_name, fk in children:
             child = self.db.table(child_name)
             cdf = child._dirs_df(child._base_dirs())
             affected_ids = cdf.join(
                 doomed_ids, cdf[fk.column] == F.col("_did"), "left_semi"
             ).select(F.col("id").alias("_did"))
-            n_affected = affected_ids.count()
+            n_affected = counts[child_name]
             if n_affected == 0:
                 continue
             if fk.constraint == "restrictive":
@@ -559,6 +591,8 @@ class Table:
         self._write(
             current.join(doomed_ids, current["id"] == F.col("_did"), "left_anti")
         )
+        if children:
+            doomed_ids.unpersist()
         return n
 
     # -- updates (TableCollection.cs:1246-1328) ---------------------------
