@@ -55,6 +55,15 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df)
 
 
+def uses_python_udf(df: DataFrame) -> bool:
+    """Row-at-a-time OR Arrow-batched Python in the plan — the slow
+    paths a query plan should avoid unless semantics require them."""
+    text = explain_str(df, "simple")
+    return bool(
+        re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", text)
+    )
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded) —
     the number to minimize. Uses 'simple' mode: formatted mode prints

@@ -84,3 +84,38 @@ def test_q5_q14_shapes_broadcast_dims(spark, sf):
         assert audit.uses_broadcast_join(df), name
         rep = audit.plan_report(df)
         assert rep["shuffle_exchanges"] <= 3, (name, rep["shuffle_exchanges"])
+
+
+def test_round2_text_ops_prune_and_scan_only(spark, sf):
+    """gopher/scrub are pure scans: zero exchanges, no Python, and the
+    documents scan reads only the needed columns."""
+    for name in ("text_gopher_rules", "text_scrub_pii"):
+        df = _Q[name](spark, sf)
+        assert audit.count_exchanges(df) == 0, name
+        assert not audit.uses_python_udf(df), name
+    gopher = _Q["text_gopher_rules"](spark, sf)
+    schemas = audit.read_schemas(gopher)
+    # documents has 5 columns; only doc_id + text should be read
+    assert any(s.count(",") <= 1 for s in schemas)
+
+
+def test_round2_cluster_assign_bounded_exchanges(spark, sf):
+    """The FINAL cluster plan (after per-round checkpoints truncate
+    lineage) is a bounded set of keyed joins over materialized label
+    frames — no Python, no cartesian. Join strategy is deliberately left
+    to AQE: label-frame sizes are data-dependent (checkpointed RDDs have
+    no static stats), and AQE's runtime conversion to broadcast where the
+    materialized side is small IS the scale-safe choice — a forced static
+    broadcast could OOM at adversarial dup rates."""
+    df = _Q["dedup_cluster_assign"](spark, sf)
+    assert audit.count_exchanges(df) <= 7
+    assert not audit.uses_python_udf(df)
+    assert "CartesianProduct" not in audit.explain_str(df, "simple")
+
+
+def test_round2_serialized_find_matches_nl_plan_quality(spark, sf):
+    """The JSON wire surface compiles to the same broadcast-join shape
+    as the NL dialect — no penalty for the serialized front door."""
+    df = _Q["remote_serialized_find"](spark, sf)
+    assert audit.uses_broadcast_join(df) or audit.count_exchanges(df) <= 2
+    assert audit.uses_take_ordered(df)  # ORDER BY + LIMIT -> top-k
