@@ -131,6 +131,55 @@ FUNCTIONS: dict[str, Callable[..., Column]] = {
     "IS_STRING": lambda x: _c(x).try_cast("string").isNotNull(),
     "IS_BOOLEAN": lambda x: _c(x).cast("string").try_cast("boolean").isNotNull(),
     "IS_DATETIME": lambda x: _c(x).cast("string").try_cast("timestamp").isNotNull(),
+    # runtime-type predicates over Spark's type system (DataTypes.cs
+    # IS_ARRAY:441 IS_BINARY IS_DOCUMENT IS_GUID IS_OBJECTID): typeof()
+    # resolves the column's Catalyst type; GUID/ObjectId are format
+    # checks on the string value (their storage type here).
+    "IS_ARRAY": lambda x: F.call_function("typeof", _c(x)).startswith("array"),
+    "IS_BINARY": lambda x: F.call_function("typeof", _c(x)) == "binary",
+    "IS_DOCUMENT": lambda x: F.call_function("typeof", _c(x)).startswith("struct")
+    | F.call_function("typeof", _c(x)).startswith("map"),
+    "IS_GUID": lambda x: _c(x)
+    .cast("string")
+    .rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "IS_OBJECTID": lambda x: _c(x).cast("string").rlike("^[0-9a-fA-F]{24}$"),
+    # BSON Min/Max sentinels have no Spark analog (MINVALUE/MAXVALUE
+    # construct null here) — no real value ever matches them
+    "IS_MINVALUE": lambda x: F.lit(False),
+    "IS_MAXVALUE": lambda x: F.lit(False),
+    # ObjectId embeds its creation time in the first 4 bytes (hex
+    # seconds since epoch) — Misc.cs OID_CREATIONTIME
+    "OID_CREATIONTIME": lambda x: F.timestamp_seconds(
+        F.conv(F.substring(_c(x).cast("string"), 1, 8), 16, 10).cast("bigint")
+    ),
+    # enumerable aggregates over ARRAY arguments (Aggregate.cs:12-100):
+    # SUM/AVG consider only numeric members (values.Where(IsNumber)),
+    # AVG of no numerics = 0, ANY = non-empty
+    "COUNT": lambda arr: F.coalesce(F.size(_c(arr)), F.lit(0)),
+    "MIN": lambda arr: F.array_min(_c(arr)),
+    "MAX": lambda arr: F.array_max(_c(arr)),
+    # F.get is 0-based and null-safe on empty arrays (ANSI element_at throws)
+    "FIRST": lambda arr: F.get(_c(arr), 0),
+    "LAST": lambda arr: F.get(_c(arr), F.size(_c(arr)) - 1),
+    "ANY": lambda arr: F.coalesce(F.size(_c(arr)), F.lit(0)) > 0,
+    "SUM": lambda arr: F.aggregate(
+        F.filter(_c(arr), lambda v: v.cast("string").try_cast("double").isNotNull()),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("string").try_cast("double"),
+    ),
+    "AVG": lambda arr: F.aggregate(
+        F.filter(_c(arr), lambda v: v.cast("string").try_cast("double").isNotNull()),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("string").try_cast("double"),
+    )
+    / F.greatest(
+        F.size(
+            F.filter(
+                _c(arr), lambda v: v.cast("string").try_cast("double").isNotNull()
+            )
+        ),
+        F.lit(1),
+    ),
     # higher-order (BsonExpressionFunctions MAP:13 FILTER:27 SORT:41-60)
     "MAP": lambda arr, fn: F.transform(_c(arr), fn),
     "FILTER": lambda arr, fn: F.filter(_c(arr), fn),

@@ -71,3 +71,60 @@ def test_conditional_and_casts(df):
 def test_unknown_function_raises():
     with pytest.raises(KeyError):
         call("NOPE")
+
+
+def test_aggregate_family_over_arrays(spark):
+    """Aggregate.cs:12-100 — enumerable aggregates as array functions;
+    SUM/AVG skip non-numeric members, AVG of none = 0."""
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], ["1", "x", "3"]), ([], ["y"])],
+        "nums array<double>, mixed array<string>",
+    )
+    row = df.select(
+        call("COUNT", F.col("nums")).alias("cnt"),
+        call("MIN", F.col("nums")).alias("mn"),
+        call("MAX", F.col("nums")).alias("mx"),
+        call("FIRST", F.col("nums")).alias("fst"),
+        call("LAST", F.col("nums")).alias("lst"),
+        call("ANY", F.col("nums")).alias("any"),
+        call("SUM", F.col("nums")).alias("sm"),
+        call("AVG", F.col("nums")).alias("av"),
+        call("SUM", F.col("mixed")).alias("sm_mixed"),
+        call("AVG", F.col("mixed")).alias("av_mixed"),
+    ).collect()
+    r0, r1 = row
+    assert (r0["cnt"], r0["mn"], r0["mx"], r0["fst"], r0["lst"]) == (3, 1.0, 3.0, 1.0, 3.0)
+    assert r0["any"] is True and r0["sm"] == 6.0 and r0["av"] == 2.0
+    assert r0["sm_mixed"] == 4.0 and r0["av_mixed"] == 2.0  # 'x' skipped
+    assert (r1["cnt"], r1["any"], r1["sm"], r1["av"]) == (0, False, 0.0, 0.0)
+
+
+def test_runtime_type_predicates(spark):
+    df = spark.createDataFrame(
+        [(["a"], b"\x01", "0f8fad5b-d9cb-469f-a165-70867728950e",
+          "507f1f77bcf86cd799439011", 1)],
+        "arr array<string>, bin binary, guid string, oid string, num int",
+    )
+    row = df.select(
+        call("IS_ARRAY", F.col("arr")).alias("a1"),
+        call("IS_ARRAY", F.col("num")).alias("a2"),
+        call("IS_BINARY", F.col("bin")).alias("b1"),
+        call("IS_GUID", F.col("guid")).alias("g1"),
+        call("IS_GUID", F.col("oid")).alias("g2"),
+        call("IS_OBJECTID", F.col("oid")).alias("o1"),
+        call("IS_MAXVALUE", F.col("num")).alias("mx"),
+        call("IS_DOCUMENT", F.struct(F.col("num")).alias("s")).alias("d1"),
+    ).collect()[0]
+    assert row["a1"] is True and row["a2"] is False
+    assert row["b1"] is True
+    assert row["g1"] is True and row["g2"] is False
+    assert row["o1"] is True and row["mx"] is False
+    assert row["d1"] is True
+
+
+def test_oid_creationtime(spark):
+    # ObjectId '65a00000...' -> 0x65a00000 = 1704984576 epoch seconds
+    df = spark.createDataFrame([("65a00000bcf86cd799439011",)], "oid string")
+    ts = df.select(call("OID_CREATIONTIME", F.col("oid")).alias("t")).collect()[0]["t"]
+    import datetime
+    assert ts.replace(tzinfo=datetime.timezone.utc).timestamp() == 0x65A00000
