@@ -266,3 +266,66 @@ def scrub_pii(df: DataFrame, text: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.select(*df.columns, *counts, scrubbed.alias("scrubbed"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks with overlap —
+    the context-window prep step of a training pipeline. One row per
+    chunk: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Shape: words array -> chunk start indices via sequence(stride) ->
+    posexplode -> slice + rejoin. Per-row compute then one Generate —
+    linear scan, no shuffle; chunk boundaries are deterministic so the
+    output is reproducible across runs and engines."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    words = F.split(F.col(text), " ")
+    # starts: 1, 1+stride, ... while start <= max(n - overlap, 1) —
+    # guarantees the final partial chunk is emitted exactly once
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(words) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    chunked = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_w"), F.col("_start"), chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def corpus_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (96, 2, 2),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment: stable under
+    corpus growth (a document's split never changes when other documents
+    are added/removed), reproducible across engines via the portable
+    md5-prefix hash, and shuffle-free."""
+    from iot_database_spark.operators.hashing import hash64
+
+    total = sum(weights)
+    bucket = F.pmod(hash64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), F.lit(total))
+    return df.select(
+        *df.columns,
+        F.when(bucket < weights[0], "train")
+        .when(bucket < weights[0] + weights[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )

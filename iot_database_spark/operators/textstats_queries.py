@@ -396,3 +396,60 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ipv4"),
         "scrubbed",
     ).drop("contact")
+
+
+_CHUNK_ORACLE = """
+    WITH w AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, ws,
+               unnest(range(1, GREATEST(len(ws) - 8, 1) + 1, 56)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 56 AS INT) AS chunk_idx,
+           CAST(len(list_slice(ws, start, start + 63)) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, start, start + 63), ' ') AS chunk_text
+    FROM chunks
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks with 8-token overlap, one
+    row per chunk — per-row compute + one Generate, no shuffle, chunk
+    boundaries deterministic across engines."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return tx.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+_SPLIT_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {duck_hash64("'split-v1:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 100
+                 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+
+@register("corpus_train_val_test_split", oracle=_SPLIT_ORACLE)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 96/2/2 split: a document's assignment is
+    a pure function of its id + salt (stable under corpus growth,
+    identical across engines via the portable md5-prefix hash)."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return tx.corpus_split(docs)

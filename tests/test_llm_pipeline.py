@@ -337,3 +337,35 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2]["scrubbed"] == "server [IP] and [IP] are fine; version 1.2 is not an ip"
     assert out[3]["scrubbed"] == "nothing sensitive here"
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    words = [f"w{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "short doc only")],
+                               ["doc_id", "text"])
+    chunks = tx.chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0,56,112 -> 3 chunks; every token appears; overlap = 8
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 38]
+    seen = [w for r in c1 for w in r["chunk_text"].split(" ")]
+    assert set(seen) == set(words)
+    first, second = c1[0]["chunk_text"].split(" "), c1[1]["chunk_text"].split(" ")
+    assert first[-8:] == second[:8]  # overlap preserved verbatim
+    # short doc -> single chunk, all tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc only"
+
+
+def test_corpus_split_stable_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = {r["doc_id"]: r["split"] for r in tx.corpus_split(df, id_col="doc_id").collect()}
+    frac_train = sum(1 for v in out.values() if v == "train") / 2000
+    assert 0.93 < frac_train < 0.99
+    assert set(out.values()) == {"train", "val", "test"}
+    # stability: a subset gets identical assignments (no dependence on corpus)
+    sub = {r["doc_id"]: r["split"] for r in tx.corpus_split(
+        spark.createDataFrame([(i,) for i in range(0, 2000, 7)], ["doc_id"]),
+        id_col="doc_id").collect()}
+    assert all(out[k] == v for k, v in sub.items())
