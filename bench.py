@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_cluster_assign",
     "text_gopher_rules",
     "text_scrub_pii",
+    "text_chunk_windows",
     "remote_serialized_find",
     "stream_windowed_rollup",
 ]
