@@ -418,3 +418,31 @@ def cluster_assign(
             (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the scalable
+    approximation of suffix-array substring dedup used to strip
+    boilerplate/copy-paste from training corpora: every word n-gram that
+    appears in >= min_docs distinct documents, with its spread.
+
+    Shape: per-row shingling (HOF, no shuffle) -> explode -> ONE
+    hash-groupBy. Output: (gram, n_docs, n_total, first_doc)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(content), n)).alias("gram")
+    )
+    return (
+        sh.groupBy("gram")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -272,3 +272,34 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
     )
+
+
+_REPEATED_ORACLE = """
+    WITH w AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+        SELECT id,
+               unnest(list_transform(range(1, len(ws) - 6),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7])) AS gram
+        FROM w
+    )
+    SELECT gram,
+           COUNT(DISTINCT id) AS n_docs,
+           COUNT(*) AS n_total,
+           MIN(id) AS first_doc
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT id) >= 2
+"""
+
+
+@register("dedup_repeated_ngrams", oracle=_REPEATED_ORACLE)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection: 8-gram word sequences appearing in
+    >= 2 distinct documents — the boilerplate/copy-paste strip pass."""
+    return dd.repeated_ngrams(_docs(spark, sf_dir), n=8, min_docs=2)

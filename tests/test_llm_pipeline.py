@@ -369,3 +369,15 @@ def test_corpus_split_stable_and_proportional(spark):
         spark.createDataFrame([(i,) for i in range(0, 2000, 7)], ["doc_id"]),
         id_col="doc_id").collect()}
     assert all(out[k] == v for k, v in sub.items())
+
+
+def test_repeated_ngrams_finds_shared_passages(corpus):
+    """Docs 1,2,3 share the long chunk -> its 8-grams span >= 2 docs; the
+    unrelated doc contributes none."""
+    out = dd.repeated_ngrams(corpus, n=8, min_docs=2).collect()
+    assert len(out) > 0
+    assert all(r["n_docs"] >= 2 and r["first_doc"] == 1 for r in out)
+    assert all(len(r["gram"].split(" ")) == 8 for r in out)
+    # the shared prefix 8-gram appears in all three near-dup docs
+    top = max(out, key=lambda r: r["n_docs"])
+    assert top["n_docs"] == 3
