@@ -177,3 +177,70 @@ def ivf_search_cosine(
         .limit(k)
         .drop(embedding)
     )
+
+
+class VectorIndex:
+    """Persisted IVF index lifecycle — build once, query many (the
+    IotVectorDb persistence pattern, IotVectorDb.cs:39-120, graduated to
+    partition-pruned storage).
+
+    `build` trains centroids (deterministic seed + Lloyd refinement),
+    assigns every vector, and writes BOTH tables through the database's
+    commit log — so the index versions/timestamps like any other table,
+    participates in transactions, and `search` on a reopened database
+    reads straight from storage with no rebuild. On a cluster the
+    assigned table would additionally be `partitionBy(centroid_id)` so a
+    probe is literal partition pruning."""
+
+    def __init__(self, db, name: str, dim_hint: int = 64):
+        self.db = db
+        self.name = name
+        self.centroids_table = f"{name}__centroids"
+        self.vectors_table = f"{name}__vectors"
+        self._dim = dim_hint
+
+    def build(
+        self,
+        items: DataFrame,
+        k: int = 16,
+        refine_iters: int = 2,
+        embedding: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        cents = default_centroids(items, k=k, embedding=embedding, id_col=id_col)
+        for _ in range(refine_iters):
+            cents = kmeans_refine(items, cents, embedding=embedding)
+        assigned = ivf_assign(items, cents, embedding=embedding, id_col=id_col)
+        ct = self.db.tables(
+            self.centroids_table,
+            "id bigint, centroid_vec array<double>",
+        )
+        vt = self.db.tables(
+            self.vectors_table,
+            "id bigint, embedding array<float>, bucket bigint",
+        )
+        ct._write(
+            cents.select(
+                F.col("centroid_id").cast("bigint").alias("id"),
+                F.col("centroid_vec").cast("array<double>").alias("centroid_vec"),
+            )
+        )
+        vt._write(
+            assigned.select(
+                F.col(id_col).cast("bigint").alias("id"),
+                F.col(embedding).alias("embedding"),
+                F.col("bucket").cast("bigint").alias("bucket"),
+            )
+        )
+
+    def search(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
+        """Top-k cosine within the nprobe nearest buckets, straight from
+        the persisted tables."""
+        cents = self.db.table(self.centroids_table).df.select(
+            F.col("id").alias("centroid_id"),
+            F.col("centroid_vec"),
+        )
+        assigned = self.db.table(self.vectors_table).df.select(
+            F.col("id").alias("vec_id"), "embedding", "bucket"
+        )
+        return ivf_search_cosine(assigned, cents, query_vec, k=k, nprobe=nprobe)

@@ -381,3 +381,31 @@ def test_repeated_ngrams_finds_shared_passages(corpus):
     # the shared prefix 8-gram appears in all three near-dup docs
     top = max(out, key=lambda r: r["n_docs"])
     assert top["n_docs"] == 3
+
+
+def test_vector_index_persists_and_searches(spark, tmp_path, sf_dir):
+    """VectorIndex: build writes centroid+assigned tables through the
+    commit log; a REOPENED database searches without rebuilding and
+    matches a fresh in-memory IVF search."""
+    from iot_database_spark.database import IotDatabase
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    db = IotDatabase("vecdb", str(tmp_path), spark)
+    idx = sim.VectorIndex(db, "emb_idx")
+    idx.build(emb, k=8, refine_iters=1)
+
+    qvec = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    got = [r["vec_id"] for r in idx.search(q, k=5, nprobe=4).collect()]
+    assert got[0] == 3  # the query vector finds itself first
+
+    # reopen: fresh database object, same storage
+    db2 = IotDatabase("vecdb", str(tmp_path), spark)
+    idx2 = sim.VectorIndex(db2, "emb_idx")
+    got2 = [r["vec_id"] for r in idx2.search(q, k=5, nprobe=4).collect()]
+    assert got2 == got
+    # index tables are ordinary versioned tables (history, introspection)
+    assert "emb_idx__centroids" in db2.list_tables()
+    assert db2.table("emb_idx__vectors").count() == emb.count()

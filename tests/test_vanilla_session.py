@@ -31,6 +31,8 @@ PROBE_QUERIES = [
     "dedup_exact",  # dedup_queries
     "text_quality_scores",  # textstats_queries
     "nl_find_filter_sort_limit",  # nl_queries
+    "stream_windowed_rollup",  # streaming_queries (real stream on vanilla session)
+    "remote_serialized_find",  # serialized wire surface
 ]
 
 _SCRIPT = r"""
