@@ -72,3 +72,35 @@ def test_nl_condition_matches_python(rows, cutoff, needle, _spark):
         if a >= cutoff and needle.lower() in n.lower()
     }
     assert got == expected
+
+
+# -- chunking reconstruction ------------------------------------------------
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=300),
+    chunk_tokens=st.sampled_from([16, 64]),
+    overlap=st.sampled_from([0, 4, 8]),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunks_reconstruct_document(spark, n_words, chunk_tokens, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except the first
+    chunk) and concatenating reproduces the document exactly — i.e. the
+    chunker emits every token exactly once outside overlaps, regardless
+    of word count vs chunk/overlap geometry."""
+    from iot_database_spark.operators.textstats import chunk_documents
+
+    words = [f"t{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = chunks[0]["chunk_text"].split(" ")
+    for c in chunks[1:]:
+        toks = c["chunk_text"].split(" ")
+        assert toks[:overlap] == rebuilt[len(rebuilt) - overlap :][: overlap]
+        rebuilt.extend(toks[overlap:])
+    assert rebuilt == words
