@@ -694,3 +694,76 @@ register(
     GROUP BY l_returnflag
     """,
 )(_skew_salted)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered multi-step conversion over the events table.
+# Stage k counts users whose first qualifying step-k event happens AFTER
+# their first qualifying step-(k-1) event (strict ordering, first-touch
+# semantics). Three correlated min-aggregations == three keyed shuffles
+# over ever-shrinking user sets — no windows over the full event log.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view'
+        GROUP BY CAST(user_id AS BIGINT)
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events
+              WHERE event_type = 'click') e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events
+              WHERE event_type = 'purchase') e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_no, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 'click', 2, (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 'purchase', 3, (SELECT COUNT(*) FROM s3)
+"""
+
+_sql("event_funnel", _FUNNEL_SQL)
+
+
+# Cohort retention — weekly signup cohorts x weeks-since-first-activity.
+# One shuffle to find each user's cohort, one broadcast-joined pass to
+# bucket later activity; counts DISTINCT users per (cohort, week offset).
+
+_COHORT_TEMPLATE = """
+    WITH firsts AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(date_trunc('week', CAST(MIN(ts) AS DATE)) AS DATE) AS cohort_week
+        FROM events
+        GROUP BY CAST(user_id AS BIGINT)
+    ), activity AS (
+        SELECT DISTINCT f.cohort_week,
+               CAST(FLOOR({days_expr} / 7.0) AS BIGINT) AS week_no,
+               f.user_id
+        FROM (SELECT CAST(user_id AS BIGINT) AS user_id, ts FROM events) e
+        JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_no, COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_no
+"""
+
+# engine-specific day-difference spelling (Spark: datediff(end, start);
+# DuckDB: date_diff('day', start, end)) — everything else is shared text
+_sql(
+    "event_cohort_retention",
+    _COHORT_TEMPLATE.format(
+        days_expr="CAST(datediff(CAST(e.ts AS DATE), f.cohort_week) AS DOUBLE)"
+    ),
+    oracle=_COHORT_TEMPLATE.format(
+        days_expr="CAST(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) AS DOUBLE)"
+    ),
+)
