@@ -50,6 +50,7 @@ HEADLINE = [
     "text_quality_scores",
     "text_fingerprint",
     "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
     "nl_find_dual_join",
     "event_sessionization",
     "skew_salted_agg",

@@ -453,3 +453,83 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id")
     )
     return tx.corpus_split(docs)
+
+
+_PREPARE_ORACLE = """
+    WITH feat AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               LEN(list_distinct(string_split(text, ' ')))
+                 / CAST(GREATEST(LEN(string_split(text, ' ')), 1) AS DOUBLE) AS uniq
+        FROM documents
+    ),
+    kept AS (SELECT * FROM feat WHERE n_tokens >= 20 AND uniq >= 0.3),
+    keep_ids AS (SELECT MIN(doc_id) AS keep_id FROM kept GROUP BY md5(text)),
+    clean AS (
+        SELECT k.doc_id, k.text FROM kept k
+        JOIN keep_ids d ON k.doc_id = d.keep_id
+    ),
+    chunks AS (
+        SELECT c.doc_id,
+               len(list_slice(string_split(c.text, ' '), start, start + 63))
+                 AS n_chunk_tokens
+        FROM clean c,
+             unnest(range(1,
+                 GREATEST(len(string_split(c.text, ' ')) - 8, 1) + 1, 56)) AS t(start)
+    ),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+              FROM clean)
+    )
+    SELECT s.split,
+           COUNT(DISTINCT s.doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           SUM(ch.n_chunk_tokens) AS total_chunk_tokens
+    FROM splits s JOIN chunks ch ON s.doc_id = ch.doc_id
+    GROUP BY s.split
+"""
+
+
+@register("pipeline_prepare_training_data", oracle=_PREPARE_ORACLE)
+def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline: quality filter -> exact dedup -> context-
+    window chunking -> deterministic split assignment -> per-split corpus
+    accounting, composed from the standalone oracle-checked operators
+    into ONE declarative plan (one documents scan, one dedup exchange,
+    one Generate for chunks, one final agg)."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    feat = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("uniq"),
+    )
+    kept = feat.filter((F.col("n_tokens") >= 20) & (F.col("uniq") >= 0.3))
+    keep_ids = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    clean = kept.join(
+        keep_ids, kept["doc_id"] == keep_ids["keep_id"], "left_semi"
+    ).select("doc_id", "text")
+    chunks = tx.chunk_documents(clean, chunk_tokens=64, overlap=8)
+    split = tx.corpus_split(clean.select("doc_id"))
+    return (
+        chunks.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
+        )
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "text_scrub_pii",
     "pipeline_clean_corpus",
+    "pipeline_prepare_training_data",
     # NL query surface
     "nl_find_filter_sort_limit",
     "nl_find_dual_join",
