@@ -303,3 +303,41 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-passage detection: 8-gram word sequences appearing in
     >= 2 distinct documents — the boilerplate/copy-paste strip pass."""
     return dd.repeated_ngrams(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+_FUZZY_ORACLE = """
+    WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name,
+               CAST(c_nationkey AS BIGINT) AS blk
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("dedup_fuzzy_name_match", oracle=_FUZZY_ORACLE)
+def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs within a blocking key
+    (nation) at edit distance <= 2 — the record-linkage primitive.
+    Blocking bounds the quadratic join exactly like LSH bands bound
+    near-dup pair generation; levenshtein runs JVM-side in both engines."""
+    tables = load_views(spark, sf_dir)
+    c = tables["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
