@@ -47,15 +47,27 @@ def exact_dedup(df: DataFrame, content: str = "text", id_col: str = "doc_id") ->
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array, computed with HOFs (no explode)."""
-    words = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + off) for off in range(n)]
-        ),
-    )
+    """Word n-gram shingle array, computed with HOFs (no explode).
+
+    The token array is let-bound so `split(text)` evaluates ONCE per row:
+    a plain `words = F.split(...)` referenced inside the lambda is inlined
+    at every `element_at` call site (lambda bodies get no CSE), turning an
+    O(len) tokenize into O(n_shingles * n * len) — the dominant cost of
+    every shingle consumer before this binding."""
+    from iot_database_spark.operators.hof import let
+
+    def build(words: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + off) for off in range(n)]
+            ),
+        )
+
+    return let(F.split(text, " "), build)
 
 
 def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
