@@ -61,6 +61,12 @@ HEADLINE = [
     "text_chunk_windows",
     "remote_serialized_find",
     "stream_windowed_rollup",
+    # round 3 additions
+    "decontaminate_ngram_overlap",
+    "corpus_mixture_sample",
+    "heavy_hitter_ngrams",
+    "embedding_outliers",
+    "ann_lsh_cosine",
 ]
 
 

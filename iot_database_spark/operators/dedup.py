@@ -57,9 +57,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     from iot_database_spark.operators.hof import let
 
     def build(words: Column) -> Column:
-        idx = F.sequence(
-            F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))
-        )
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0] for
+        # docs shorter than n tokens — emit an empty array instead
+        idx = F.when(
+            F.size(words) >= n,
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(
             idx,
             lambda i: F.concat_ws(

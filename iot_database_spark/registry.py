@@ -149,6 +149,7 @@ def _ensure_loaded() -> None:
         "iot_database_spark.operators.vector_queries",
         "iot_database_spark.operators.dedup_queries",
         "iot_database_spark.operators.textstats_queries",
+        "iot_database_spark.operators.curation_queries",
         "iot_database_spark.operators.nl_queries",
         "iot_database_spark.operators.streaming_queries",
     ):

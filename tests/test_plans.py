@@ -119,3 +119,27 @@ def test_round2_serialized_find_matches_nl_plan_quality(spark, sf):
     df = _Q["remote_serialized_find"](spark, sf)
     assert audit.uses_broadcast_join(df) or audit.count_exchanges(df) <= 2
     assert audit.uses_take_ordered(df)  # ORDER BY + LIMIT -> top-k
+
+
+def test_round3_curation_plan_quality(spark, sf):
+    """Decontamination broadcasts the eval gram set (the corpus side is
+    never shuffled — one exchange for the per-doc count); heavy hitters
+    and embedding outliers compile their top-k to TakeOrderedAndProject;
+    LSH ANN broadcasts the 7-row probe descriptor; none of them touch
+    Python."""
+    decon = _Q["decontaminate_ngram_overlap"](spark, sf)
+    assert audit.uses_broadcast_join(decon)
+    assert not audit.uses_shuffle_join(decon)
+
+    for name in ("heavy_hitter_ngrams", "embedding_outliers"):
+        df = _Q[name](spark, sf)
+        assert audit.uses_take_ordered(df), name
+        assert not audit.uses_python_udf(df), name
+
+    lsh = _Q["ann_lsh_cosine"](spark, sf)
+    assert audit.uses_broadcast_join(lsh)
+    assert audit.uses_take_ordered(lsh)
+
+    mix = _Q["corpus_mixture_sample"](spark, sf)
+    assert audit.count_exchanges(mix) <= 1  # one keyed agg, nothing else
+    assert not audit.uses_python_udf(mix)
