@@ -267,6 +267,13 @@ def jaccard_pairs(
     # the df-cap filter and the i<j pair generation are per-row compute
     # on the grouped arrays — no self-join, no second shuffle of the
     # token table, no window sort.
+    # shingle strings are hashed to 64-bit (Spark-native xxhash64 — the
+    # hash is a GROUP KEY only, never output, so cross-engine portability
+    # doesn't apply) before the exchange: the posting-list shuffle ships
+    # 8-byte keys instead of n-word strings, and the aggregate compares
+    # longs instead of strings. Collisions would merge two shingles'
+    # posting lists (P ~ n_shingles²/2^64 — negligible far beyond 100 TB
+    # corpus sizes, and a collision only perturbs one pair count by 1).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -275,7 +282,8 @@ def jaccard_pairs(
                 lambda sh: F.transform(
                     sh,
                     lambda s: F.struct(
-                        F.size(sh).alias("set_size"), s.alias("s")
+                        F.size(sh).alias("set_size"),
+                        F.xxhash64(s).alias("s"),
                     ),
                 ),
             )

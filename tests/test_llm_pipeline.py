@@ -409,3 +409,60 @@ def test_vector_index_persists_and_searches(spark, tmp_path, sf_dir):
     # index tables are ordinary versioned tables (history, introspection)
     assert "emb_idx__centroids" in db2.list_tables()
     assert db2.table("emb_idx__vectors").count() == emb.count()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing an 8-gram with the eval set is flagged with
+    the right collision count; disjoint docs are not."""
+    from iot_database_spark.operators import curation as cu
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = spark.createDataFrame(
+        [
+            (1, passage + " kilo lima"),          # shares 8-grams with eval
+            (2, "totally unrelated words that never appear in any eval set"),
+            (3, "short doc"),                      # < 8 tokens -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame([(100, passage)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_shared_grams"] for r in cu.ngram_decontaminate(train, eval_set, n=8).collect()}
+    # passage has 10 tokens -> 3 distinct 8-grams; train doc 1 contains
+    # all 3 of them (plus 2 more grams crossing into ' kilo lima')
+    assert out == {1: 3}
+
+
+def test_mixture_sample_rate_and_determinism(spark):
+    from iot_database_spark.operators import curation as cu
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = cu.mixture_sample(df, rate_bp=F.lit(2500))
+    n = out.filter("sampled").count()
+    assert abs(n / 4000 - 0.25) < 0.03  # hash-uniformity, not exactness
+    # decisions are per-row pure: a subset sees identical flags
+    sub = cu.mixture_sample(df.filter("doc_id < 100"), rate_bp=F.lit(2500))
+    full = {r["doc_id"]: r["sampled"] for r in out.filter("doc_id < 100").collect()}
+    assert {r["doc_id"]: r["sampled"] for r in sub.collect()} == full
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    """Multi-probe hyperplane LSH must recover a decent fraction of the
+    true cosine top-10 (same bar as the IVF recall test)."""
+    from iot_database_spark import registry
+    from iot_database_spark.registry import load_views
+
+    qs = registry.queries()
+    emb = load_views(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    truth = {
+        r["vec_id"]
+        for r in emb.crossJoin(F.broadcast(q))
+        .withColumn("rel", vec.cosine_similarity(F.col("embedding"), F.col("qv")))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {r["vec_id"] for r in qs["ann_lsh_cosine"](spark, sf_dir).collect()}
+    assert len(truth & got) >= 3  # ANN tradeoff; 3/10 proves bucketing works
