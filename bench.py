@@ -67,6 +67,8 @@ HEADLINE = [
     "heavy_hitter_ngrams",
     "embedding_outliers",
     "ann_lsh_cosine",
+    "text_quality_classifier",
+    "stream_exact_dedup",
 ]
 
 

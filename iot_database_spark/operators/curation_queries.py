@@ -256,3 +256,73 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", "bucket", "relevance")
     )
+
+
+_QC_ORACLE = """
+    WITH feat AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               LEN(list_distinct(string_split(text, ' ')))
+                 / CAST(GREATEST(LEN(string_split(text, ' ')), 1) AS DOUBLE) AS uniq,
+               LEN(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','to','in','is'], LOWER(w))))
+                 / CAST(GREATEST(LEN(string_split(text, ' ')), 1) AS DOUBLE) AS stop_r
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               ((-2.0 + 0.01 * LEAST(n_tokens, 400.0)) + 3.0 * uniq) + 4.0 * stop_r
+                 AS quality_score
+        FROM feat
+    )
+    SELECT CAST(CASE WHEN quality_score < 0 THEN 0
+                     WHEN quality_score >= 5 THEN 9
+                     ELSE FLOOR(quality_score * 2) END AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM scored GROUP BY 1
+"""
+
+
+@register("text_quality_classifier", oracle=_QC_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over curation
+    features (token count capped at 400, uniqueness, stopword ratio)
+    with fixed exported weights, bucketed into score deciles with
+    per-bucket accounting — the calibration histogram a quality-filter
+    rollout reads. Weights are inline literals (the deployment shape of
+    a small exported logreg); the score is an ORDERED sum of products so
+    both engines add in the same sequence. Deliberately no sigmoid:
+    exp() is not guaranteed bit-identical across libm implementations,
+    and a monotone transform changes neither ranking nor buckets."""
+    from iot_database_spark.operators import textstats as tx
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    nw = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / nw).alias("uniq"),
+        tx.stopword_ratio(F.col("text")).alias("stop_r"),
+    )
+    score = (
+        (F.lit(-2.0) + F.lit(0.01) * F.least(F.col("n_tokens"), F.lit(400.0)))
+        + F.lit(3.0) * F.col("uniq")
+    ) + F.lit(4.0) * F.col("stop_r")
+    scored = feat.select("doc_id", score.alias("quality_score"))
+    bucket = (
+        F.when(F.col("quality_score") < 0, 0)
+        .when(F.col("quality_score") >= 5, 9)
+        .otherwise(F.floor(F.col("quality_score") * 2))
+        .cast("int")
+    )
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )

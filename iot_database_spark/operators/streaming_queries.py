@@ -80,3 +80,39 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+@register(
+    "stream_exact_dedup",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup computed BY A RUNNING STREAM: readStream file source
+    -> dropDuplicates on the content hash -> memory sink. The graded
+    output is the distinct hash set (which row of a duplicate group a
+    stream keeps is arrival-order-dependent, so only the key set is
+    deterministic). At scale the state store holds one 16-byte key per
+    distinct document; a real deployment bounds it with a watermark on
+    ingest time — with availableNow over one file there is a single
+    micro-batch and no state expiry question."""
+    load_views(spark, sf_dir)
+    docs_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(F.md5("text").alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)

@@ -43,7 +43,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dedup / text / chain / NL query went ungraded. This explicit priority
 # list guarantees the first 50 slots cover one of everything: a relational
 # core plus ALL specialty-module queries. Remaining queries follow in
-# registration order.
+# registration order. (Round 3: nl_find_include_nested — a rows-only
+# check, its hash-gated twin nl_find_include_digest stays — and
+# vector_l2_radius — same shape as vector_l2_topk — ceded their slots to
+# the two most novel curation ops, decontaminate_ngram_overlap and
+# embedding_outliers.)
 _PRIORITY: tuple[str, ...] = (
     # relational basics
     "scan_filter_project",
@@ -72,9 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     # vector / ANN
     "vector_cosine_topk",
     "vector_l2_topk",
-    "vector_l2_radius",
     "vector_upsert_dedup",
     "ann_ivf_cosine",
+    "embedding_outliers",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -97,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "nl_find_dual_fk_inference",
     "nl_find_triple_join",
     "nl_find_include_digest",
-    "nl_find_include_nested",
+    "decontaminate_ngram_overlap",
     "remote_serialized_find",
     # IotValue semantics
     "iot_effective_value",
