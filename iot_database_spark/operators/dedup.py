@@ -111,6 +111,50 @@ def _ordered_pairs(members: Column, build) -> Column:
     )
 
 
+def minhash_banded(text: Column, k: int = 16, bands: int = 4) -> Column:
+    """Struct column (sig array<bigint>, buckets array<string>): the
+    k-permutation MinHash signature plus the per-band bucket hashes.
+
+    The per-shingle md5 chain is referenced k times (one per permutation)
+    and the signature array bands*rows_per_band more times. let-binding
+    evaluates each exactly once per row (CollapseProject inlines plain
+    column references k times and HOF lambdas get no CSE); callers wrap
+    the struct in explode(array(...)) for a Generate barrier that
+    downstream multi-reference cannot collapse through. Pure narrow
+    compute — no shuffle."""
+    from iot_database_spark.operators.hof import let
+
+    rows_per_band = k // bands
+    return let(
+        F.transform(shingles(text), lambda s: hash64(s)),
+        lambda hs: let(
+            F.array(
+                *[
+                    F.array_min(F.transform(hs, lambda h: xor_permute(h, seed)))
+                    for seed in range(k)
+                ]
+            ),
+            lambda sig: F.struct(
+                sig.alias("sig"),
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.element_at(sig, b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                ).alias("buckets"),
+            ),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     content: str = "text",
@@ -131,56 +175,9 @@ def lsh_candidate_pairs(
     quadratic pair array inside one row. Such buckets are dropped; at
     that size the members are candidate-duplicates of each other by
     construction, and exact_dedup is the right tool for them."""
-    rows_per_band = k // bands
-    from iot_database_spark.operators.hof import let
-
-    # The per-shingle md5 chain is referenced k times (one per permutation)
-    # and the signature array bands*rows_per_band more times. let-binding
-    # evaluates each exactly once per row (CollapseProject inlines plain
-    # column references k times and HOF lambdas get no CSE), and the
-    # explode-of-1-element-array puts a Generate barrier between this
-    # projection and downstream field references. Pure narrow compute —
-    # no repartition: round 1 shipped a full shuffle of the widest
-    # intermediate in the pipeline (per-shingle hash arrays) here, which
-    # at 100 TB is the corpus through the wire once for a compiler
-    # workaround.
-    def sig_and_bands(text: Column) -> Column:
-        return let(
-            F.transform(shingles(text), lambda s: hash64(s)),
-            lambda hs: let(
-                F.array(
-                    *[
-                        F.array_min(
-                            F.transform(hs, lambda h: xor_permute(h, seed))
-                        )
-                        for seed in range(k)
-                    ]
-                ),
-                lambda sig: F.struct(
-                    sig.alias("sig"),
-                    F.array(
-                        *[
-                            F.md5(
-                                F.concat_ws(
-                                    ":",
-                                    *[
-                                        F.element_at(
-                                            sig, b * rows_per_band + r + 1
-                                        )
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            )
-                            for b in range(bands)
-                        ]
-                    ).alias("buckets"),
-                ),
-            ),
-        )
-
     packed = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(sig_and_bands(F.col(content)))).alias("x"),
+        F.explode(F.array(minhash_banded(F.col(content), k, bands))).alias("x"),
     )
     banded = packed.select(
         "id",
@@ -469,3 +466,117 @@ def repeated_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+class MinHashIndex:
+    """Persisted MinHash-LSH index — build once over the corpus, then
+    dedup every INCREMENTAL batch against it without recomputing corpus
+    signatures (the production shape of continuous-ingest dedup; the
+    same build/extend/query lifecycle as similarity.VectorIndex).
+
+    Storage: a buckets table (band, bucket, id) and a signatures table
+    (id, sig) written through the database's commit log, so the index
+    versions like any other table, participates in transactions, and
+    survives a database reopen. On a cluster the buckets table would be
+    `partitionBy(band)` + bucketed by `bucket`, so a batch probe is a
+    co-located join instead of a shuffle.
+
+    query(batch) returns (batch_id, corpus_id, n_matching_bands,
+    sig_agreement) — candidate near-dup links of NEW docs against the
+    INDEXED corpus. extend(batch) appends the batch's signatures and
+    buckets (O(batch), not O(corpus)).
+    """
+
+    def __init__(self, db, name: str, k: int = 16, bands: int = 4):
+        self.db = db
+        self.name = name
+        self.k = k
+        self.bands = bands
+        self.buckets_table = f"{name}__buckets"
+        self.sigs_table = f"{name}__sigs"
+
+    def _tables(self):
+        bt = self.db.tables(
+            self.buckets_table, "id bigint, band int, bucket string"
+        )
+        st = self.db.tables(self.sigs_table, "id bigint, sig array<bigint>")
+        return bt, st
+
+    def _banded(
+        self, docs: DataFrame, content: str, id_col: str
+    ) -> DataFrame:
+        packed = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(
+                F.array(minhash_banded(F.col(content), self.k, self.bands))
+            ).alias("x"),
+        )
+        return packed.select(
+            "id",
+            F.col("x.sig").alias("sig"),
+            F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
+        )
+
+    def build(
+        self, docs: DataFrame, content: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        banded = self._banded(docs, content, id_col)
+        bt, st = self._tables()
+        bt._write(banded.select("id", "band", "bucket"))
+        st._write(banded.filter(F.col("band") == 0).select("id", "sig"))
+
+    def extend(
+        self, batch: DataFrame, content: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Append a batch to the index: O(batch) signature compute + two
+        commit-log appends; the existing corpus is not touched."""
+        banded = self._banded(batch, content, id_col)
+        bt, st = self._tables()
+        bt.insert(banded.select("id", "band", "bucket"))
+        st.insert(banded.filter(F.col("band") == 0).select("id", "sig"))
+
+    def query(
+        self,
+        batch: DataFrame,
+        content: str = "text",
+        id_col: str = "doc_id",
+        min_matching_bands: int = 1,
+    ) -> DataFrame:
+        """Candidate near-dup links (batch_id, corpus_id) — batch bucket
+        rows joined against the stored buckets on (band, bucket), then
+        signature agreement from the stored signature table. The batch
+        side is typically tiny relative to the corpus: Spark broadcasts
+        it, so the corpus-side bucket table is only scanned (and at
+        cluster scale partition-pruned on band)."""
+        bt, st = self._tables()
+        b = self._banded(batch, content, id_col)
+        new_buckets = b.select(
+            F.col("id").alias("batch_id"), "band", "bucket"
+        )
+        new_sigs = b.filter(F.col("band") == 0).select(
+            F.col("id").alias("batch_id"), F.col("sig").alias("batch_sig")
+        )
+        links = (
+            bt.df.join(F.broadcast(new_buckets), ["band", "bucket"])
+            .filter(F.col("id") != F.col("batch_id"))
+            .groupBy("batch_id", F.col("id").alias("corpus_id"))
+            .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+            .filter(F.col("n_matching_bands") >= min_matching_bands)
+        )
+        return (
+            links.join(F.broadcast(new_sigs), "batch_id")
+            .join(st.df.select(F.col("id").alias("corpus_id"), "sig"), "corpus_id")
+            .withColumn(
+                "sig_agreement",
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("batch_sig"), F.col("sig"), lambda u, v: u == v
+                        ),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(self.k),
+            )
+            .select("batch_id", "corpus_id", "n_matching_bands", "sig_agreement")
+        )

@@ -466,3 +466,37 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     }
     got = {r["vec_id"] for r in qs["ann_lsh_cosine"](spark, sf_dir).collect()}
     assert len(truth & got) >= 3  # ANN tradeoff; 3/10 proves bucketing works
+
+
+def test_minhash_index_incremental_dedup(spark, tmp_path, corpus):
+    """MinHashIndex: build over the corpus, then an incremental batch
+    containing a near-dup of an indexed doc links to it after a database
+    REOPEN; extend() makes later batches dedup against earlier ones."""
+    from iot_database_spark.database import IotDatabase
+
+    db = IotDatabase("dedupdb", str(tmp_path), spark)
+    idx = dd.MinHashIndex(db, "corpus_idx")
+    idx.build(corpus)
+
+    # batch doc 10 is a near-dup of indexed docs 1/2/3; doc 11 is novel
+    base = corpus.filter("doc_id = 1").collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(10, base + " yesterday"), (11, "entirely novel content with no twin here at all")],
+        ["doc_id", "text"],
+    )
+    db2 = IotDatabase("dedupdb", str(tmp_path), spark)
+    idx2 = dd.MinHashIndex(db2, "corpus_idx")
+    links = idx2.query(batch).collect()
+    linked = {(r["batch_id"], r["corpus_id"]) for r in links}
+    assert any(b == 10 for b, _ in linked)      # near-dup found
+    assert all(b != 11 for b, _ in linked)      # novel doc clean
+    assert all(r["sig_agreement"] >= 0.25 for r in links)
+
+    # extend with the batch; a copy of doc 11 now links against it
+    idx2.extend(batch)
+    batch2 = spark.createDataFrame(
+        [(20, "entirely novel content with no twin here at all")],
+        ["doc_id", "text"],
+    )
+    links2 = {(r["batch_id"], r["corpus_id"]) for r in idx2.query(batch2).collect()}
+    assert (20, 11) in links2
