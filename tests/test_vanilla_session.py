@@ -33,6 +33,9 @@ PROBE_QUERIES = [
     "nl_find_filter_sort_limit",  # nl_queries
     "stream_windowed_rollup",  # streaming_queries (real stream on vanilla session)
     "remote_serialized_find",  # serialized wire surface
+    "decontaminate_ngram_overlap",  # curation_queries
+    "ann_lsh_cosine",  # curation: hyperplane LSH over embeddings
+    "stream_exact_dedup",  # streaming dedup state store on vanilla session
 ]
 
 _SCRIPT = r"""
