@@ -69,6 +69,9 @@ HEADLINE = [
     "ann_lsh_cosine",
     "text_quality_classifier",
     "stream_exact_dedup",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "corpus_pack_sequences",
 ]
 
 

@@ -31,6 +31,13 @@ pretraining-pipeline scale); every operator is built Spark-first:
                         pruning + exact cosine within the probed buckets
                         (multi-probe: Hamming-1 neighbors of the query
                         bucket)
+- pack_sequences        GPT-style concat-and-chunk context-window
+                        packing: per stream (source), documents in a
+                        deterministic order form one token stream cut
+                        every `budget` tokens; one cumulative-sum window
+                        per stream + an explode over the (few) packs a
+                        document spans — all integer arithmetic, no
+                        stateful pass
 
 Scale notes: nothing here shuffles anything wider than (gram, id) or
 (bucket, vector); every aggregation is partial-aggregated map-side;
@@ -236,3 +243,66 @@ def hyperplane_lsh_bucket(
             F.lit(0).cast("bigint")
         )
     return bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    content: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """GPT-pretraining sequence packing (concat-and-chunk).
+
+    Within each stream (`stream_col`), documents ordered by `id_col`
+    are conceptually concatenated into one token stream, which is cut
+    into fixed `budget`-token packs; a document that straddles a pack
+    boundary is split. Returns one row per (document, pack) overlap:
+    (stream_col, id_col, pack_id, pack_off, doc_off, n_tok) — enough to
+    reassemble every pack exactly.
+
+    Scale: ONE cumulative-sum window per stream (parallel across
+    streams) + a per-row explode over the <= len/budget + 1 packs a
+    document touches. All integer arithmetic — bit-identical across
+    engines. At 100 TB, pass a composite stream key (e.g. source +
+    date shard) so no single window partition exceeds an executor; the
+    packing stays deterministic per shard.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(content), " "))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lo = F.lit(budget)
+    base = (
+        df.select(F.col(stream_col), F.col(id_col), toks.alias("toks"))
+        .withColumn("end_cum", F.sum("toks").over(w))
+        .withColumn("start", F.col("end_cum") - F.col("toks"))
+        .withColumn("last", F.col("end_cum") - 1)
+    )
+    # floor(int/int) via double is exact for stream offsets < 2^53
+    packed = base.select(
+        stream_col,
+        id_col,
+        "start",
+        "last",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start").cast("double") / lo).cast("bigint"),
+                F.floor(F.col("last").cast("double") / lo).cast("bigint"),
+            )
+        ).alias("pack_id"),
+    )
+    slice_start = F.greatest(F.col("start"), F.col("pack_id") * lo)
+    slice_end = F.least(F.col("last"), (F.col("pack_id") + 1) * lo - 1)
+    return packed.select(
+        stream_col,
+        id_col,
+        "pack_id",
+        (slice_start - F.col("pack_id") * lo).alias("pack_off"),
+        (slice_start - F.col("start")).alias("doc_off"),
+        (slice_end - slice_start + 1).alias("n_tok"),
+    )

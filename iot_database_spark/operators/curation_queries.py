@@ -326,3 +326,52 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality_score").alias("min_score"),
         F.max("quality_score").alias("max_score"),
     )
+
+
+_PACK_ORACLE = """
+    WITH d AS (
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               len(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, toks,
+               SUM(toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS end_cum
+        FROM d
+    ),
+    s AS (
+        SELECT source, doc_id, end_cum - toks AS strt, end_cum - 1 AS lst
+        FROM c
+    ),
+    x AS (
+        SELECT source, doc_id, strt, lst,
+               unnest(range(
+                   CAST(FLOOR(CAST(strt AS DOUBLE) / 64.0) AS BIGINT),
+                   CAST(FLOOR(CAST(lst AS DOUBLE) / 64.0) AS BIGINT) + 1
+               )) AS pack_id
+        FROM s
+    )
+    SELECT source, doc_id, pack_id,
+           GREATEST(strt, pack_id * 64) - pack_id * 64 AS pack_off,
+           GREATEST(strt, pack_id * 64) - strt AS doc_off,
+           LEAST(lst, (pack_id + 1) * 64 - 1)
+               - GREATEST(strt, pack_id * 64) + 1 AS n_tok
+    FROM x
+"""
+
+
+@register("corpus_pack_sequences", oracle=_PACK_ORACLE)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing into 64-token context windows,
+    one token stream per source: every (document, pack) overlap with
+    offsets, sufficient to reassemble each pack bit-for-bit. One
+    cumulative-sum window per source + a per-row explode — all integer
+    arithmetic (curation.pack_sequences)."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        "source", F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return cu.pack_sequences(docs, budget=64)

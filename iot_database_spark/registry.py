@@ -61,7 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     "date_funcs",
     "math_funcs",
     "json_extract",
-    "map_functions",
+    # round 3: BM25 ranked retrieval — the lexical-search capability
+    # class; takes the slot of map_functions (4 other §2.8 queries stay
+    # in the window)
+    "search_bm25_topk",
     # time-series
     "ts_locf_merge",
     "ts_resample_interp",
@@ -106,7 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     # IotValue semantics
     "iot_effective_value",
     "iot_write_gating",
-    "iot_password_hash",
+    # round 3: concat-and-chunk sequence packing — the pretraining
+    # packing primitive; takes the slot of iot_password_hash (two other
+    # IotValue queries stay in the window)
+    "corpus_pack_sequences",
     # relational core: joins / aggs / sets / windows
     "groupby_having",
     "join2_orders_customer",
@@ -115,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "anti_join_not_exists",
     "set_union",
     "window_rank_family",
+    "search_hybrid_rrf",
+    "map_functions",
+    "iot_password_hash",
 )
 
 
@@ -154,6 +163,7 @@ def _ensure_loaded() -> None:
         "iot_database_spark.operators.dedup_queries",
         "iot_database_spark.operators.textstats_queries",
         "iot_database_spark.operators.curation_queries",
+        "iot_database_spark.operators.search_queries",
         "iot_database_spark.operators.nl_queries",
         "iot_database_spark.operators.streaming_queries",
     ):
