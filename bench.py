@@ -72,6 +72,14 @@ HEADLINE = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "corpus_pack_sequences",
+    # round 3: NTZ-family + relational-core focus
+    "ts_detect_gaps",
+    "ts_rate_of_change",
+    "chain_append",
+    "window_range_frame",
+    "window_rank_family",
+    "rollup_agg",
+    "event_funnel",
 ]
 
 

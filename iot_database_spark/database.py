@@ -12,6 +12,14 @@ sidecar, since Spark's catalog has no FK concept.
 Catalog introspection mirrors the reference's $cols/$database virtual
 collections (LiteDB/Engine/SystemCollections/Register.cs:16-31) via
 `describe()` / `list_tables()`.
+
+Deliberate narrowing — no password/encryption parameter: the reference
+AES-encrypts its single database file (LiteDB/Engine/Disk/Streams/
+AesStream.cs, password plumbed at IotDatabase.cs:25-27). A distributed
+lake engine delegates encryption to the storage layer (parquet modular
+encryption, object-store/disk SSE), which encrypts per-file without
+breaking splittability or predicate pushdown; a page-level cipher here
+would do both. See README "Deliberate narrowings".
 """
 
 from __future__ import annotations
@@ -68,16 +76,22 @@ class IotDatabase:
     def tables(
         self,
         name: str,
-        schema: str | None = None,
+        schema: str | type | None = None,
         foreign_keys: list[ForeignKey] | None = None,
         unique: list[str] | None = None,
     ) -> Table:
         """Create or open a table (reference: IotDatabase.Tables<T>()).
 
-        `schema` is a DDL string ('id bigint, name string, ...'); required
-        on first creation. An 'id' column must exist (the reference
-        enforces Id of int/long/Guid — Base/BaseDatabase.cs:172-187).
+        `schema` is a DDL string ('id bigint, name string, ...') or a
+        dataclass type (mapped via mapper.dataclass_to_ddl — the
+        reference's BsonMapper POCO conventions); required on first
+        creation. An 'id' column must exist (the reference enforces Id of
+        int/long/Guid — Base/BaseDatabase.cs:172-187).
         """
+        if isinstance(schema, type):
+            from iot_database_spark.mapper import dataclass_to_ddl
+
+            schema = dataclass_to_ddl(schema)
         if name in self._tables:
             return self._tables[name]
         meta = self._meta["tables"].get(name)

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from iot_database_spark.functions.time import epoch_us, epoch_us_sql
+
 
 def dedup_consecutive(
     blocks: DataFrame, key: str = "guid", ts: str = "ts", data: str = "data"
@@ -64,7 +66,7 @@ def append_chain(
     # fold left over the sorted blocks, accumulating the hash list; the
     # sha2 expression appears twice because SQL lambdas cannot bind locals
     step_hash = (
-        f"sha2(concat(cast(unix_micros(x.{ts}) as string), acc.prev, "
+        f"sha2(concat(cast({epoch_us_sql(f'x.{ts}')} as string), acc.prev, "
         f"cast(x.{data} as string)), 256)"
     )
     hashes = F.expr(
@@ -109,7 +111,7 @@ def verify_chain(
             "_recomputed",
             F.sha2(
                 F.concat(
-                    F.unix_micros(F.col(ts)).cast("string"),
+                    epoch_us(ts).cast("string"),
                     F.col("prev_hash"),
                     F.col(data).cast("string"),
                 ),

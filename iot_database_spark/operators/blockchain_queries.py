@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iot_database_spark.functions.time import epoch_us
 from iot_database_spark.operators import blockchain as bc
 from iot_database_spark.registry import load_views, register
 
@@ -68,7 +69,7 @@ def chain_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     BlockCollection.Insert :52-68)."""
     return _chain(spark, sf_dir).select(
         "guid",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "prev_hash",
         "hash",
     )

@@ -336,10 +336,10 @@ _PACK_ORACLE = """
     ),
     c AS (
         SELECT source, doc_id, toks,
-               SUM(toks) OVER (
+               CAST(SUM(toks) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS end_cum
+               ) AS BIGINT) AS end_cum
         FROM d
     ),
     s AS (

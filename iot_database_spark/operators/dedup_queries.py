@@ -38,15 +38,17 @@ _DUCK_SHINGLES = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iot_database_spark.session import spread_small_input
+
     tables = load_views(spark, sf_dir)
-    # repartition: the documents parquet is a single small file (1 input
-    # split), but the per-row shingle/minhash HOF work is heavy — spread
-    # it across all cores before the compute-bound projection
-    return (
+    # the per-row shingle/minhash HOF work is heavy: make sure it is
+    # spread across all cores even when the input is one small file
+    # (no-op when the source already has >= cores splits)
+    return spread_small_input(
         tables["documents"]
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(F.split("text", " ")) >= 3),
+        spark,
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iot_database_spark.functions.time import epoch_us
 from iot_database_spark.operators import iotvalue as iv
 from iot_database_spark.registry import load_views, register
 
@@ -66,7 +67,7 @@ def iot_effective_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "guid",
         F.col("value").alias("eff_value"),
         F.col("priority").alias("eff_priority"),
-        F.unix_micros(F.col("timestamp")).alias("eff_ts_us"),
+        epoch_us(F.col("timestamp")).alias("eff_ts_us"),
         F.lit(16).alias("n_slots"),
     )
 

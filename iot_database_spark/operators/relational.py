@@ -535,7 +535,8 @@ _sql(
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(event_id AS BIGINT) AS event_id,
                ts,
-               CASE WHEN unix_micros(ts) - LAG(unix_micros(ts)) OVER w
+               CASE WHEN timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+                         - LAG(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)) OVER w
                          > 1800000000 OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -606,7 +607,8 @@ _sql(
     "window_range_frame",
     """
     SELECT event_id, user_id,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                AS events_last_hour
     FROM events

@@ -103,20 +103,23 @@ _sql(
 )
 
 # Math.cs: ABS/ROUND/POW  (exact on decimal inputs so both engines agree)
+# both engines compute on exact DECIMALs, then surface as DOUBLE —
+# Spark would otherwise return DECIMAL where DuckDB returns DOUBLE and
+# the value-hash would diverge on type alone (values identical)
 _sql(
     "math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
-           ABS(CAST(l_discount AS DECIMAL(4,2)) - 0.05)       AS abs_from_mid,
-           ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) / 100, 1) AS price_hundreds,
+           CAST(ABS(CAST(l_discount AS DECIMAL(4,2)) - 0.05) AS DOUBLE) AS abs_from_mid,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) / 100, 1) AS DOUBLE) AS price_hundreds,
            CAST(POW(l_quantity, 2) AS DOUBLE)                 AS qty_sq
     FROM lineitem
     WHERE l_orderkey <= 1000
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ABS(CAST(l_discount AS DECIMAL(4,2)) - 0.05)       AS abs_from_mid,
-           ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) / 100, 1) AS price_hundreds,
+           CAST(ABS(CAST(l_discount AS DECIMAL(4,2)) - 0.05) AS DOUBLE) AS abs_from_mid,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) / 100, 1) AS DOUBLE) AS price_hundreds,
            CAST(POW(l_quantity, 2) AS DOUBLE)                 AS qty_sq
     FROM lineitem
     WHERE l_orderkey <= 1000

@@ -138,7 +138,10 @@ def bm25_oracle_sql(
         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
     ),
     bm AS (
-        SELECT id, COUNT(*) AS n_terms_matched, SUM(part_micro) AS score_micro
+        -- DuckDB SUM(BIGINT) yields HUGEINT (surfaces as double); pin to
+        -- BIGINT so the value-hash matches Spark's bigint sum
+        SELECT id, COUNT(*) AS n_terms_matched,
+               CAST(SUM(part_micro) AS BIGINT) AS score_micro
         FROM per_term GROUP BY id
     )
     """

@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 from iot_database_spark.registry import load_views, register
 from iot_database_spark.streaming.windowed import windowed_rollup
 
+# PySpark 4.1 reads the testdata's TIMESTAMP(NANOS) parquet natively as
+# TIMESTAMP_NTZ (truncated to micros) — declare it as such so event-time
+# windowing sees real timestamps
 _STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -55,11 +58,9 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the events table (sf_dir holds other tables' parquet too)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        # testdata stores TIMESTAMP(NANOS) read as long under
-        # nanosAsLong; integer DIV keeps the floor-to-micros exact
-        # (ns-since-epoch exceeds double precision) — same expression
-        # as session._fix_nanos
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # watermarks require TIMESTAMP (LTZ); the cast is exact under the
+        # engine's pinned UTC session timezone (load_views applied above)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     rolled = windowed_rollup(
         stream,

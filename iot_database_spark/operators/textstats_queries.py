@@ -136,13 +136,14 @@ _FP_ORACLE = f"""
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints: 5-wide sliding min over shingle hashes,
     distinct minima per doc."""
+    from iot_database_spark.session import spread_small_input
+
     tables = load_views(spark, sf_dir)
-    docs = (
+    docs = spread_small_input(
         tables["documents"]
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
-        .filter(F.size(F.split("text", " ")) >= 3)
-        # single-file parquet -> 1 split; spread the hash work first
-        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(F.split("text", " ")) >= 3),
+        spark,
     )
     return tx.fingerprint(docs)
 
@@ -219,7 +220,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(word_tokens) AS total_word_tokens,
+           CAST(SUM(word_tokens) AS BIGINT) AS total_word_tokens,
            CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS corpus_uniqueness
     FROM langs GROUP BY lang
     """,
@@ -488,7 +489,7 @@ _PREPARE_ORACLE = """
     SELECT s.split,
            COUNT(DISTINCT s.doc_id) AS n_docs,
            COUNT(*) AS n_chunks,
-           SUM(ch.n_chunk_tokens) AS total_chunk_tokens
+           CAST(SUM(ch.n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
     FROM splits s JOIN chunks ch ON s.doc_id = ch.doc_id
     GROUP BY s.split
 """

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from iot_database_spark.functions.time import epoch_us
+
 
 def locf_merge(
     writes: DataFrame,
@@ -92,8 +94,10 @@ def resample(
     windows (last-before / first-after) — a single shuffle on guid; the
     grid explode is O(#guids x #points) rows, never driver-side.
     """
-    start_c = F.lit(start).cast("timestamp") if isinstance(start, str) else start
-    end_c = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+    # NTZ grid: the testdata's ts columns read as TIMESTAMP_NTZ, and an
+    # LTZ grid would force a union-wide coercion of the sample side
+    start_c = F.lit(start).cast("timestamp_ntz") if isinstance(start, str) else start
+    end_c = F.lit(end).cast("timestamp_ntz") if isinstance(end, str) else end
 
     guids = samples.select(guid).distinct()
     grid = guids.select(
@@ -144,8 +148,8 @@ def resample(
         & F.col("next_v").isNotNull()
     )
     frac = (
-        (F.unix_micros(F.col("grid_ts")) - F.unix_micros(F.col("prev_ts"))).cast("double")
-        / (F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("prev_ts"))).cast("double")
+        (epoch_us("grid_ts") - epoch_us("prev_ts")).cast("double")
+        / (epoch_us("next_ts") - epoch_us("prev_ts")).cast("double")
     )
     interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
 
@@ -185,7 +189,9 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_lrow"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        # match the right side's ts type exactly (NTZ for parquet-read
+        # columns) — a hardcoded LTZ cast forces a union-wide coercion
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r_ts"),
     )
     r = right.select(
         F.col(on).alias("_k"),
@@ -257,7 +263,7 @@ def detect_gaps(
         samples.withColumn("prev_ts", F.lag(ts).over(w))
         .withColumn(
             "gap_seconds",
-            (F.unix_micros(F.col(ts)) - F.unix_micros("prev_ts")) / 1_000_000.0,
+            (epoch_us(ts) - epoch_us("prev_ts")) / 1_000_000.0,
         )
         .filter(F.col("prev_ts").isNotNull())
         .filter(F.col("gap_seconds") > max_gap_seconds)
@@ -280,7 +286,7 @@ def rate_of_change(
     seconds-elapsed within each series."""
     w = W.partitionBy(guid).orderBy(ts)
     v = F.col(value).cast("double")
-    dt_s = (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / F.lit(1_000_000.0)
+    dt_s = (epoch_us(ts) - epoch_us(F.lag(ts).over(w))) / F.lit(1_000_000.0)
     delta = v - F.lag(v).over(w)
     return (
         samples.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iot_database_spark.functions.time import epoch_us
 from iot_database_spark.operators import timeseries as ts_ops
 from iot_database_spark.registry import load_views, register
 
@@ -69,7 +70,7 @@ def ts_locf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "guid",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "slot_1",
         "slot_9",
         "slot_15",
@@ -142,7 +143,7 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "guid",
-        F.unix_micros("grid_ts").alias("grid_ts_us"),
+        epoch_us("grid_ts").alias("grid_ts_us"),
         "value",
         "interpolated",
     )
@@ -198,9 +199,9 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "guid",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         F.col("asof_value"),
-        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        epoch_us("asof_ts").alias("asof_ts_us"),
     )
 
 
@@ -230,7 +231,7 @@ def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts_ops.rollup_by_interval(samples, "1 hour")
     return out.select(
         "guid",
-        F.unix_micros("bucket_start").alias("bucket_us"),
+        epoch_us("bucket_start").alias("bucket_us"),
         "n_samples",
         "min_value",
         "max_value",
@@ -267,8 +268,8 @@ def ts_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts_ops.detect_gaps(samples, max_gap_seconds=21600.0)
     return out.select(
         "guid",
-        F.unix_micros("gap_start").alias("gap_start_us"),
-        F.unix_micros("gap_end").alias("gap_end_us"),
+        epoch_us("gap_start").alias("gap_start_us"),
+        epoch_us("gap_end").alias("gap_end_us"),
         "gap_seconds",
     )
 
@@ -306,7 +307,7 @@ def ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ts_ops.rate_of_change(samples)
     return out.select(
         "guid",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "value",
         "delta",
         "rate_per_sec",

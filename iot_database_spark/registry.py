@@ -37,35 +37,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The driver evaluates registered queries in dict-iteration order and (in
-# round 1) capped evaluation at the first 50. Round 1 registered the 40
-# relational + 10 scalar queries first, so every time-series / vector /
-# dedup / text / chain / NL query went ungraded. This explicit priority
-# list guarantees the first 50 slots cover one of everything: a relational
-# core plus ALL specialty-module queries. Remaining queries follow in
-# registration order. (Round 3: nl_find_include_nested — a rows-only
-# check, its hash-gated twin nl_find_include_digest stays — and
-# vector_l2_radius — same shape as vector_l2_topk — ceded their slots to
-# the two most novel curation ops, decontaminate_ngram_overlap and
-# embedding_outliers.)
+# The driver evaluates registered queries in dict-iteration order and
+# caps evaluation at the first 50, so this explicit priority list decides
+# which queries get a driver row each round. Remaining queries follow in
+# registration order.
+#
+# Round-3 window (two goals, exactly 50 slots):
+# 1. Every query whose code or oracle changed this round must re-prove
+#    green: the NTZ-timestamp family (ts_*, chain_*, stream_windowed_
+#    rollup, iot_effective_value, event_sessionization, window_range_
+#    frame) and the five oracle-type-cast fixes (math_funcs,
+#    search_bm25_topk + search_hybrid_rrf which shares the BM25 oracle,
+#    pipeline_clean_corpus, pipeline_prepare_training_data,
+#    corpus_pack_sequences) — 18 slots.
+# 2. The relational core — every join, window function, set op, rollup/
+#    cube/pivot/grouping-sets, subquery, percentile, funnel — had ZERO
+#    historical green driver rows (round 1 they ERR'd on the nanos bug,
+#    round 2 they sat outside the window). All 32 take the remaining
+#    slots. The r2-green-and-unchanged text_*/dedup_*/vector_*/nl_*
+#    families cede their slots; their green r02 rows stand as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # relational basics
-    "scan_filter_project",
-    "filter_in",
-    "sort_limit_offset",
-    "take_last",
-    "q01_pricing_summary",
-    "global_agg",
-    # scalar-function library (§2.8 — one row per group)
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "json_extract",
-    # round 3: BM25 ranked retrieval — the lexical-search capability
-    # class; takes the slot of map_functions (4 other §2.8 queries stay
-    # in the window)
-    "search_bm25_topk",
-    # time-series
+    # changed this round: NTZ-timestamp family
     "ts_locf_merge",
     "ts_resample_interp",
     "ts_asof_join",
@@ -73,57 +65,56 @@ _PRIORITY: tuple[str, ...] = (
     "ts_detect_gaps",
     "ts_rate_of_change",
     "stream_windowed_rollup",
-    # blockchain
     "chain_append",
     "chain_verify",
-    # vector / ANN
-    "vector_cosine_topk",
-    "vector_l2_topk",
-    "vector_upsert_dedup",
-    "ann_ivf_cosine",
-    "embedding_outliers",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_assign",
-    # text analysis
-    "text_quality_scores",
-    "text_token_count",
-    "text_langid",
-    "text_fingerprint",
-    "text_gopher_rules",
-    "text_scrub_pii",
+    "iot_effective_value",
+    "event_sessionization",
+    "window_range_frame",
+    # changed this round: oracle type-cast fixes
+    "math_funcs",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
     "pipeline_clean_corpus",
     "pipeline_prepare_training_data",
-    # NL query surface
-    "nl_find_filter_sort_limit",
-    "nl_find_dual_join",
-    "nl_find_dual_fk_inference",
-    "nl_find_triple_join",
-    "nl_find_include_digest",
-    "decontaminate_ngram_overlap",
-    "remote_serialized_find",
-    # IotValue semantics
-    "iot_effective_value",
-    "iot_write_gating",
-    # round 3: concat-and-chunk sequence packing — the pretraining
-    # packing primitive; takes the slot of iot_password_hash (two other
-    # IotValue queries stay in the window)
     "corpus_pack_sequences",
-    # relational core: joins / aggs / sets / windows
-    "groupby_having",
+    # relational core: scans / filters / sorts
+    "filter_like",
+    "filter_between_not",
+    "multi_key_sort",
+    "distinct_op",
+    "count_exists_minmax",
+    # aggregation supersets
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
+    "pivot_status_by_segment",
+    # joins
     "join2_orders_customer",
+    "join3_customer_nation_region",
     "join4_revenue_by_nation",
+    "join6_local_supplier_revenue",
+    "join_part_promo_monthly",
+    "include_children_agg",
     "semi_join_exists",
     "anti_join_not_exists",
+    "dbref_include_missing",
+    # set operations
     "set_union",
+    "set_intersect",
+    "set_except",
+    # window functions
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
     "window_rank_family",
-    "search_hybrid_rrf",
-    "map_functions",
-    "iot_password_hash",
+    # predicates / subqueries / analytics
+    "any_all_quantifiers",
+    "q03_shipping_priority",
+    "q06_revenue_forecast",
+    "correlated_scalar_subquery",
+    "exact_percentiles",
+    "event_funnel",
+    "event_cohort_retention",
 )
 
 

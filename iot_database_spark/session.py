@@ -54,10 +54,6 @@ def get_spark(app_name: str = "iot_database_spark", master: str | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot
-        # read natively; read as long and convert in load_tables (floor to
-        # micros — the same truncation DuckDB applies when surfacing ns).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"))
     )
@@ -94,29 +90,43 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = _fix_nanos(spark, path)
+        # PySpark 4.1 reads the testdata's TIMESTAMP(NANOS,
+        # isAdjustedToUTC=false) columns natively as TIMESTAMP_NTZ
+        # truncated to micros — no conversion needed; epoch arithmetic
+        # goes through functions.time.epoch_us (NTZ-safe).
+        df = spark.read.parquet(path)
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
     return out
 
 
+def spread_small_input(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the input has fewer splits than the cluster
+    has cores (e.g. the single-file sf0.01 testdata) so compute-heavy
+    per-row work parallelizes. At scale the source already has >= cores
+    splits and this is a no-op — an unconditional repartition would be a
+    pure-cost extra shuffle there (round-2 review finding)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _apply_runtime_confs(spark: SparkSession) -> None:
     """Make an externally-built SparkSession safe for this engine's queries.
 
-    Round 1 shipped with these only in get_spark()'s builder; the driver's
-    vanilla session then threw PARQUET_TYPE_ILLEGAL on the NANOS-timestamp
-    testdata before any query ran. Correctness-critical confs:
+    Round 1 shipped with these only in get_spark()'s builder; the driver
+    builds its own vanilla session, so every conf a query's correctness
+    depends on must be (re)applied at load time. Correctness-critical:
 
-    - nanosAsLong: the testdata stores TIMESTAMP(NANOS), unreadable by a
-      stock Spark session; read as long + convert in _fix_nanos.
     - UTC session timezone: oracle comparisons must not depend on the host
-      JVM default timezone.
+      JVM default timezone, and epoch_us() on LTZ columns assumes UTC
+      (NTZ columns — the testdata's timestamps — are tz-independent).
     - Arrow: the vector/multimodal Pandas-UDF paths assume Arrow batches.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     for key, val in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
@@ -134,28 +144,3 @@ def _apply_runtime_confs(spark: SparkSession) -> None:
             pass  # never let a tuning conf break a load
 
 
-def _fix_nanos(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet, converting TIMESTAMP(NANOS) columns (surfaced as long
-    via spark.sql.legacy.parquet.nanosAsLong) back to microsecond timestamps.
-
-    Integer `DIV 1000` keeps the conversion exact (ns since epoch exceeds
-    2^53, so float division would corrupt) and floors toward -inf for the
-    data's positive epochs — identical to DuckDB's ns->us surfacing, so
-    oracle comparisons against whole-second literals are unaffected.
-    """
-    from pyspark.sql import functions as F
-
-    df = spark.read.parquet(path)
-    try:
-        import pyarrow.parquet as pq
-
-        arrow_schema = pq.read_schema(path)
-    except Exception:
-        return df
-    for field in arrow_schema:
-        if str(field.type) == "timestamp[ns]" and field.name in df.columns:
-            df = df.withColumn(
-                field.name,
-                F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000")),
-            )
-    return df

@@ -357,6 +357,12 @@ class Table:
         is a DataFrame) are computed in ONE Spark action over a union of
         single-row aggregates. Round 1 ran 2 + 2·|fk| + |unique| separate
         jobs per insert, each rescanning the batch and the table."""
+        import dataclasses as _dc
+
+        if isinstance(rows, list) and rows and _dc.is_dataclass(rows[0]):
+            from iot_database_spark.mapper import to_row
+
+            rows = [to_row(r) for r in rows]
         from_list = not isinstance(rows, DataFrame)
         batch = (
             self.db.spark.createDataFrame(self._with_ids(rows), self.schema)

@@ -245,3 +245,29 @@ def test_rollup_and_rate(spark):
     rates = sorted(rate_of_change(s).collect(), key=lambda r: r["ts"])
     assert rates[0]["delta"] == 20.0
     assert rates[0]["rate_per_sec"] == pytest.approx(20.0 / 2400.0)
+
+
+# --- deliberate divergence: dynamic-type ordering --------------------------
+
+def test_dynamic_string_slot_ordering_diverges_from_bson_order(spark):
+    """The reference orders ACROSS types (LiteDB BsonValue.CompareTo,
+    LiteDB/Document/BsonValue.cs:715-760: null < number < string < ...)
+    because its documents are schemaless. This engine deliberately uses
+    fixed per-column schemas: heterogeneous slots are declared `string`
+    and ordered LEXICOGRAPHICALLY. This test pins the documented
+    divergence (README "Deliberate narrowings") so it can never regress
+    silently into an accidental half-implementation of BSON order."""
+    df = spark.createDataFrame(
+        [("a", "10"), ("b", "9"), ("c", "abc"), ("d", None)],
+        "id string, slot string",
+    )
+    ordered = [r["id"] for r in df.orderBy("slot").collect()]
+    # lexicographic: NULLs first (Spark default), "10" < "9" < "abc" —
+    # BSON order would put 9 before 10 (numeric compare within a type)
+    assert ordered == ["d", "a", "b", "c"]
+    # MIN/MAX never cross types (a column has exactly one type), and on
+    # strings they are lexicographic ends, not numeric ends
+    row = df.agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    ).collect()[0]
+    assert (row["lo"], row["hi"]) == ("10", "abc")

@@ -15,7 +15,7 @@ from iot_database_spark.plans.audit import explain_str
 def test_partition_pruning_on_date_and_bucket(spark, tmp_path, smoke_dir):
     events = spark.read.parquet(f"{smoke_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("guid"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("ts"),
         "value",
     )
     path = str(tmp_path / "ts_layout")
@@ -41,7 +41,7 @@ def test_partition_pruning_on_date_and_bucket(spark, tmp_path, smoke_dir):
 def test_sorted_within_partitions(spark, tmp_path, smoke_dir):
     events = spark.read.parquet(f"{smoke_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("guid"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("ts"),
         "value",
     )
     path = str(tmp_path / "sorted_layout")

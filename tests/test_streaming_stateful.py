@@ -137,9 +137,10 @@ def test_streaming_rollup_equals_batch(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     os.symlink(path, stream_dir / "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    convert = lambda df: df.select(  # noqa: E731 — nanos long -> us ts
+    convert = lambda df: df.select(  # noqa: E731
         F.col("user_id").cast("string").alias("guid"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        # watermarks require TIMESTAMP (LTZ); exact under the UTC session tz
+        F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").cast("double").alias("value"),
     )
 

@@ -20,18 +20,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF = "/root/testdata/sf0.001"
 
-# One representative per *_queries module (plus relational + scalar).
-PROBE_QUERIES = [
-    "scan_filter_project",  # relational
-    "date_funcs",  # scalar_dialect
-    "iot_effective_value",  # iotvalue_queries
-    "ts_asof_join",  # timeseries_queries
-    "chain_verify",  # blockchain_queries
-    "vector_cosine_topk",  # vector_queries
+# The ENTIRE graded window (the driver runs the first 50 registered
+# queries) — the probe must fail locally iff the driver would fail.
+# Round 2 shipped with a hand-picked probe subset while queries inside
+# the window were red; never again. A second list keeps one
+# representative per remaining *_queries module so session-coupling in
+# the ungraded tail surfaces too.
+from iot_database_spark.registry import queries as _registry_queries
+
+PROBE_QUERIES = list(_registry_queries())[:50] + [
+    "vector_cosine_topk",  # vector_queries (outside the r3 window)
     "dedup_exact",  # dedup_queries
     "text_quality_scores",  # textstats_queries
     "nl_find_filter_sort_limit",  # nl_queries
-    "stream_windowed_rollup",  # streaming_queries (real stream on vanilla session)
     "remote_serialized_find",  # serialized wire surface
     "decontaminate_ngram_overlap",  # curation_queries
     "ann_lsh_cosine",  # curation: hyperplane LSH over embeddings
