@@ -565,9 +565,11 @@ _sql(
         FROM events
         WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT) ORDER BY ts)
     ), sessions AS (
+        -- DuckDB's windowed SUM(INTEGER) yields HUGEINT, which the driver
+        -- value-hash distinguishes from Spark's BIGINT; pin to BIGINT
         SELECT user_id, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no,

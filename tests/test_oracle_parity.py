@@ -51,6 +51,31 @@ def _normalize(rows, cols):
     return out
 
 
+_FORBIDDEN_DUCK = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                   "USMALLINT", "UTINYINT")
+_SIGNED_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def _check_decl_types(name: str, spark_dtypes: dict, duck_decl: dict) -> None:
+    """Fail if the oracle's *declared* DuckDB types could hash-diverge from
+    Spark's even when the python cursor values coincide (HUGEINT -> int)."""
+    for c, dt in duck_decl.items():
+        base = dt.split("(")[0].strip().upper()
+        assert base not in _FORBIDDEN_DUCK, (
+            f"{name}.{c}: oracle declares {dt} — the driver's value-hash "
+            f"distinguishes it from Spark's type; CAST it in the oracle SQL"
+        )
+        s_dt = spark_dtypes.get(c, "")
+        if s_dt in ("int", "bigint", "smallint", "tinyint"):
+            assert base in _SIGNED_INTS, f"{name}.{c}: spark {s_dt} vs oracle {dt}"
+        elif s_dt == "double":
+            assert base == "DOUBLE", f"{name}.{c}: spark double vs oracle {dt}"
+        elif s_dt == "float":
+            assert base in ("FLOAT", "REAL"), f"{name}.{c}: spark float vs oracle {dt}"
+        elif s_dt.startswith("decimal"):
+            assert base == "DECIMAL", f"{name}.{c}: spark {s_dt} vs oracle {dt}"
+
+
 _ORACLES = registry.oracles()
 _QUERIES = registry.queries()
 
@@ -62,11 +87,18 @@ def test_oracle_parity(name, spark, sf_dir):
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
+    rel = con.sql(_ORACLES[name])
+    # raw DuckDB *declared* types: the cursor flattens HUGEINT to python
+    # int, so value/py-type checks alone cannot catch the HUGEINT-vs-BIGINT
+    # class that made event_sessionization the lone red driver row in r3
+    duck_decl = dict(zip(rel.columns, [str(t) for t in rel.types]))
     res = con.execute(_ORACLES[name])
     res_description = res.description
     dcols = [d[0] for d in res_description]
     drows = res.fetchall()
     con.close()
+
+    _check_decl_types(name, dict(sdf.dtypes), duck_decl)
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
@@ -127,6 +159,25 @@ def test_oracle_parity(name, spark, sf_dir):
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_hugeint_probe_fails_gate():
+    """A deliberately-HUGEINT oracle must be rejected by the declared-type
+    gate even though the python cursor would flatten it to int (the exact
+    blind spot that let event_sessionization pass locally in round 3)."""
+    con = duckdb.connect()
+    rel = con.sql("SELECT SUM(x) AS session_no FROM (VALUES (1), (2)) t(x)")
+    duck_decl = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    # duckdb's SUM(INTEGER) really is HUGEINT — if this ever changes the
+    # guard below would vacuously pass, so pin the premise first
+    assert duck_decl["session_no"] == "HUGEINT"
+    flat = con.execute(
+        "SELECT SUM(x) AS session_no FROM (VALUES (1), (2)) t(x)"
+    ).fetchone()[0]
+    con.close()
+    assert isinstance(flat, int)  # the cursor flattening that hid the bug
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        _check_decl_types("probe", {"session_no": "bigint"}, duck_decl)
 
 
 def test_every_query_has_entry():
