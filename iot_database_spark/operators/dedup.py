@@ -91,23 +91,34 @@ def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     return F.array(*[min_hash(seed) for seed in range(k)])
 
 
-def _ordered_pairs(members: Column, build) -> Column:
-    """All i<j element pairs of `members` as a flat struct array.
+def _explode_pairs(grouped: DataFrame, member_col: str, build) -> DataFrame:
+    """All i<j member pairs of each group's `member_col` array, exploded.
 
     `build(x, y) -> Column(struct)` shapes each pair. Replaces a
     bucket-key self-join: the grouped rows are already co-located after
     one groupBy exchange, so pair generation is pure per-row compute —
     no second shuffle of the (wide) member payload and no join sort.
-    Output size is identical to the join's (quadratic per bucket); the
-    caller bounds bucket sizes (max_df / LSH banding) exactly as it
-    would have bounded the join fan-out."""
-    return F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)), lambda y: build(x, y)
-            ),
+
+    Two-step explode on purpose: posexplode fans each n-member group to
+    n rows, then row i pairs member i with members i+1.. via a slice, so
+    the largest single array any row materializes is n-1 structs.  The
+    round-3 shape (flatten(transform(...)) of ALL pairs, exploded from
+    ONE row) held the full C(n,2) set in a single value — ~8.4 M structs
+    (hundreds of MB) at max_bucket=4096, an executor-OOM risk even
+    though total work was bounded. Total pair output is identical."""
+    m = F.col(member_col)
+    return (
+        grouped.select(m.alias("_m"), F.posexplode(m).alias("_i", "_x"))
+        # slice start is 1-based, posexplode pos 0-based: i+2 = strictly after i
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_m"), F.col("_i") + 2, F.size(F.col("_m"))),
+                    lambda y: build(F.col("_x"), y),
+                )
+            ).alias("p")
         )
+        .select("p.*")
     )
 
 
@@ -171,10 +182,12 @@ def lsh_candidate_pairs(
 
     max_bucket is the skew guard (same role as jaccard's max_df): a
     degenerate bucket — e.g. thousands of identical/empty documents
-    colliding on a band hash — would otherwise materialize its full
-    quadratic pair array inside one row. Such buckets are dropped; at
-    that size the members are candidate-duplicates of each other by
-    construction, and exact_dedup is the right tool for them."""
+    colliding on a band hash — would otherwise emit a quadratic pair
+    blow-up (C(n,2) total output). Such buckets are dropped; at that
+    size the members are candidate-duplicates of each other by
+    construction, and exact_dedup is the right tool for them. Per-row
+    memory is bounded separately by _explode_pairs (max n-1 structs in
+    any single array value)."""
     packed = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(minhash_banded(F.col(content), k, bands))).alias("x"),
@@ -209,8 +222,7 @@ def lsh_candidate_pairs(
         .filter(F.size("m").between(2, max_bucket))
     )
     pairs = (
-        buckets.select(F.explode(_ordered_pairs(F.col("m"), build)).alias("p"))
-        .select("p.*")
+        _explode_pairs(buckets, "m", build)
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("n_matching_bands"),
@@ -302,8 +314,7 @@ def jaccard_pairs(
         .filter(F.size("m").between(2, max_df))
     )
     inter = (
-        postings.select(F.explode(_ordered_pairs(F.col("m"), build)).alias("p"))
-        .select("p.*")
+        _explode_pairs(postings, "m", build)
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("n_common"),

@@ -42,22 +42,53 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # which queries get a driver row each round. Remaining queries follow in
 # registration order.
 #
-# Round-3 window (two goals, exactly 50 slots):
-# 1. Every query whose code or oracle changed this round must re-prove
-#    green: the NTZ-timestamp family (ts_*, chain_*, stream_windowed_
-#    rollup, iot_effective_value, event_sessionization, window_range_
-#    frame) and the five oracle-type-cast fixes (math_funcs,
-#    search_bm25_topk + search_hybrid_rrf which shares the BM25 oracle,
-#    pipeline_clean_corpus, pipeline_prepare_training_data,
-#    corpus_pack_sequences) — 18 slots.
-# 2. The relational core — every join, window function, set op, rollup/
-#    cube/pivot/grouping-sets, subquery, percentile, funnel — had ZERO
-#    historical green driver rows (round 1 they ERR'd on the nanos bug,
-#    round 2 they sat outside the window). All 32 take the remaining
-#    slots. The r2-green-and-unchanged text_*/dedup_*/vector_*/nl_*
-#    families cede their slots; their green r02 rows stand as evidence.
+# Round-4 window (exactly 50 slots):
+# 1. The 19 oracle-backed queries that have NEVER had a green driver row
+#    in any round (r3 verdict's explicit list), led by the re-graded
+#    event_sessionization (r3's lone red row, oracle SUM now cast to
+#    BIGINT) — closing the ever-driver-green gap to 104/104.
+# 2. Every query whose code changed this round must re-prove green:
+#    the LSH pair-generation restructure (dedup_minhash_lsh,
+#    dedup_cluster_assign, dedup_ngram_jaccard), the
+#    join_part_promo_monthly broadcast pin, the epoch_us_sql NTZ-cast
+#    symmetry fix (chain_append, chain_verify), the spread_small_input
+#    caching (dedup_exact, text_fingerprint), and the new unit-catalog /
+#    SQL-INCLUDE queries.
+# 3. Backfill with the r3-green families most recently touched
+#    (timeseries, search, pipelines) so regressions surface.
 _PRIORITY: tuple[str, ...] = (
-    # changed this round: NTZ-timestamp family
+    # never-driver-graded (r3 verdict list) + re-graded sessionization
+    "event_sessionization",
+    "skew_salted_agg",
+    "string_format_regex",
+    "conditional_cast",
+    "array_higher_order",
+    "try_cast_predicates",
+    "sha256_hash",
+    "map_functions",
+    "iot_password_hash",
+    "vector_l2_radius",
+    "dedup_repeated_ngrams",
+    "dedup_fuzzy_name_match",
+    "text_chunk_windows",
+    "corpus_train_val_test_split",
+    "corpus_mixture_sample",
+    "heavy_hitter_ngrams",
+    "ann_lsh_cosine",
+    "text_quality_classifier",
+    "stream_exact_dedup",
+    # code changed this round: must re-prove
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_ngram_jaccard",
+    "join_part_promo_monthly",
+    "chain_append",
+    "chain_verify",
+    "dedup_exact",
+    "text_fingerprint",
+    "unit_convert_bulk",
+    "sql_include_digest",
+    # r3-green backfill: most recently touched families
     "ts_locf_merge",
     "ts_resample_interp",
     "ts_asof_join",
@@ -65,56 +96,20 @@ _PRIORITY: tuple[str, ...] = (
     "ts_detect_gaps",
     "ts_rate_of_change",
     "stream_windowed_rollup",
-    "chain_append",
-    "chain_verify",
     "iot_effective_value",
-    "event_sessionization",
     "window_range_frame",
-    # changed this round: oracle type-cast fixes
     "math_funcs",
     "search_bm25_topk",
     "search_hybrid_rrf",
     "pipeline_clean_corpus",
     "pipeline_prepare_training_data",
     "corpus_pack_sequences",
-    # relational core: scans / filters / sorts
-    "filter_like",
-    "filter_between_not",
-    "multi_key_sort",
-    "distinct_op",
-    "count_exists_minmax",
-    # aggregation supersets
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
-    "pivot_status_by_segment",
-    # joins
-    "join2_orders_customer",
-    "join3_customer_nation_region",
-    "join4_revenue_by_nation",
-    "join6_local_supplier_revenue",
-    "join_part_promo_monthly",
-    "include_children_agg",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "dbref_include_missing",
-    # set operations
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # window functions
     "window_topk_per_group",
     "window_running_sum",
-    "window_lag_delta",
-    "window_rank_family",
-    # predicates / subqueries / analytics
-    "any_all_quantifiers",
-    "q03_shipping_priority",
-    "q06_revenue_forecast",
-    "correlated_scalar_subquery",
+    "rollup_agg",
+    "set_union",
+    "semi_join_exists",
     "exact_percentiles",
-    "event_funnel",
-    "event_cohort_retention",
 )
 
 

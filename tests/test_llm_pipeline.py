@@ -40,6 +40,48 @@ def test_minhash_lsh_finds_neardups(corpus):
     assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated not paired
 
 
+def test_explode_pairs_complete_and_row_bounded(spark):
+    """_explode_pairs must emit exactly the C(n,2) ordered pairs AND keep
+    every per-row array at <= n-1 elements (the r3 single-row quadratic
+    spike regression guard)."""
+    import itertools
+
+    n = 40
+    grouped = spark.createDataFrame(
+        [(list(range(n)),)], "m: array<int>"
+    )
+
+    def build(x, y):
+        return F.struct(
+            F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+        )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd._explode_pairs(grouped, "m", build).collect()
+    }
+    assert got == set(itertools.combinations(range(n), 2))
+
+    # per-row bound: the largest array any intermediate row materializes
+    # is the per-element slice (n-1), never the flattened C(n,2) set
+    m = F.col("m")
+    max_arr = (
+        grouped.select(m.alias("_m"), F.posexplode(m).alias("_i", "_x"))
+        .select(
+            F.size(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size(F.col("_m")))
+            ).alias("sz")
+        )
+        .agg(F.max("sz"))
+        .collect()[0][0]
+    )
+    assert max_arr == n - 1
+
+    # the generating plan must not contain the old single-row flatten
+    plan = dd._explode_pairs(grouped, "m", build)._jdf.queryExecution().toString()
+    assert "flatten" not in plan.lower()
+
+
 def test_simhash_close_for_neardups(corpus):
     rows = {
         r["doc_id"]: r["sh"]
