@@ -1,6 +1,14 @@
 """Unit conversion — the reference's IotUnit rule-string engine
-(Iot.Database/IotValueUnits/IotUnit.cs:27-63; ~200 predefined units in
-IotValueUnits/Units.cs).
+(Iot.Database/IotValueUnits/IotUnit.cs:27-63; 435 predefined units /
+46 groups / 1232 conversion rules in IotValueUnits/Units.cs, shipped
+here as generated data in units_catalog.py).
+
+Parity note: the engine applies `target.ConversionRules[source.Name]`
+to the source value verbatim (IotUnit.cs:36-53). Some reference groups
+publish rules inverted relative to their own comments (e.g. Length:
+Units.cs:1322 `kilometers["meters"] = "value * 1000"` commented
+"Convert m to km"); we reproduce the published rule strings exactly, so
+conversions match what the reference computes — including those quirks.
 
 The reference compiles rule strings like "value * 1000" or
 "(value - 32) * 5 / 9" with Dynamic LINQ and applies them to every
@@ -10,7 +18,7 @@ codegen'd JVM arithmetic, applied per-slot with a transform().
 
 Grammar:  expr   := term (('+'|'-') term)*
           term   := factor (('*'|'/') factor)*
-          factor := NUMBER | 'value' | '(' expr ')' | '-' factor
+          factor := NUMBER | 'value' | 'Math.PI' | '(' expr ')' | '-' factor
 """
 
 from __future__ import annotations
@@ -21,7 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TOKEN = re.compile(r"\s*(\d+\.?\d*|value|[()+\-*/])", re.IGNORECASE)
+_NUM = r"\d+\.?\d*(?:[eE][+-]?\d+)?"
+_TOKEN = re.compile(rf"\s*({_NUM}|math\.pi|value|[()+\-*/])", re.IGNORECASE)
 
 
 class RuleError(ValueError):
@@ -70,7 +79,13 @@ def compile_rule(rule: str):
             if tok == "value":
                 eat()
                 return value
-            if tok and re.fullmatch(r"\d+\.?\d*", tok):
+            if tok == "math.pi":
+                # Math.PI in the reference's Dynamic-LINQ rule strings
+                eat()
+                import math
+
+                return F.lit(math.pi)
+            if tok and re.fullmatch(_NUM, tok, re.IGNORECASE):
                 eat()
                 return F.lit(float(tok))
             raise RuleError(f"unexpected token {tok!r} in {rule!r}")
@@ -101,59 +116,107 @@ def compile_rule(rule: str):
 
 @dataclass(frozen=True)
 class IotUnit:
-    """IotUnit {Group, Name, Symbol} + conversion rules keyed by target
-    symbol (IotUnit.cs; rules are 'value'-expressions)."""
+    """IotUnit {Group, Name, Symbol} + conversion rules. Rules live on
+    the TARGET unit keyed by the SOURCE unit's name — IotUnit.cs:36
+    resolves `target.ConversionRules[source.Unit.Name]`."""
 
     group: str
     name: str
     symbol: str
-    conversions: tuple[tuple[str, str], ...] = ()  # (target_symbol, rule)
+    conversions: tuple[tuple[str, str], ...] = ()  # (source_name, rule)
 
-    def rule_to(self, target_symbol: str) -> str:
-        for sym, rule in self.conversions:
-            if sym == target_symbol:
+    def rule_from(self, source_name: str) -> str:
+        source_name = _NAME_ALIASES.get(source_name, source_name)
+        for src, rule in self.conversions:
+            if _NAME_ALIASES.get(src, src) == source_name:
                 return rule
-        raise RuleError(f"no conversion {self.symbol} -> {target_symbol}")
+        raise RuleError(f"no conversion {source_name} -> {self.name}")
 
 
-# A representative slice of Units.cs (the full table is data, not code —
-# extendable by adding rows)
-UNITS: dict[str, IotUnit] = {
-    u.symbol: u
-    for u in [
-        IotUnit("temperature", "celsius", "degC",
-                (("degF", "value * 9 / 5 + 32"), ("K", "value + 273.15"))),
-        IotUnit("temperature", "fahrenheit", "degF",
-                (("degC", "(value - 32) * 5 / 9"),)),
-        IotUnit("temperature", "kelvin", "K", (("degC", "value - 273.15"),)),
-        IotUnit("length", "meter", "m", (("km", "value / 1000"), ("mm", "value * 1000"))),
-        IotUnit("length", "kilometer", "km", (("m", "value * 1000"),)),
-        IotUnit("power", "watt", "W", (("kW", "value / 1000"),)),
-        IotUnit("power", "kilowatt", "kW", (("W", "value * 1000"),)),
-    ]
+# The reference's Power rules key watts as "watts_power" while the unit's
+# own Name is "watts" (Units.cs Power group) — its own Convert() would
+# throw NotSupportedException for watts->anything. Bridge the key so the
+# published rules are reachable; documented divergence.
+_NAME_ALIASES: dict[str, str] = {"watts_power": "watts"}
+
+# Symbol shorthands kept for API convenience (the reference API passes
+# IotUnit structs, so it never needs string lookup; we accept name or
+# unambiguous symbol, plus these legacy spellings for ASCII-only callers)
+_LEGACY: dict[str, str] = {
+    "degC": "degrees_celsius",
+    "degF": "degrees_fahrenheit",
+    "K": "degrees_kelvin",
+    "m": "meters",
+    "km": "kilometers",
+    "mm": "millimeters",
+    "W": "watts",
+    "kW": "kilowatts",
 }
 
 
-def convert(value: Column, from_symbol: str, to_symbol: str) -> Column:
+def _load_catalog() -> tuple[dict[str, IotUnit], dict[str, str]]:
+    from iot_database_spark.functions.units_catalog import UNIT_ROWS
+
+    by_name: dict[str, IotUnit] = {}
+    sym_count: dict[str, int] = {}
+    for group, name, symbol, convs in UNIT_ROWS:
+        by_name[name] = IotUnit(group, name, symbol, tuple(convs))
+        sym_count[symbol] = sym_count.get(symbol, 0) + 1
+    # symbols are only a lookup key when globally unambiguous ("$" covers
+    # 30 currencies; "L" six volume/illuminance units)
+    by_symbol = {
+        u.symbol: u.name
+        for u in by_name.values()
+        if u.symbol and sym_count[u.symbol] == 1
+    }
+    return by_name, by_symbol
+
+
+UNITS, _SYMBOL_TO_NAME = _load_catalog()
+
+
+def resolve(unit: str) -> IotUnit:
+    """Resolve a unit by name, unambiguous symbol, or legacy shorthand."""
+    name = _LEGACY.get(unit, unit)
+    if name in UNITS:
+        return UNITS[name]
+    if unit in _SYMBOL_TO_NAME:
+        return UNITS[_SYMBOL_TO_NAME[unit]]
+    raise RuleError(f"unknown unit {unit!r}")
+
+
+def conversion_rule(from_unit: str, to_unit: str) -> str:
+    """The reference rule string converting from_unit -> to_unit.
+
+    Raises RuleError when the units are in different groups (reference
+    throws InvalidCastException, IotUnit.cs:29-30) or no rule is
+    published (NotSupportedException, IotUnit.cs:62)."""
+    src, dst = resolve(from_unit), resolve(to_unit)
+    if src.group != dst.group:
+        raise RuleError(f"cannot convert {src.group} to {dst.group}")
+    return dst.rule_from(src.name)
+
+
+def convert(value: Column, from_unit: str, to_unit: str) -> Column:
     """Convert a numeric column between units via the rules table."""
-    if from_symbol == to_symbol:
+    if resolve(from_unit).name == resolve(to_unit).name:
         return value
-    rule = UNITS[from_symbol].rule_to(to_symbol)
-    return compile_rule(rule)(value)
+    return compile_rule(conversion_rule(from_unit, to_unit))(value)
 
 
-def convert_slots(values: Column, from_symbol: str, to_symbol: str) -> Column:
-    """Apply a unit conversion to every numeric priority slot EXCEPT slot
-    16 (IotUnit.cs:27-63 skips slot 16 — the default slot keeps its
-    configured value). Slots hold strings; non-numeric slots pass through
-    unchanged."""
-    if from_symbol == to_symbol:
+def convert_slots(values: Column, from_unit: str, to_unit: str) -> Column:
+    """Apply a unit conversion to every numeric priority slot EXCEPT
+    array index 16 = priority 17, the QueryConfiguration slot
+    (IotUnit.cs:50 `if (i != 16 && double.TryParse(...))` over the
+    0-based Values array; SetValue maps priority p -> index p-1).
+    Slots hold strings; non-numeric slots pass through unchanged."""
+    if resolve(from_unit).name == resolve(to_unit).name:
         return values
-    fn = compile_rule(UNITS[from_symbol].rule_to(to_symbol))
+    fn = compile_rule(conversion_rule(from_unit, to_unit))
     return F.transform(
         values,
         lambda v, i: F.when(
-            (i != 15) & v.try_cast("double").isNotNull(),  # i is 0-based; slot 16 -> idx 15
+            (i != 16) & v.try_cast("double").isNotNull(),
             fn(v.cast("double")).cast("string"),
         ).otherwise(v),
     )

@@ -124,3 +124,39 @@ def iot_password_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("event_id"),
         iv.password_hash(F.col("value").cast("decimal(12,2)")).alias("pw_hash"),
     )
+
+
+@register(
+    "unit_convert_bulk",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS celsius,
+           (CAST(value AS DOUBLE) * 9 / 5) + 32 AS fahrenheit,
+           CAST(value AS DOUBLE) + 273.15 AS kelvin,
+           (CAST(value AS DOUBLE) * 9 / 5) + 491.67 AS rankine,
+           CAST(value AS DOUBLE) * (pi() / 180) AS radians
+    FROM events
+    WHERE CAST(event_id AS BIGINT) % 10 = 0
+    """,
+)
+def unit_convert_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk unit conversion through the generated 435-unit catalog
+    (IotValueUnits/Units.cs via units_catalog.py): every readings row
+    converted degrees_celsius -> fahrenheit / kelvin / rankine and
+    degrees_angular -> radians (a Math.PI rule — DuckDB pi() parity).
+    The rule strings compile to JVM Column arithmetic (no UDF), so the
+    conversions are whole-stage-codegen'd and the oracle replicates the
+    exact published rule expressions text-for-text."""
+    from iot_database_spark.functions import units
+
+    tables = load_views(spark, sf_dir)
+    ev = tables["events"].filter(F.col("event_id").cast("bigint") % 10 == 0)
+    v = F.col("value").cast("double")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        v.alias("celsius"),
+        units.convert(v, "degrees_celsius", "degrees_fahrenheit").alias("fahrenheit"),
+        units.convert(v, "degrees_celsius", "degrees_kelvin").alias("kelvin"),
+        units.convert(v, "degrees_celsius", "degrees_rankine").alias("rankine"),
+        units.convert(v, "degrees_angular", "radians").alias("radians"),
+    )

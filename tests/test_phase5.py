@@ -190,9 +190,19 @@ def test_rule_compiler_and_conversions(spark):
     c = F.lit(100.0)
     assert _one(spark, convert(c, "degC", "degF")) == pytest.approx(212.0)
     assert _one(spark, convert(F.lit(32.0), "degF", "degC")) == pytest.approx(0.0)
-    assert _one(spark, convert(c, "m", "km")) == pytest.approx(0.1)
-    assert _one(spark, convert(c, "kW", "W")) == pytest.approx(100000.0)
+    # Reference parity for Length/Power: the published rules in those
+    # groups are inverted relative to their own comments (Units.cs:1322
+    # kilometers["meters"] = "value * 1000", commented "Convert m to km");
+    # IotUnit.Convert applies the rule string as-is, and so do we.
+    assert _one(spark, convert(c, "m", "km")) == pytest.approx(100000.0)
+    assert _one(spark, convert(c, "kW", "W")) == pytest.approx(0.1)
     assert _one(spark, convert(c, "m", "m")) is not None  # identity
+    # name-based lookup straight from the generated 435-unit catalog
+    assert _one(spark, convert(c, "degrees_rankine", "degrees_fahrenheit")) \
+        == pytest.approx(559.67)
+    assert _one(
+        spark, convert(F.lit(180.0), "degrees_angular", "radians")
+    ) == pytest.approx(3.14159265, rel=1e-6)
 
     fn = compile_rule("(value - 32) * 5 / 9")
     assert _one(spark, fn(F.lit(212.0))) == pytest.approx(100.0)
@@ -203,12 +213,14 @@ def test_rule_compiler_and_conversions(spark):
         compile_rule("__import__('os')")(F.lit(1.0))
 
 
-def test_convert_slots_skips_slot16_and_non_numeric(spark):
+def test_convert_slots_skips_priority17_and_non_numeric(spark):
     values = F.array(
         *[F.lit(x) for x in ["10"] + [None] * 13 + ["20", "30", "40"]]
-    )  # slots 1,15,16,17 set; slot 16 = '30'
+    )  # priorities 1,15,16,17 set; priority 17 (idx 16) = '40'
     out = _one(spark, convert_slots(values, "degC", "degF"))
-    assert out[0] == "50.0"       # slot 1 converted (10C -> 50F)
-    assert out[14] == "68.0"      # slot 15 converted
-    assert out[15] == "30"        # slot 16 UNCHANGED (IotUnit.cs rule)
-    assert out[16] == "104.0"     # slot 17 converted (numeric)
+    assert out[0] == "50.0"       # priority 1 converted (10C -> 50F)
+    assert out[14] == "68.0"      # priority 15 converted
+    assert out[15] == "86.0"      # priority 16 converted
+    # priority 17 = Values[16] = QueryConfiguration — IotUnit.cs:50
+    # `if (i != 16 ...)` skips exactly this index
+    assert out[16] == "40"

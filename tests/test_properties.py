@@ -52,6 +52,80 @@ def test_rule_compiler_matches_python(rule, value, _spark):
     assert got == pytest.approx(expected, rel=1e-12, abs=1e-12)
 
 
+# -- full unit catalog ------------------------------------------------------
+
+
+def _py_eval_rule(rule: str, x: float) -> float:
+    import re
+
+    expr = rule.replace("Math.PI", repr(math.pi)).replace("value", repr(x))
+    assert re.fullmatch(r"[\d\s.+\-*/()eE]+", expr), rule
+    return eval(expr)  # noqa: S307 — validated arithmetic-only, test-side oracle
+
+
+def test_full_catalog_rules_match_python(_spark):
+    """Every one of the 1232 generated conversion rules compiles and its
+    Spark arithmetic matches direct Python evaluation — batched as wide
+    selects so the whole catalog sweep is a handful of Spark jobs."""
+    from iot_database_spark.functions.units import UNITS, compile_rule
+
+    rules = [
+        (t.name, src, rule)
+        for t in UNITS.values()
+        for src, rule in t.conversions
+    ]
+    assert len(rules) >= 1200, "catalog regressed below the reference's 1232 rules"
+    for x in (7.3, -2.5):
+        for i in range(0, len(rules), 150):
+            chunk = rules[i : i + 150]
+            cols = [
+                compile_rule(r)(F.lit(x)).alias(f"c{j}")
+                for j, (_, _, r) in enumerate(chunk)
+            ]
+            row = _spark.range(1).select(*cols).collect()[0]
+            for j, (tgt, src, r) in enumerate(chunk):
+                assert row[j] == pytest.approx(
+                    _py_eval_rule(r, x), rel=1e-12, abs=1e-12
+                ), (src, tgt, r)
+
+
+def test_temperature_absolute_scales_roundtrip(_spark):
+    """a -> b -> a within float ulp for the four absolute temperature
+    scales (the reference's Temperature rules are direction-consistent;
+    some groups — Length, Power — publish inverted rules, reproduced
+    as-is for parity and excluded here)."""
+    from iot_database_spark.functions.units import convert
+
+    scales = [
+        "degrees_celsius",
+        "degrees_fahrenheit",
+        "degrees_kelvin",
+        "degrees_rankine",
+    ]
+    cols, labels = [], []
+    for a in scales:
+        for b in scales:
+            if a != b:
+                cols.append(
+                    convert(convert(F.lit(25.0), a, b), b, a).alias(
+                        f"c{len(cols)}"
+                    )
+                )
+                labels.append((a, b))
+    row = _spark.range(1).select(*cols).collect()[0]
+    for j, (a, b) in enumerate(labels):
+        assert row[j] == pytest.approx(25.0, rel=1e-12), (a, b)
+
+
+def test_unknown_unit_and_cross_group_raise():
+    from iot_database_spark.functions.units import RuleError, conversion_rule
+
+    with pytest.raises(RuleError):
+        conversion_rule("degrees_celsius", "meters")  # cross-group
+    with pytest.raises(RuleError):
+        conversion_rule("no_such_unit", "meters")
+
+
 # -- NL conditions ----------------------------------------------------------
 
 names = st.sampled_from(["Widget", "gadget", "THING", "x y", ""])
