@@ -771,3 +771,43 @@ _sql(
         days_expr="CAST(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) AS DOUBLE)"
     ),
 )
+
+
+@register(
+    "sql_include_digest",
+    oracle="""
+    SELECT c.c_custkey,
+           n.n_name AS nation_name,
+           n.id IS NULL AS ref_missing
+    FROM (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                 CAST(c_nationkey AS BIGINT) AS nation_ref_id
+          FROM customer) c
+    LEFT JOIN (SELECT CAST(n_nationkey AS BIGINT) AS id, n_name
+               FROM nation WHERE n_regionkey <= 2) n
+      ON c.nation_ref_id = n.id
+    """,
+)
+def sql_include_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-dialect INCLUDE end-to-end (Select.cs:12-25 grammar; DbRef
+    hydration per BasePipe.cs:46-133): `SELECT ... FROM c INCLUDE p`
+    through query/litesql.py, the hydrated parent struct projected back
+    to scalars so the driver can hash it. The parent view is restricted
+    to regions 0-2 so `missing` is exercised both ways."""
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.query.litesql import lite_sql
+
+    tables = load_views(spark, sf_dir)
+    tables["nation"].filter(F.col("n_regionkey") <= 2).select(
+        F.col("n_nationkey").cast("bigint").alias("id"), "n_name"
+    ).createOrReplaceTempView("nation_ref")
+    tables["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nation_ref_id"),
+    ).createOrReplaceTempView("cust_inc")
+    return lite_sql(
+        spark,
+        "SELECT $.c_custkey, $.nation_ref.n_name AS nation_name, "
+        "$.nation_ref.missing AS ref_missing "
+        "FROM cust_inc INCLUDE nation_ref",
+    )

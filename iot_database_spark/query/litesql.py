@@ -3,7 +3,8 @@
 Reference grammar (LiteDB/Client/SqlParser/Commands/Select.cs:12-25):
 
     [EXPLAIN] SELECT <expr> [INTO col]
-    [FROM col] [WHERE <expr>] [GROUP BY <expr>] [HAVING <expr>]
+    [FROM col] [INCLUDE path [, path]*]
+    [WHERE <expr>] [GROUP BY <expr>] [HAVING <expr>]
     [ORDER BY <expr> [ASC|DESC]] [LIMIT n] [OFFSET n]
 
 with BsonExpression path syntax (Parser/BsonExpressionOperators.cs):
@@ -147,6 +148,71 @@ def _lit_text(lits: list[str], idx: str) -> str:
     return body.replace(q + q, q)
 
 
+# INCLUDE <path> [, <path>]* between FROM and WHERE (Select.cs:12-25
+# grammar; executor BasePipe.cs:46-133). The reference hydrates DbRef
+# fields in place: parent fields copied into the ref sub-document, $ref
+# dropped, $id kept, $missing=true when the parent row is absent. Our
+# relational analogue: each path names a parent table related by FK;
+# the FROM rows gain a struct column <path> = {id: <fk value>, <parent
+# non-id fields>, missing: bool}. Schema-typed instead of $-keyed —
+# documented divergence (fixed schemas throughout this engine).
+_INCLUDE_CLAUSE = re.compile(
+    r"\bINCLUDE\s+(.*?)(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+HAVING\b"
+    r"|\s+ORDER\s+BY\b|\s+LIMIT\b|\s+OFFSET\b|\s+FOR\s+UPDATE\b|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_FROM_NAME = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+
+
+def _infer_fk_conventional(child_df, parent: str) -> tuple[str, str] | None:
+    for cand in (f"{parent.lower()}_id", f"{parent}Id", f"{parent.lower()}id"):
+        for c in child_df.columns:
+            if c.lower() == cand.lower():
+                return (c, "id")
+    return None
+
+
+def _hydrate_includes(
+    spark: SparkSession, table: str, paths: list[str], db
+) -> DataFrame:
+    """Left-join each included parent and pack it as a struct column
+    named after the path (DbRef hydration, BasePipe.cs:46-133). Parent
+    lookup is a plain equi-join: Catalyst broadcasts small dims and the
+    join never reshuffles the child twice per include (each join keys on
+    a different FK column; AQE picks the strategy at scale)."""
+    from pyspark.sql import functions as F
+
+    out = spark.table(table)
+    for path in paths:
+        parent = path[2:] if path.startswith("$.") else path
+        if not re.fullmatch(r"\w+", parent):
+            raise ValueError(f"invalid INCLUDE path: {path!r}")
+        fk = db.infer_fk(table, parent) if db is not None else None
+        if fk is None:
+            fk = _infer_fk_conventional(out, parent)
+        if fk is None:
+            raise ValueError(
+                f"INCLUDE {parent}: no FK relationship from {table}"
+            )
+        fkc, pidc = fk
+        parent_df = db.table(parent).df if db is not None else spark.table(parent)
+        pcols = [c for c in parent_df.columns if c != pidc]
+        p = parent_df.select(
+            F.col(pidc).alias("__pid"),
+            *[F.col(c).alias(f"__p_{c}") for c in pcols],
+        )
+        joined = out.join(p, out[fkc] == p["__pid"], "left")
+        out = joined.withColumn(
+            parent,
+            F.struct(
+                F.col(fkc).alias("id"),
+                *[F.col(f"__p_{c}").alias(c) for c in pcols],
+                F.col("__pid").isNull().alias("missing"),
+            ),
+        ).drop("__pid", *[f"__p_{c}" for c in pcols])
+    return out
+
+
 # SELECT <expr> INTO <target> [FROM ...]  (Select.cs:26-160; executed by
 # QueryExecutor.ExecuteQueryInto :149-180).
 _INTO_AT = re.compile(r"\bINTO\s+(\w+)\s*", re.IGNORECASE)
@@ -196,6 +262,18 @@ def lite_sql(
     if ms:
         file_sink = (ms.group(1).lower(), _lit_text(lits, ms.group(2)))
         masked = masked[: ms.start()] + " " + masked[ms.end() :]
+    mi = _INCLUDE_CLAUSE.search(masked)
+    if mi:
+        paths = [p.strip() for p in mi.group(1).split(",") if p.strip()]
+        masked = masked[: mi.start()] + " " + masked[mi.end() :]
+        mf = _FROM_NAME.search(masked)
+        if not mf:
+            raise ValueError("INCLUDE requires a FROM collection")
+        table = mf.group(1)
+        hydrated = _hydrate_includes(spark, table, paths, db)
+        view = f"__inc_{table}_{abs(hash(tuple(paths))) % 10**9}"
+        hydrated.createOrReplaceTempView(view)
+        masked = masked[: mf.start()] + f"FROM {view}" + masked[mf.end() :]
     if _FILE_REF.search(masked):
         from iot_database_spark.sources.files import read_csv, read_json
 

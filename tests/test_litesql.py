@@ -314,3 +314,66 @@ def test_sys_query_subquery_and_page_list(spark, tmp_path):
     pages = execute(db, "SELECT * FROM $page_list WHERE $.collection = 'nums'").collect()
     assert len(pages) >= 1
     assert all(p["file"].endswith(".parquet") and p["bytes"] > 0 for p in pages)
+
+
+def test_include_hydrates_parent_struct(spark, tmp_path):
+    """SELECT ... FROM child INCLUDE parent (Select.cs:12-25): the FK
+    field hydrates to a struct of the parent doc, `missing` flags broken
+    refs (BasePipe.cs:46-133 sets $missing)."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+    from iot_database_spark.tables import ForeignKey
+
+    db = IotDatabase("incdb", str(tmp_path), spark)
+    db.tables("dept", "id bigint, name string")
+    db.tables(
+        "emp",
+        "id bigint, name string, dept_id bigint",
+        foreign_keys=[ForeignKey("dept_id", "dept")],
+    )
+    db.table("dept").insert([{"id": 1, "name": "eng"}, {"id": 2, "name": "ops"}])
+    db.table("emp").insert(
+        [
+            {"id": 10, "name": "Ann", "dept_id": 1},
+            {"id": 11, "name": "Bob", "dept_id": 2},
+        ]
+    )
+    # break one ref after insert-time FK checks: retarget Bob to dept 99
+    db.table("emp").update_many({"dept_id": F.lit(99)}, "id = 11")
+
+    out = execute(
+        db,
+        "SELECT $.name, $.dept.name AS dept_name, $.dept.missing AS broken "
+        "FROM emp INCLUDE dept ORDER BY $.name",
+    ).collect()
+    assert [(r["name"], r["dept_name"], r["broken"]) for r in out] == [
+        ("Ann", "eng", False),
+        ("Bob", None, True),
+    ]
+
+
+def test_include_nested_shape_golden(spark):
+    """$-path INCLUDE golden over plain views (conventional FK name):
+    the hydrated column keeps the full nested struct shape."""
+    from iot_database_spark.query.litesql import lite_sql
+
+    spark.createDataFrame(
+        [(1, "p1", 7), (2, "p2", None)],
+        "id int, title string, author_id int",
+    ).createOrReplaceTempView("posts")
+    spark.createDataFrame(
+        [(7, "Ann", "ann@x")], "id int, name string, email string"
+    ).createOrReplaceTempView("author")
+
+    out = lite_sql(
+        spark,
+        "SELECT $.id, $.author FROM posts INCLUDE $.author ORDER BY $.id",
+    )
+    assert out.schema["author"].dataType.simpleString() == (
+        "struct<id:int,name:string,email:string,missing:boolean>"
+    )
+    rows = [(r["id"], r["author"].asDict()) for r in out.collect()]
+    assert rows == [
+        (1, {"id": 7, "name": "Ann", "email": "ann@x", "missing": False}),
+        (2, {"id": None, "name": None, "email": None, "missing": True}),
+    ]
