@@ -42,5 +42,12 @@ def epoch_us(col: Column | str) -> Column:
 
 def epoch_us_sql(expr: str) -> str:
     """SQL-string form of :func:`epoch_us`, for Spark SQL snippets and
-    higher-order-function lambdas where a Column cannot be bound."""
-    return f"timestampdiff(MICROSECOND, {EPOCH_NTZ_SQL}, {expr})"
+    higher-order-function lambdas where a Column cannot be bound.
+
+    Casts to timestamp_ntz exactly like the Column form so the two paths
+    stay symmetric: without the cast, an LTZ input would be correct only
+    because the session timezone is pinned UTC."""
+    return (
+        f"timestampdiff(MICROSECOND, {EPOCH_NTZ_SQL}, "
+        f"cast({expr} as timestamp_ntz))"
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import decimal
+import types
 import typing
 import uuid
 
@@ -47,12 +48,24 @@ _ID_TYPES = {int, str, uuid.UUID}
 def _spark_type(tp) -> str:
     """Spark SQL type string for a Python type annotation."""
     origin = typing.get_origin(tp)
-    if origin is typing.Union or str(origin) == "types.UnionType":
+    # identity compare: str(types.UnionType) is "<class 'types.UnionType'>",
+    # so a string compare never matches and `int | None` annotations failed
+    if origin is typing.Union or origin is types.UnionType:
         args = [a for a in typing.get_args(tp) if a is not type(None)]
         if len(args) != 1:
             raise TypeError(f"unsupported union type: {tp!r}")
         return _spark_type(args[0])
-    if origin in (list, tuple, set):
+    if origin is tuple:
+        targs = typing.get_args(tp)
+        if len(targs) == 2 and targs[1] is Ellipsis:
+            return f"array<{_spark_type(targs[0])}>"  # tuple[T, ...]
+        if len({a for a in targs}) > 1:
+            raise TypeError(
+                f"heterogeneous tuple {tp!r} cannot map to array<T>; "
+                "use a nested dataclass for per-position types"
+            )
+        return f"array<{_spark_type(targs[0] if targs else str)}>"
+    if origin in (list, set, frozenset):
         (elem,) = typing.get_args(tp) or (str,)
         return f"array<{_spark_type(elem)}>"
     if origin is dict:
@@ -105,7 +118,7 @@ def dataclass_to_ddl(cls) -> str:
     hints = typing.get_type_hints(cls)
     id_tp = hints[id_name]
     base = typing.get_origin(id_tp)
-    if base is typing.Union or str(base) == "types.UnionType":
+    if base is typing.Union or base is types.UnionType:
         args = [a for a in typing.get_args(id_tp) if a is not type(None)]
         id_tp = args[0] if len(args) == 1 else id_tp
     if id_tp not in _ID_TYPES:
@@ -122,15 +135,26 @@ def dataclass_to_ddl(cls) -> str:
     return ", ".join(cols)
 
 
+def _normalize_value(v):
+    """Recursive value normalization mirroring _spark_type's mapping at
+    every depth: UUID -> str (list[UUID] maps to array<string>), set /
+    frozenset / tuple -> list (all map to array<T>, and createDataFrame
+    rejects raw sets)."""
+    if isinstance(v, uuid.UUID):
+        return str(v)
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return [_normalize_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _normalize_value(x) for k, x in v.items()}
+    return v
+
+
 def to_row(obj) -> dict:
     """Dataclass instance -> row dict with the Id field renamed to `id`
-    (UUIDs stringified). Nested dataclasses/containers recurse via
-    dataclasses.asdict."""
+    (UUIDs stringified, sets/tuples listified — at any nesting depth).
+    Nested dataclasses/containers recurse via dataclasses.asdict."""
     d = dataclasses.asdict(obj)
     id_name = _id_field(type(obj))
     if id_name and id_name != "id":
         d["id"] = d.pop(id_name)
-    for k, v in d.items():
-        if isinstance(v, uuid.UUID):
-            d[k] = str(v)
-    return d
+    return {k: _normalize_value(v) for k, v in d.items()}

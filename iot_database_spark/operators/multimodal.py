@@ -78,14 +78,177 @@ def _parse_png(b: bytes) -> dict | None:
     return {"codec": "png", "width": w, "height": h}
 
 
+def _gif_walk(b: bytes):
+    """Structural walk of a GIF container (header, logical screen
+    descriptor + GCT, then extension / image-descriptor blocks). Yields
+    per-frame dicts WITHOUT pixel decode: left, top, width, height,
+    delay_ms, transparent_idx, interlaced, lzw_min, data (the
+    concatenated compressed sub-blocks), palette (LCT or GCT)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    delay_ms, transparent = 0, None
+    while pos < len(b):
+        introducer = b[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            return
+        if introducer == 0x21:  # extension: label + sub-blocks
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # Graphic Control Extension
+                gflags = b[pos + 1]
+                delay_ms = struct.unpack("<H", b[pos + 2 : pos + 4])[0] * 10
+                transparent = b[pos + 4] if gflags & 0x01 else None
+            while b[pos]:  # skip sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+        elif introducer == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack("<HHHHB", b[pos : pos + 9])
+            pos += 9
+            palette = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 0x07) + 1)
+                palette = [
+                    tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+                ]
+                pos += 3 * n
+            lzw_min = b[pos]
+            pos += 1
+            chunks = []
+            while b[pos]:
+                chunks.append(b[pos + 1 : pos + 1 + b[pos]])
+                pos += 1 + b[pos]
+            pos += 1
+            yield {
+                "left": left,
+                "top": top,
+                "width": w,
+                "height": h,
+                "delay_ms": delay_ms,
+                "transparent_idx": transparent,
+                "interlaced": bool(iflags & 0x40),
+                "lzw_min": lzw_min,
+                "data": b"".join(chunks),
+                "palette": palette,
+            }
+            delay_ms, transparent = 0, None
+        else:
+            raise ValueError(f"bad GIF block introducer 0x{introducer:02x}")
+
+
+def _lzw_decode(min_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW: variable code width (min_size+1 .. 12 bits,
+    LSB-first bit packing), CLEAR resets the table, EOI terminates."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    code_size = min_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = acc_bits = 0
+    it = iter(data)
+    while True:
+        while acc_bits < code_size:
+            byte = next(it, None)
+            if byte is None:
+                return bytes(out)
+            acc |= byte << acc_bits
+            acc_bits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        acc_bits -= code_size
+        if code == end:
+            return bytes(out)
+        if code == clear:
+            code_size = min_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def gif_decode_frames(b: bytes) -> list[dict]:
+    """REAL animated-GIF frame decode, pure stdlib: structural walk +
+    LZW decompression + palette lookup. Each dict carries the frame's
+    own rectangle as raw RGB bytes (no inter-frame compositing — the
+    disposal-method replay belongs to a renderer, not a data engine):
+    {left, top, width, height, delay_ms, rgb: bytes(w*h*3)}.
+
+    Interlaced frames are de-interlaced (the four GIF passes)."""
+    frames = []
+    for f in _gif_walk(b):
+        idx = _lzw_decode(f["lzw_min"], f["data"])[: f["width"] * f["height"]]
+        if f["interlaced"]:
+            h, w = f["height"], f["width"]
+            rows = [idx[r * w : (r + 1) * w] for r in range(len(idx) // w)]
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deinter: list[bytes] = [b""] * h
+            for src, dst in enumerate(order):
+                deinter[dst] = rows[src]
+            idx = b"".join(deinter)
+        palette = f["palette"] or [(0, 0, 0)]
+        rgb = bytearray()
+        for i in idx:
+            rgb += bytes(palette[i] if i < len(palette) else palette[0])
+        frames.append(
+            {
+                "left": f["left"],
+                "top": f["top"],
+                "width": f["width"],
+                "height": f["height"],
+                "delay_ms": f["delay_ms"],
+                "rgb": bytes(rgb),
+            }
+        )
+    return frames
+
+
 def _parse_gif(b: bytes) -> dict | None:
     if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", b[6:10])
-    # frame count = number of image descriptors (0x2C introducers at the
-    # top level); a cheap scan that is exact for well-formed single-frame
-    # GIFs and a lower bound for animated ones
-    return {"codec": "gif", "width": w, "height": h}
+    meta = {"codec": "gif", "width": w, "height": h}
+    try:
+        # structural frame walk (no LZW work): exact frame count and
+        # total animation duration
+        n = dur = 0
+        for f in _gif_walk(b):
+            n += 1
+            dur += f["delay_ms"]
+        meta["n_frames"] = max(n, 1)
+        meta["duration_ms"] = dur
+    except (ValueError, IndexError, struct.error):
+        pass  # malformed tail: keep the header-level metadata
+    return meta
 
 
 def _parse_bmp(b: bytes) -> dict | None:
@@ -296,20 +459,65 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "delay_ms int, rgb binary"
+)
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 10,
     decoder: Callable[[bytes], dict] | None = auto_decoder,
+    pixels: bool = False,
 ) -> DataFrame:
-    """Sample every-nth frame index per video (metadata-level: emits
-    (media_id, frame_idx) rows; the pixel extraction plugs into the same
-    mapInPandas once a video lib is present)."""
-    decoded = decode_media(media.filter("kind = 'video'"), decoder)
+    """Sample every-nth frame per video (reference: VideoCollection.cs
+    frame indexing over RTSP captures).
+
+    pixels=False (default): metadata-level (media_id, frame_idx) rows —
+    cheap, runs on any container the decoder can count frames for.
+
+    pixels=True: REAL decoded frame bytes — (media_id, frame_idx, width,
+    height, delay_ms, rgb) via mapInPandas (Arrow-batched, partition-
+    parallel; one video's frames never leave its partition's batch).
+    Animated GIF decodes fully in-process (gif_decode_frames: stdlib
+    structural walk + LZW + palette). Other codecs raise
+    NotImplementedError loudly — no media libraries in this environment;
+    plug a real decoder into the same batch shape when one exists."""
     from pyspark.sql import functions as F
 
-    return decoded.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
+    if not pixels:
+        decoded = decode_media(media.filter("kind = 'video'"), decoder)
+        return decoded.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "width", "height", "delay_ms", "rgb"
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "frame_sample(pixels=True): only GIF decodes "
+                        "in-process; no media libraries in this environment"
+                    )
+                for i, f in enumerate(gif_decode_frames(blob)):
+                    if i % every_n:
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(f["width"])
+                    rows["height"].append(f["height"])
+                    rows["delay_ms"].append(f["delay_ms"])
+                    rows["rgb"].append(f["rgb"])
+            yield pd.DataFrame(rows)
+
+    return media.filter("kind = 'video'").select("media_id", "content").mapInPandas(
+        run, schema=FRAMES_SCHEMA
     )

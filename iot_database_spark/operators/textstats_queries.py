@@ -144,6 +144,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
         .filter(F.size(F.split("text", " ")) >= 3),
         spark,
+        cache_key=f"documents:{sf_dir}",
     )
     return tx.fingerprint(docs)
 

@@ -10,6 +10,7 @@ operators see consistent views.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -101,16 +102,34 @@ def load_tables(
     return out
 
 
-def spread_small_input(df: DataFrame, spark: SparkSession) -> DataFrame:
+_SPREAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, bool]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def spread_small_input(
+    df: DataFrame, spark: SparkSession, cache_key: str | None = None
+) -> DataFrame:
     """Repartition ONLY when the input has fewer splits than the cluster
     has cores (e.g. the single-file sf0.01 testdata) so compute-heavy
     per-row work parallelizes. At scale the source already has >= cores
     splits and this is a no-op — an unconditional repartition would be a
-    pure-cost extra shuffle there (round-2 review finding)."""
+    pure-cost extra shuffle there (round-2 review finding).
+
+    The split probe prefers inputFiles() (logical-plan file listing) and
+    caches the decision per (session, cache_key) — the previous
+    df.rdd.getNumPartitions() probe forced full physical planning plus a
+    DataFrame->RDD conversion on every query-builder call (r3 advice)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    per = _SPREAD_CACHE.setdefault(spark, {})
+    if cache_key is not None and cache_key in per:
+        need = per[cache_key]
+    else:
+        files = df.inputFiles()
+        need = (len(files) if files else df.rdd.getNumPartitions()) < target
+        if cache_key is not None:
+            per[cache_key] = need
+    return df.repartition(target) if need else df
 
 
 def _apply_runtime_confs(spark: SparkSession) -> None:

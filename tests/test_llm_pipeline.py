@@ -542,3 +542,90 @@ def test_minhash_index_incremental_dedup(spark, tmp_path, corpus):
     )
     links2 = {(r["batch_id"], r["corpus_id"]) for r in idx2.query(batch2).collect()}
     assert (20, 11) in links2
+
+
+def _encode_gif(w, h, frames, palette, delays_cs):
+    """Minimal valid animated-GIF encoder (test-side oracle): 4-color
+    palette, LZW with a CLEAR code before every pixel so the code table
+    never grows (valid, uncompressed-size stream)."""
+    import struct as _s
+
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
+    for rgb in palette:
+        out += bytes(rgb)
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    for pixels, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04\x00" + _s.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        bits, nbits = 0, 0
+        stream = bytearray()
+
+        def emit(code, width=min_code + 1):
+            nonlocal bits, nbits
+            bits |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+
+        for p in pixels:
+            emit(clear)
+            emit(p)
+        emit(end)
+        if nbits:
+            stream.append(bits & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_real_frame_decode(spark):
+    """frame_sample(pixels=True) returns REAL decoded RGB bytes for an
+    animated GIF — exact pixel values, frame count, and per-frame delays."""
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    f0 = [0, 1, 2, 3]  # 2x2: black, red / green, blue
+    f1 = [3, 2, 1, 0]
+    f2 = [1, 1, 2, 2]
+    blob = _encode_gif(2, 2, [f0, f1, f2], palette, [10, 20, 30])
+
+    # direct decode: all frames, exact pixels
+    frames = mm.gif_decode_frames(blob)
+    assert len(frames) == 3
+    assert frames[0]["rgb"] == bytes(
+        b for p in f0 for b in palette[p]
+    )
+    assert frames[1]["rgb"] == bytes(b for p in f1 for b in palette[p])
+    assert [f["delay_ms"] for f in frames] == [100, 200, 300]
+
+    # container metadata now counts frames structurally
+    meta = mm.auto_decoder(blob)
+    assert meta["codec"] == "gif" and meta["n_frames"] == 3
+    assert meta["duration_ms"] == 600
+
+    # through Spark: Arrow-batched mapInPandas, every 2nd frame
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=2, pixels=True).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert bytes(rows[0]["rgb"]) == frames[0]["rgb"]
+    assert bytes(rows[2]["rgb"]) == bytes(b for p in f2 for b in palette[p])
+    assert rows[0]["width"] == rows[0]["height"] == 2
+
+    # non-GIF video bytes fail LOUDLY in pixels mode (no silent fakes)
+    mp4ish = spark.createDataFrame(
+        [(2, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), {})],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="only GIF decodes"):
+        mm.frame_sample(mp4ish, pixels=True).collect()

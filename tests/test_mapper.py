@@ -93,3 +93,49 @@ def test_table_roundtrip_with_dataclass_rows(spark, tmp_path):
     rows = {r["name"]: r for r in t.df.collect()}
     assert set(rows) == {"a", "b"}
     assert rows["a"]["id"] is not None and rows["a"]["reading"] == 1.5
+
+
+def test_pep604_union_and_tuple_set_annotations():
+    """`T | None` (types.UnionType) must behave exactly like Optional[T];
+    tuple[T, ...] and set[T] map to array<T>; heterogeneous tuples are
+    rejected with a clear error."""
+
+    @dataclasses.dataclass
+    class Pep604:
+        id: int | None
+        score: float | None
+        tags: set[str]
+        points: tuple[int, ...]
+
+    assert dataclass_to_ddl(Pep604) == (
+        "id bigint, score double, tags array<string>, points array<bigint>"
+    )
+
+    @dataclasses.dataclass
+    class HeteroTuple:
+        id: int
+        pair: tuple[int, str]
+
+    with pytest.raises(TypeError, match="heterogeneous tuple"):
+        dataclass_to_ddl(HeteroTuple)
+
+
+def test_to_row_normalizes_nested_uuid_and_sets(spark, tmp_path):
+    @dataclasses.dataclass
+    class Linked:
+        id: int
+        refs: list[uuid.UUID]
+        alts: set[str]
+
+    u1 = uuid.UUID("12345678-1234-5678-1234-567812345678")
+    row = to_row(Linked(id=1, refs=[u1, u1], alts={"x"}))
+    assert row["refs"] == [str(u1), str(u1)]
+    assert row["alts"] == ["x"]
+
+    # end-to-end: nested UUIDs/sets must survive createDataFrame against
+    # the mapped schema (array<string>)
+    db = IotDatabase("mapperdb2", str(tmp_path / "wh2"), spark=spark)
+    t = db.tables("linked", schema=Linked)
+    t.insert([Linked(id=1, refs=[u1], alts={"a", "b"})])
+    got = t.df.collect()[0]
+    assert got["refs"] == [str(u1)] and sorted(got["alts"]) == ["a", "b"]
