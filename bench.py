@@ -80,6 +80,9 @@ HEADLINE = [
     "window_rank_family",
     "rollup_agg",
     "event_funnel",
+    # round 4 additions
+    "unit_convert_bulk",
+    "sql_include_digest",
 ]
 
 

@@ -129,3 +129,27 @@ def replay_slots(
         effective_priority(F.col("values")).alias("priority"),
         effective_timestamp(F.col("values"), F.col("timestamps")).alias("timestamp"),
     )
+
+
+def convert_point(
+    state: DataFrame,
+    from_unit: str,
+    to_unit: str,
+    values_col: str = "values",
+) -> DataFrame:
+    """IotUnit.Convert<T> over a slot-state DataFrame (IotUnit.cs:27-63):
+    every numeric slot except priority 17 (the QueryConfiguration slot)
+    is rewritten by the published conversion rule; non-numeric slots and
+    nulls pass through. Cross-group or unknown conversions raise at plan
+    build (the reference throws InvalidCastException /
+    NotSupportedException). The effective value is recomputed when the
+    frame carries one — slot nullness is conversion-invariant, so the
+    effective priority/timestamp never change."""
+    from iot_database_spark.functions.units import convert_slots
+
+    out = state.withColumn(
+        values_col, convert_slots(F.col(values_col), from_unit, to_unit)
+    )
+    if "value" in out.columns:
+        out = out.withColumn("value", effective_value(F.col(values_col)))
+    return out

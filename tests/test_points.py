@@ -174,3 +174,29 @@ def test_chain_count_reports_only_appended_blocks(store, spark):
     )
     assert counts["chain"] == 1  # not 2 (pre-existing block excluded)
     assert store.chain.count() == 2
+
+
+def test_convert_point_rewrites_slots_and_effective_value(spark):
+    """IotUnit.Convert parity: numeric slots 1-16 rewritten by the rule,
+    priority-17 slot untouched, effective value recomputed, priority
+    unchanged; cross-group conversion raises at plan build."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.functions.units import RuleError
+    from iot_database_spark.operators import iotvalue as iv
+
+    state = spark.createDataFrame(
+        [("p1", [None, "25"] + [None] * 13 + ["10", "cfg"])],
+        "guid string, values array<string>",
+    ).withColumn("value", iv.effective_value(F.col("values")))
+    assert state.collect()[0]["value"] == "25"
+
+    out = iv.convert_point(state, "degC", "degF").collect()[0]
+    assert out["values"][1] == "77.0"   # priority 2: 25C -> 77F
+    assert out["values"][15] == "50.0"  # priority 16 converted
+    assert out["values"][16] == "cfg"   # priority 17 untouched
+    assert out["value"] == "77.0"       # effective value recomputed
+
+    with pytest.raises(RuleError, match="cannot convert"):
+        iv.convert_point(state, "degC", "meters")
