@@ -12,7 +12,8 @@ conversions match what the reference computes — including those quirks.
 
 The reference compiles rule strings like "value * 1000" or
 "(value - 32) * 5 / 9" with Dynamic LINQ and applies them to every
-numeric priority slot except slot 16. Here the rule grammar is parsed by
+numeric priority slot except array index 16 (= priority 17, the
+QueryConfiguration slot). Here the rule grammar is parsed by
 a small recursive-descent parser (NO eval) into a Column expression —
 codegen'd JVM arithmetic, applied per-slot with a transform().
 
