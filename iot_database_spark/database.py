@@ -229,6 +229,22 @@ class IotDatabase:
             return self.spark.createDataFrame(
                 rows, "table string, column string, type string, nullable boolean"
             )
+        if key == "units":
+            # the generated IotUnit catalog (Units.cs), one row per
+            # published conversion rule; units without rules get a
+            # single row with nulls
+            from iot_database_spark.functions.units import ALL_UNITS
+
+            rows = [
+                (u.group, u.name, u.symbol, src, rule)
+                for u in ALL_UNITS
+                for src, rule in (u.conversions or ((None, None),))
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "group string, name string, symbol string, "
+                "converts_from string, rule string",
+            )
         if key == "indexes":
             rows = [
                 (t, e["name"], e["column"], bool(e["unique"]))

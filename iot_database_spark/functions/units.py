@@ -155,25 +155,44 @@ _LEGACY: dict[str, str] = {
 }
 
 
-def _load_catalog() -> tuple[dict[str, IotUnit], dict[str, str]]:
+def _load_catalog() -> tuple[
+    tuple[IotUnit, ...], dict[str, IotUnit], dict[str, str]
+]:
     from iot_database_spark.functions.units_catalog import UNIT_ROWS
 
+    all_units = tuple(
+        IotUnit(group, name, symbol, tuple(convs))
+        for group, name, symbol, convs in UNIT_ROWS
+    )
     by_name: dict[str, IotUnit] = {}
     sym_count: dict[str, int] = {}
-    for group, name, symbol, convs in UNIT_ROWS:
-        by_name[name] = IotUnit(group, name, symbol, tuple(convs))
-        sym_count[symbol] = sym_count.get(symbol, 0) + 1
+    for u in all_units:
+        cur = by_name.get(u.name)
+        # nine reference names exist in TWO groups (watts in Electrical
+        # and Power, henrys in Electrical and Inductance, ...): prefer
+        # the definition that publishes conversion rules; the group-aware
+        # fallback in conversion_rule() reaches the other one
+        if cur is None or (not cur.conversions and u.conversions):
+            by_name[u.name] = u
+        sym_count[u.symbol] = sym_count.get(u.symbol, 0) + 1
     # symbols are only a lookup key when globally unambiguous ("$" covers
     # 30 currencies; "L" six volume/illuminance units)
     by_symbol = {
         u.symbol: u.name
-        for u in by_name.values()
+        for u in all_units
         if u.symbol and sym_count[u.symbol] == 1
     }
-    return by_name, by_symbol
+    return all_units, by_name, by_symbol
 
 
-UNITS, _SYMBOL_TO_NAME = _load_catalog()
+ALL_UNITS, UNITS, _SYMBOL_TO_NAME = _load_catalog()
+
+
+def _in_group(name: str, group: str) -> IotUnit | None:
+    for u in ALL_UNITS:
+        if u.name == name and u.group == group:
+            return u
+    return None
 
 
 def resolve(unit: str) -> IotUnit:
@@ -194,7 +213,15 @@ def conversion_rule(from_unit: str, to_unit: str) -> str:
     published (NotSupportedException, IotUnit.cs:62)."""
     src, dst = resolve(from_unit), resolve(to_unit)
     if src.group != dst.group:
-        raise RuleError(f"cannot convert {src.group} to {dst.group}")
+        # a dual-group name may have resolved into the wrong group —
+        # re-resolve either side into the other's group before rejecting
+        alt = _in_group(src.name, dst.group) or _in_group(dst.name, src.group)
+        if alt is not None and alt.name == src.name:
+            src = alt
+        elif alt is not None:
+            dst = alt
+        else:
+            raise RuleError(f"cannot convert {src.group} to {dst.group}")
     return dst.rule_from(src.name)
 
 

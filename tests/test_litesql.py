@@ -287,6 +287,26 @@ def test_system_collections(spark, tmp_path):
     assert execute(db, "SELECT * FROM $transactions").count() == 0
     assert execute(db, "SELECT * FROM $open_cursors").count() == 0
 
+    # $units: the generated 435-unit catalog queryable through the dialect
+    units = execute(
+        db,
+        "SELECT * FROM $units WHERE $.group = 'Temperature' "
+        "AND $.name = 'degrees_fahrenheit'",
+    ).collect()
+    assert {r["converts_from"] for r in units} >= {
+        "degrees_celsius",
+        "degrees_kelvin",
+        "degrees_rankine",
+    }
+    assert all(r["symbol"] == "°F" and "value" in r["rule"] for r in units)
+    # 435 distinct (group, name) units; 9 names exist in two groups
+    # (watts: Electrical AND Power, ...), so distinct names = 426
+    n_units = execute(
+        db,
+        "SELECT COUNT(DISTINCT CONCAT($.group, '/', $.name)) AS n FROM $units",
+    ).collect()[0]["n"]
+    assert n_units == 435
+
 
 def test_sys_query_subquery_and_page_list(spark, tmp_path):
     """$query('sql') sub-queries (SysQuery.cs:14-38) and $page_list

@@ -67,11 +67,11 @@ def test_full_catalog_rules_match_python(_spark):
     """Every one of the 1232 generated conversion rules compiles and its
     Spark arithmetic matches direct Python evaluation — batched as wide
     selects so the whole catalog sweep is a handful of Spark jobs."""
-    from iot_database_spark.functions.units import UNITS, compile_rule
+    from iot_database_spark.functions.units import ALL_UNITS, compile_rule
 
     rules = [
         (t.name, src, rule)
-        for t in UNITS.values()
+        for t in ALL_UNITS
         for src, rule in t.conversions
     ]
     assert len(rules) >= 1200, "catalog regressed below the reference's 1232 rules"
@@ -124,6 +124,22 @@ def test_unknown_unit_and_cross_group_raise():
         conversion_rule("degrees_celsius", "meters")  # cross-group
     with pytest.raises(RuleError):
         conversion_rule("no_such_unit", "meters")
+
+
+def test_dual_group_names_resolve_into_matching_group():
+    """Nine reference names exist in two groups (watts: Electrical AND
+    Power; henrys: Electrical AND Inductance; ...). Conversion must
+    resolve the ambiguous side into the counterpart's group instead of
+    rejecting as cross-group."""
+    from iot_database_spark.functions.units import conversion_rule
+
+    # kilowatts is Power-only; watts must resolve as Power.watts (whose
+    # rules the Power group publishes under the watts_power alias)
+    assert conversion_rule("watts", "kilowatts")
+    assert conversion_rule("kilowatts", "watts")
+    # henrys/millihenrys exist in both Electrical and Inductance; the
+    # rule-bearing definitions agree group-wise
+    assert conversion_rule("millihenrys", "henrys")
 
 
 # -- NL conditions ----------------------------------------------------------
