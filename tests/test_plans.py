@@ -143,3 +143,22 @@ def test_round3_curation_plan_quality(spark, sf):
     mix = _Q["corpus_mixture_sample"](spark, sf)
     assert audit.count_exchanges(mix) <= 1  # one keyed agg, nothing else
     assert not audit.uses_python_udf(mix)
+
+
+def test_include_hydration_broadcasts_parent(spark, sf):
+    """SQL-dialect INCLUDE: the FK parent (a dim) must broadcast — the
+    child side never reshuffles for the hydrate join."""
+    df = _Q["sql_include_digest"](spark, sf)
+    assert audit.uses_broadcast_join(df)
+    assert not audit.uses_shuffle_join(df)
+
+
+def test_unit_convert_stays_jvm(spark, sf):
+    """Catalog rule arithmetic compiles to Column expressions — no
+    Python UDF in the plan, whole-stage codegen covers the projection."""
+    df = _Q["unit_convert_bulk"](spark, sf)
+    assert not audit.uses_python_udf(df)
+    assert audit.uses_whole_stage_codegen(df)
+    # the rule constants fold: Math.PI/180 must appear pre-multiplied
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "0.017453292519943295" in plan
