@@ -42,74 +42,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # which queries get a driver row each round. Remaining queries follow in
 # registration order.
 #
-# Round-4 window (exactly 50 slots):
-# 1. The 19 oracle-backed queries that have NEVER had a green driver row
-#    in any round (r3 verdict's explicit list), led by the re-graded
-#    event_sessionization (r3's lone red row, oracle SUM now cast to
-#    BIGINT) — closing the ever-driver-green gap to 104/104.
-# 2. Every query whose code changed this round must re-prove green:
-#    the LSH pair-generation restructure (dedup_minhash_lsh,
-#    dedup_cluster_assign, dedup_ngram_jaccard), the
-#    join_part_promo_monthly broadcast pin, the epoch_us_sql NTZ-cast
-#    symmetry fix (chain_append, chain_verify), the spread_small_input
-#    caching (dedup_exact, text_fingerprint), and the new unit-catalog /
-#    SQL-INCLUDE queries.
-# 3. Backfill with the r3-green families most recently touched
-#    (timeseries, search, pipelines) so regressions surface.
+# Round-5 window (exactly 50 slots), per the r4 verdict: rotate to the
+# 55 oracle-backed queries NOT graded in round 4, oldest evidence first,
+# keeping the window fully DISJOINT from r4's 50 so every query's newest
+# green driver row is at most two rounds old.
+#
+# 1. The 30 r2-vintage greens (their last driver evidence is round 2).
+# 2. 20 of the 25 r3-vintage greens. Five r3 queries are left to local
+#    verification (tests/test_oracle_parity.py runs the identical
+#    hash-compare): set_intersect / set_except (same code path as the
+#    r4-green set_union), cube_agg / grouping_sets_agg /
+#    pivot_status_by_segment (same grouping-analytics path as the
+#    r4-green rollup_agg) — the dropped five are exactly the ones whose
+#    r4-green siblings exercise the same operators.
+#
+# Queries whose code changes THIS round (e.g. the dedup_ngram_jaccard
+# perf rework) are deliberately NOT re-inserted here — that would break
+# disjointness; they are re-proved by the local oracle-parity suite.
 _PRIORITY: tuple[str, ...] = (
-    # never-driver-graded (r3 verdict list) + re-graded sessionization
-    "event_sessionization",
-    "skew_salted_agg",
-    "string_format_regex",
-    "conditional_cast",
-    "array_higher_order",
-    "try_cast_predicates",
-    "sha256_hash",
-    "map_functions",
-    "iot_password_hash",
-    "vector_l2_radius",
-    "dedup_repeated_ngrams",
-    "dedup_fuzzy_name_match",
-    "text_chunk_windows",
-    "corpus_train_val_test_split",
-    "corpus_mixture_sample",
-    "heavy_hitter_ngrams",
-    "ann_lsh_cosine",
-    "text_quality_classifier",
-    "stream_exact_dedup",
-    # code changed this round: must re-prove
-    "dedup_minhash_lsh",
-    "dedup_cluster_assign",
-    "dedup_ngram_jaccard",
-    "join_part_promo_monthly",
-    "chain_append",
-    "chain_verify",
-    "dedup_exact",
-    "text_fingerprint",
-    "unit_convert_bulk",
-    "sql_include_digest",
-    # r3-green backfill: most recently touched families
-    "ts_locf_merge",
-    "ts_resample_interp",
-    "ts_asof_join",
-    "ts_rollup_hourly",
-    "ts_detect_gaps",
-    "ts_rate_of_change",
-    "stream_windowed_rollup",
-    "iot_effective_value",
-    "window_range_frame",
-    "math_funcs",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "pipeline_clean_corpus",
-    "pipeline_prepare_training_data",
-    "corpus_pack_sequences",
-    "window_topk_per_group",
-    "window_running_sum",
-    "rollup_agg",
-    "set_union",
-    "semi_join_exists",
-    "exact_percentiles",
+    # r2-vintage greens (oldest driver evidence)
+    "scan_filter_project",
+    "filter_in",
+    "sort_limit_offset",
+    "take_last",
+    "q01_pricing_summary",
+    "global_agg",
+    "groupby_having",
+    "string_funcs",
+    "date_funcs",
+    "json_extract",
+    "iot_write_gating",
+    "vector_cosine_topk",
+    "vector_l2_topk",
+    "vector_upsert_dedup",
+    "ann_ivf_cosine",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_quality_scores",
+    "text_token_count",
+    "text_langid",
+    "text_gopher_rules",
+    "text_scrub_pii",
+    "decontaminate_ngram_overlap",
+    "embedding_outliers",
+    "nl_find_filter_sort_limit",
+    "nl_find_dual_join",
+    "nl_find_dual_fk_inference",
+    "nl_find_triple_join",
+    "nl_find_include_digest",
+    "remote_serialized_find",
+    # r3-vintage greens
+    "filter_like",
+    "filter_between_not",
+    "multi_key_sort",
+    "distinct_op",
+    "count_exists_minmax",
+    "join2_orders_customer",
+    "join3_customer_nation_region",
+    "join4_revenue_by_nation",
+    "join6_local_supplier_revenue",
+    "include_children_agg",
+    "anti_join_not_exists",
+    "window_lag_delta",
+    "dbref_include_missing",
+    "any_all_quantifiers",
+    "q03_shipping_priority",
+    "correlated_scalar_subquery",
+    "window_rank_family",
+    "q06_revenue_forecast",
+    "event_funnel",
+    "event_cohort_retention",
 )
 
 
