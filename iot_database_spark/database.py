@@ -34,9 +34,34 @@ from iot_database_spark.tables import ForeignKey, Table
 
 
 class IotDatabase:
-    def __init__(self, name: str, path: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        name: str,
+        path: str,
+        spark: SparkSession | None = None,
+        collation: str = "binary",
+    ):
+        """`collation` pins how the SQL dialect compares this database's
+        string fields (reference: Collation.cs — a culture + IgnoreCase
+        pair fixed per datafile and applied in every BsonExpression
+        compare, BsonExpressionOperators.cs:115+):
+
+        - "binary" (default): Spark's native UTF8_BINARY ordering.
+          DIVERGENCE: the reference's default collation is
+          culture-aware + IgnoreCase, so `WHERE name = 'ALICE'` matches
+          'Alice' there but not here.
+        - "ci": case-insensitive — SQL-dialect views expose top-level
+          string columns with UTF8_LCASE collation, so comparisons,
+          GROUP BY, ORDER BY and DISTINCT over them ignore case
+          (ICU lowercase ≈ the reference's IgnoreCase without the
+          per-culture tailorings; nested struct/array strings keep
+          binary collation — fixed-schema narrowing).
+        """
         from iot_database_spark.session import get_spark
 
+        if collation not in ("binary", "ci"):
+            raise ValueError("collation must be 'binary' or 'ci'")
+        self.collation = collation
         self.name = name
         self.spark = spark or get_spark(f"iotdb_{name}")
         self.root = os.path.join(path, name)
@@ -157,9 +182,30 @@ class IotDatabase:
     # -- pragmas (EnginePragmas — LiteDB/Engine/EnginePragmas.cs:70-160;
     # SQL surface `PRAGMA name` / `PRAGMA name = value` — SqlParser.cs) ----
 
+    def apply_collation(self, df: DataFrame) -> DataFrame:
+        """Collate top-level string columns per the database's collation
+        policy (no-op for "binary"). The SQL dialect routes every table
+        view through this, so string compares in WHERE/GROUP BY/ORDER BY
+        follow the database's pinned collation — the engine analogue of
+        the reference resolving each compare through its datafile
+        Collation (Collation.cs; BsonExpressionOperators.cs:115+)."""
+        if self.collation != "ci":
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        return df.select(
+            *[
+                F.collate(F.col(f.name), "UTF8_LCASE").alias(f.name)
+                if isinstance(f.dataType, StringType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
     _PRAGMA_DEFAULTS: dict = {
         "USER_VERSION": 0,
-        "COLLATION": "en-US/IgnoreCase",  # read-only, like the reference
+        "COLLATION": "binary/Ordinal",  # read-only; reflects the ctor knob
         "TIMEOUT": 60,
         "LIMIT_SIZE": 9223372036854775807,
         "UTC_DATE": True,  # this engine always stores/compares UTC
@@ -175,6 +221,10 @@ class IotDatabase:
         if key not in self._PRAGMA_DEFAULTS:
             raise KeyError(f"unknown pragma: {name}")
         if value is None:
+            if key == "COLLATION":
+                return (
+                    "en-US/IgnoreCase" if self.collation == "ci" else "binary/Ordinal"
+                )
             return pragmas.get(key, self._PRAGMA_DEFAULTS[key])
         if key == "COLLATION":
             raise ValueError("Pragma COLLATION is read only")

@@ -226,7 +226,18 @@ def conversion_rule(from_unit: str, to_unit: str) -> str:
 
 
 def convert(value: Column, from_unit: str, to_unit: str) -> Column:
-    """Convert a numeric column between units via the rules table."""
+    """Convert a numeric column between units via the rules table.
+
+    Two parity caveats (documented in README "Unit-catalog data
+    quirks"): the Length/Power groups' published rules are inverted
+    relative to physical reality and are applied AS PUBLISHED —
+    convert(c, 'm', 'km') returns c*1000, matching the reference's
+    `target.ConversionRules[source.Name]` lookup, not physics; and the
+    same-resolved-name identity shortcut below cannot see groups, so a
+    dual-group name pair (Electrical watts vs Power watts) returns
+    identity where `IotUnit.Convert` would have thrown on its group
+    check (IotUnit.cs:29) — unreachable through this string-name API,
+    divergence documented rather than guessed at."""
     if resolve(from_unit).name == resolve(to_unit).name:
         return value
     return compile_rule(conversion_rule(from_unit, to_unit))(value)

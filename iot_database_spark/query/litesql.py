@@ -5,7 +5,11 @@ Reference grammar (LiteDB/Client/SqlParser/Commands/Select.cs:12-25):
     [EXPLAIN] SELECT <expr> [INTO col]
     [FROM col] [INCLUDE path [, path]*]
     [WHERE <expr>] [GROUP BY <expr>] [HAVING <expr>]
-    [ORDER BY <expr> [ASC|DESC]] [LIMIT n] [OFFSET n]
+    [ORDER BY <expr> [ASC|DESC]] [LIMIT n] [OFFSET n] [FOR UPDATE]
+
+`FOR UPDATE` (a page write-lock request in the reference) is accepted
+and ignored: this engine is snapshot-isolated MVCC over a versioned
+commit log, so readers never block writers and the clause is a no-op.
 
 with BsonExpression path syntax (Parser/BsonExpressionOperators.cs):
     $.field            document member          -> field
@@ -148,20 +152,32 @@ def _lit_text(lits: list[str], idx: str) -> str:
     return body.replace(q + q, q)
 
 
-# INCLUDE <path> [, <path>]* between FROM and WHERE (Select.cs:12-25
-# grammar; executor BasePipe.cs:46-133). The reference hydrates DbRef
-# fields in place: parent fields copied into the ref sub-document, $ref
-# dropped, $id kept, $missing=true when the parent row is absent. Our
-# relational analogue: each path names a parent table related by FK;
-# the FROM rows gain a struct column <path> = {id: <fk value>, <parent
-# non-id fields>, missing: bool}. Schema-typed instead of $-keyed —
-# documented divergence (fixed schemas throughout this engine).
-_INCLUDE_CLAUSE = re.compile(
-    r"\bINCLUDE\s+(.*?)(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+HAVING\b"
+# FROM <collection> INCLUDE <path> [, <path>]* (Select.cs:12-25 grammar;
+# executor BasePipe.cs:46-133). The reference hydrates DbRef fields in
+# place: parent fields copied into the ref sub-document, $ref dropped,
+# $id kept, $missing=true when the parent row is absent. Our relational
+# analogue: each path names a parent table related by FK; the FROM rows
+# gain a struct column <path> = {id: <fk value>, <parent non-id fields>,
+# missing: bool}. Schema-typed instead of $-keyed — documented
+# divergence (fixed schemas throughout this engine).
+#
+# Matched as ONE anchored pattern — FROM name + INCLUDE clause in their
+# grammar positions — so (a) a scalar-subquery FROM earlier in the query
+# can never be the rewrite target, and (b) a projected path named
+# `$.include` (a field access, not the keyword) is never mis-parsed as
+# an INCLUDE clause (r4 advice).
+_FROM_INCLUDE = re.compile(
+    r"\bFROM\s+(\w+)\s+INCLUDE\s+(.*?)(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+HAVING\b"
     r"|\s+ORDER\s+BY\b|\s+LIMIT\b|\s+OFFSET\b|\s+FOR\s+UPDATE\b|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
-_FROM_NAME = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+
+# Trailing FOR UPDATE (Select.cs:12-25 ends the grammar with an optional
+# `FOR UPDATE` that requests a write lock on the scanned pages). This
+# engine is snapshot-isolated MVCC over a versioned commit log — readers
+# never block writers and there is nothing to lock — so the clause is
+# accepted for grammar parity and ignored.
+_FOR_UPDATE = re.compile(r"\s+FOR\s+UPDATE\s*(;?\s*)$", re.IGNORECASE)
 
 
 def _infer_fk_conventional(child_df, parent: str) -> tuple[str, str] | None:
@@ -257,23 +273,20 @@ def lite_sql(
     the file system collections as both source and sink. Returns the
     piped rows either way."""
     masked, lits = _mask_literals(sql)
+    masked = _FOR_UPDATE.sub(r" \1", masked)  # accepted, MVCC no-op
     file_sink: tuple[str, str] | None = None
     ms = _FILE_SINK.search(masked)
     if ms:
         file_sink = (ms.group(1).lower(), _lit_text(lits, ms.group(2)))
         masked = masked[: ms.start()] + " " + masked[ms.end() :]
-    mi = _INCLUDE_CLAUSE.search(masked)
+    mi = _FROM_INCLUDE.search(masked)
     if mi:
-        paths = [p.strip() for p in mi.group(1).split(",") if p.strip()]
-        masked = masked[: mi.start()] + " " + masked[mi.end() :]
-        mf = _FROM_NAME.search(masked)
-        if not mf:
-            raise ValueError("INCLUDE requires a FROM collection")
-        table = mf.group(1)
+        table = mi.group(1)
+        paths = [p.strip() for p in mi.group(2).split(",") if p.strip()]
         hydrated = _hydrate_includes(spark, table, paths, db)
         view = f"__inc_{table}_{abs(hash(tuple(paths))) % 10**9}"
         hydrated.createOrReplaceTempView(view)
-        masked = masked[: mf.start()] + f"FROM {view}" + masked[mf.end() :]
+        masked = masked[: mi.start()] + f"FROM {view}" + masked[mi.end() :]
     if _FILE_REF.search(masked):
         from iot_database_spark.sources.files import read_csv, read_json
 
@@ -393,7 +406,9 @@ def execute(db, sql: str, params: dict | None = None):
     kw = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
     if kw in ("SELECT", "EXPLAIN"):
         for t in db.list_tables():
-            db.table(t).df.createOrReplaceTempView(t)
+            # views carry the database's collation policy so string
+            # compares in the dialect follow it (Collation.cs parity)
+            db.apply_collation(db.table(t).df).createOrReplaceTempView(t)
         # resolve $system collections to registered views (literal-masked
         # so '$indexes' inside a string value stays data)
         masked, lits = _mask_literals(sql)

@@ -397,3 +397,81 @@ def test_include_nested_shape_golden(spark):
         (1, {"id": 7, "name": "Ann", "email": "ann@x", "missing": False}),
         (2, {"id": None, "name": None, "email": None, "missing": True}),
     ]
+
+
+def test_for_update_accepted_and_ignored(spark):
+    """Trailing FOR UPDATE (Select.cs:12-25 grammar) parses and is a
+    no-op: MVCC snapshot reads have nothing to lock."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, k string"
+    ).createOrReplaceTempView("fu_t")
+    rows = lite_sql(spark, "SELECT $.k FROM fu_t WHERE $.id = 2 FOR UPDATE").collect()
+    assert [r["k"] for r in rows] == ["b"]
+    # with a trailing semicolon, and combined with ORDER BY/LIMIT
+    rows = lite_sql(
+        spark, "SELECT $.id FROM fu_t ORDER BY $.id DESC LIMIT 1 FOR UPDATE;"
+    ).collect()
+    assert rows[0]["id"] == 2
+
+
+def test_include_clause_anchored_to_grammar_position(spark):
+    """r4 advice: the INCLUDE rewrite must bind to `FROM <name> INCLUDE`
+    as one unit — a path named $.include is a field access, and a
+    scalar-subquery FROM earlier in the text must not become the
+    hydration target."""
+    spark.createDataFrame(
+        [(1, "yes"), (2, "no")], "id int, include string"
+    ).createOrReplaceTempView("inc_col_t")
+    # a column literally named `include` is data, not the keyword
+    rows = lite_sql(spark, "SELECT $.include FROM inc_col_t ORDER BY $.id").collect()
+    assert [r["include"] for r in rows] == ["yes", "no"]
+
+    # scalar subquery whose FROM precedes the main FROM ... INCLUDE:
+    # hydration must target `posts2`, not `author2`
+    spark.createDataFrame(
+        [(1, "p1", 7)], "id int, title string, author2_id int"
+    ).createOrReplaceTempView("posts2")
+    spark.createDataFrame(
+        [(7, "Ann")], "id int, name string"
+    ).createOrReplaceTempView("author2")
+    out = lite_sql(
+        spark,
+        "SELECT $.id, (SELECT MAX(id) FROM author2) AS mx, $.author2.name AS an "
+        "FROM posts2 INCLUDE $.author2",
+    ).collect()
+    assert [(r["id"], r["mx"], r["an"]) for r in out] == [(1, 7, "Ann")]
+
+
+def test_collation_knob_ci_vs_binary(spark, tmp_path):
+    """Collation.cs parity knob: collation='ci' makes SQL-dialect string
+    compares (WHERE, GROUP BY, DISTINCT) case-insensitive; the default
+    'binary' keeps Spark-native ordinal compares (documented
+    divergence from the reference's culture/IgnoreCase default)."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    rows = [
+        {"id": 1, "name": "Alice"},
+        {"id": 2, "name": "ALICE"},
+        {"id": 3, "name": "bob"},
+    ]
+    dbb = IotDatabase("coll_bin", str(tmp_path), spark)
+    dbb.tables("people", "id bigint, name string").insert(rows)
+    assert dbb.pragma("COLLATION") == "binary/Ordinal"
+    got = execute(dbb, "SELECT $.id FROM people WHERE $.name = 'ALICE'").collect()
+    assert [r["id"] for r in got] == [2]
+
+    dbc = IotDatabase("coll_ci", str(tmp_path), spark, collation="ci")
+    dbc.tables("people", "id bigint, name string").insert(rows)
+    assert dbc.pragma("COLLATION") == "en-US/IgnoreCase"
+    got = execute(
+        dbc, "SELECT $.id FROM people WHERE $.name = 'ALICE' ORDER BY $.id"
+    ).collect()
+    assert [r["id"] for r in got] == [1, 2]
+    grouped = execute(
+        dbc, "SELECT COUNT(*) AS n FROM people GROUP BY $.name ORDER BY n DESC"
+    ).collect()
+    assert [r["n"] for r in grouped] == [2, 1]
+
+    with pytest.raises(ValueError, match="binary' or 'ci"):
+        IotDatabase("coll_bad", str(tmp_path), spark, collation="fr-FR")
