@@ -403,6 +403,7 @@ def connected_components(
     # convergence is one tiny agg on the materialized frame, not a
     # self-join diff
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -418,9 +419,22 @@ def connected_components(
         )
         labels = stepped.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            converged = True  # empty edge set converges trivially
             break
         prev_sum = cur_sum
+    if not converged:
+        # Exhausting max_iter with the label sum still moving means a
+        # component with diameter > max_iter (not a dedup-shaped graph of
+        # small cliques). Silently returning partial labels would split
+        # one true cluster into several with no signal (r4 verdict) —
+        # fail loudly and let the caller raise max_iter or switch to a
+        # large-star/small-star CC for giant components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "the pair graph has a component with larger diameter — raise "
+            "max_iter or use a star-contraction CC for giant components"
+        )
 
     singletons = (
         nodes.select(F.col(id_col).alias("id"))

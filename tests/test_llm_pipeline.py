@@ -343,6 +343,33 @@ def test_connected_components_multi_hop(spark):
     assert out[99]["cluster_size"] == 1 and out[99]["is_canonical"]
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """r4 verdict: exhausting max_iter with labels still moving must
+    fail loudly, not return silently-partial clusters. A 9-node path
+    graph has diameter 8 > max_iter=3; min-label propagation moves one
+    hop per round, so 3 rounds cannot converge."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id bigint")
+    with pytest.raises(RuntimeError, match="did not converge in 3"):
+        dd.connected_components(chain, nodes, max_iter=3)
+    # an ample max_iter converges the same graph to a single cluster
+    ok = dd.connected_components(chain, nodes, max_iter=15)
+    assert set(r["cluster_id"] for r in ok.collect()) == {1}
+
+
+def test_connected_components_empty_pairs(spark):
+    """No edges at all: every node is its own cluster, no false
+    non-convergence on the empty label frame."""
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,)], "id bigint")
+    rows = {r["id"]: r["cluster_id"] for r in dd.connected_components(pairs, nodes).collect()}
+    assert rows == {1: 1, 2: 2}
+
+
 def test_gopher_rules_signals(spark):
     """Bullet lines, duplicate lines, symbol ratio, and the pass flag."""
     good = " ".join(
