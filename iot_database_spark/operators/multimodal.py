@@ -274,9 +274,61 @@ def _parse_jpeg(b: bytes) -> dict | None:
         seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-            return {"codec": "jpeg", "width": w, "height": h}
+            meta = {"codec": "jpeg", "width": w, "height": h}
+            # MJPEG is bare concatenated JPEGs (the shape an RTSP/HTTP
+            # multipart capture yields once part headers are stripped —
+            # reference Video/Clients/RtspClient.cs frame loop): more
+            # than one SOI..EOI unit upgrades the container to a video
+            n = len(mjpeg_split_frames(b))
+            if n > 1:
+                meta.update(codec="mjpeg", n_frames=n)
+            return meta
         i += 2 + seglen
     return None
+
+
+def mjpeg_split_frames(b: bytes) -> list[bytes]:
+    """Split an MJPEG byte stream (concatenated still JPEGs) into the
+    bytes of each frame — REAL marker-aware walking, pure stdlib.
+
+    Entropy-coded data is traversed with JPEG's own framing rules (0xFF
+    is always escaped as FF 00 or an RST marker inside scan data), so a
+    stray FFD9 bit pattern inside compressed payload can never split a
+    frame: header segments are skipped by their length fields, and only
+    a true EOI (or an unterminated frame's next SOI) ends a frame."""
+    frames: list[bytes] = []
+    i, n = 0, len(b)
+    while i + 1 < n:
+        if b[i] != 0xFF or b[i + 1] != 0xD8:
+            i += 1
+            continue
+        start, j, end = i, i + 2, None
+        while j + 1 < n:
+            if b[j] != 0xFF:
+                j += 1
+                continue
+            marker = b[j + 1]
+            if marker == 0xFF:  # fill byte: next FF may start the marker
+                j += 1
+            elif marker == 0x00 or 0xD0 <= marker <= 0xD7:  # stuffing/RST
+                j += 2
+            elif marker == 0xD9:  # EOI
+                end = j + 2
+                break
+            elif marker == 0xD8:  # next SOI before EOI: truncated frame
+                end = j
+                break
+            elif marker == 0x01:  # TEM: standalone
+                j += 2
+            elif j + 3 < n:  # length-framed segment (incl. SOS header)
+                j += 2 + struct.unpack(">H", b[j + 2 : j + 4])[0]
+            else:
+                break
+        if end is None:
+            break
+        frames.append(b[start:end])
+        i = end
+    return frames
 
 
 def _parse_wav(b: bytes) -> dict | None:
@@ -461,7 +513,7 @@ def extract_features(
 
 FRAMES_SCHEMA = (
     "media_id bigint, frame_idx int, width int, height int, "
-    "delay_ms int, rgb binary"
+    "delay_ms int, pixel_format string, rgb binary"
 )
 
 
@@ -477,13 +529,22 @@ def frame_sample(
     pixels=False (default): metadata-level (media_id, frame_idx) rows —
     cheap, runs on any container the decoder can count frames for.
 
-    pixels=True: REAL decoded frame bytes — (media_id, frame_idx, width,
-    height, delay_ms, rgb) via mapInPandas (Arrow-batched, partition-
-    parallel; one video's frames never leave its partition's batch).
-    Animated GIF decodes fully in-process (gif_decode_frames: stdlib
-    structural walk + LZW + palette). Other codecs raise
-    NotImplementedError loudly — no media libraries in this environment;
-    plug a real decoder into the same batch shape when one exists."""
+    pixels=True: REAL per-frame bytes — (media_id, frame_idx, width,
+    height, delay_ms, pixel_format, rgb) via mapInPandas (Arrow-batched,
+    partition-parallel; one video's frames never leave its partition's
+    batch). Two containers split/decode fully in-process:
+
+    - animated GIF → pixel_format 'rgb24', rgb = decoded RGB bytes
+      (gif_decode_frames: stdlib structural walk + LZW + palette);
+    - MJPEG (concatenated JPEGs, the stripped RTSP/HTTP-multipart
+      capture shape) → pixel_format 'jpeg', rgb = that frame's complete
+      still-JPEG bytes (mjpeg_split_frames: marker-aware walk; width/
+      height from the frame's own SOF header). Entropy decode to raw
+      pixels needs a codec library, so the frame payload stays encoded.
+
+    True video codecs (H.264/MP4 etc.) raise NotImplementedError loudly
+    — no media libraries in this environment; plug a real decoder into
+    the same batch shape when one exists."""
     from pyspark.sql import functions as F
 
     if not pixels:
@@ -498,24 +559,40 @@ def frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
-                "media_id", "frame_idx", "width", "height", "delay_ms", "rgb"
+                "media_id", "frame_idx", "width", "height", "delay_ms",
+                "pixel_format", "rgb",
             )}
+
+            def emit(mid, idx, w, h, delay, fmt, data):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["delay_ms"].append(delay)
+                rows["pixel_format"].append(fmt)
+                rows["rgb"].append(data)
+
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
-                if blob[:6] not in (b"GIF87a", b"GIF89a"):
+                if blob[:6] in (b"GIF87a", b"GIF89a"):
+                    for i, f in enumerate(gif_decode_frames(blob)):
+                        if i % every_n:
+                            continue
+                        emit(mid, i, f["width"], f["height"], f["delay_ms"],
+                             "rgb24", f["rgb"])
+                elif blob[:2] == b"\xff\xd8":
+                    for i, fb in enumerate(mjpeg_split_frames(blob)):
+                        if i % every_n:
+                            continue
+                        meta = _parse_jpeg(fb) or {}
+                        emit(mid, i, int(meta.get("width", 0)),
+                             int(meta.get("height", 0)), 0, "jpeg", fb)
+                else:
                     raise NotImplementedError(
-                        "frame_sample(pixels=True): only GIF decodes "
-                        "in-process; no media libraries in this environment"
+                        "frame_sample(pixels=True): only GIF decodes and "
+                        "MJPEG splits in-process; no media libraries in "
+                        "this environment"
                     )
-                for i, f in enumerate(gif_decode_frames(blob)):
-                    if i % every_n:
-                        continue
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i)
-                    rows["width"].append(f["width"])
-                    rows["height"].append(f["height"])
-                    rows["delay_ms"].append(f["delay_ms"])
-                    rows["rgb"].append(f["rgb"])
             yield pd.DataFrame(rows)
 
     return media.filter("kind = 'video'").select("media_id", "content").mapInPandas(

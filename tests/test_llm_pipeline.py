@@ -656,3 +656,57 @@ def test_gif_real_frame_decode(spark):
     )
     with pytest.raises(Exception, match="only GIF decodes"):
         mm.frame_sample(mp4ish, pixels=True).collect()
+
+
+def _encode_fake_jpeg(w: int, h: int, payload: bytes) -> bytes:
+    """Minimal structurally-valid JPEG: SOI, APP0, SOF0 (real dims), SOS,
+    FF-stuffed entropy payload with an embedded RST marker, EOI."""
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sos = b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    ent = payload.replace(b"\xff", b"\xff\x00") + b"\xff\xd0" + b"\x12\x34"
+    return soi + app0 + sof + sos + ent + b"\xff\xd9"
+
+
+def test_mjpeg_real_frame_split(spark):
+    """MJPEG (concatenated JPEGs): marker-aware split yields each frame's
+    exact bytes — a raw FF D9 bit pattern inside entropy data (stuffed to
+    FF 00 D9) must NOT split a frame — and frame_sample(pixels=True)
+    emits them with per-frame SOF dims and pixel_format='jpeg'."""
+    # frame 1 entropy contains the EOI bit pattern pre-stuffing
+    f0 = _encode_fake_jpeg(8, 6, b"\x01\x02\xff\xd9\x03\x04")
+    f1 = _encode_fake_jpeg(4, 2, b"\x05\x06\x07")
+    f2 = _encode_fake_jpeg(16, 12, b"\xff\xff\x00\x01")
+    blob = f0 + f1 + f2
+
+    parts = mm.mjpeg_split_frames(blob)
+    assert parts == [f0, f1, f2]
+    # a single still JPEG stays an image, not a 1-frame video
+    assert mm.auto_decoder(f0)["codec"] == "jpeg"
+    meta = mm.auto_decoder(blob)
+    assert meta["codec"] == "mjpeg" and meta["n_frames"] == 3
+    assert (meta["width"], meta["height"]) == (8, 6)
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=2, pixels=True).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert bytes(rows[0]["rgb"]) == f0 and bytes(rows[2]["rgb"]) == f2
+    assert (rows[0]["width"], rows[0]["height"]) == (8, 6)
+    assert (rows[2]["width"], rows[2]["height"]) == (16, 12)
+    assert rows[0]["pixel_format"] == "jpeg"
+
+    # metadata-level sampling rides the same n_frames count
+    idxs = sorted(
+        r["frame_idx"] for r in mm.frame_sample(media, every_n=1).collect()
+    )
+    assert idxs == [0, 1, 2]
