@@ -205,16 +205,12 @@ def resolve(unit: str) -> IotUnit:
     raise RuleError(f"unknown unit {unit!r}")
 
 
-def conversion_rule(from_unit: str, to_unit: str) -> str:
-    """The reference rule string converting from_unit -> to_unit.
-
-    Raises RuleError when the units are in different groups (reference
-    throws InvalidCastException, IotUnit.cs:29-30) or no rule is
-    published (NotSupportedException, IotUnit.cs:62)."""
+def _resolve_pair(from_unit: str, to_unit: str) -> tuple[IotUnit, IotUnit]:
+    """Resolve both ends into ONE group (dual-group names re-resolve
+    into the counterpart's group); raises RuleError on a true cross-
+    group pair (reference InvalidCastException, IotUnit.cs:29-30)."""
     src, dst = resolve(from_unit), resolve(to_unit)
     if src.group != dst.group:
-        # a dual-group name may have resolved into the wrong group —
-        # re-resolve either side into the other's group before rejecting
         alt = _in_group(src.name, dst.group) or _in_group(dst.name, src.group)
         if alt is not None and alt.name == src.name:
             src = alt
@@ -222,17 +218,39 @@ def conversion_rule(from_unit: str, to_unit: str) -> str:
             dst = alt
         else:
             raise RuleError(f"cannot convert {src.group} to {dst.group}")
+    return src, dst
+
+
+def conversion_rule(from_unit: str, to_unit: str) -> str:
+    """The reference rule string converting from_unit -> to_unit.
+
+    Raises RuleError when the units are in different groups (reference
+    throws InvalidCastException, IotUnit.cs:29-30) or no rule is
+    published (NotSupportedException, IotUnit.cs:62)."""
+    src, dst = _resolve_pair(from_unit, to_unit)
     return dst.rule_from(src.name)
 
 
-def convert(value: Column, from_unit: str, to_unit: str) -> Column:
+# Groups whose published rule tables are inverted relative to physical
+# reality (the reference's own comments disagree with its rule strings).
+# Both groups publish every pair in both directions, so the physically
+# correct factor for a->b is exactly the published rule for b->a.
+_INVERTED_GROUPS = frozenset({"Length", "Power"})
+
+
+def convert(
+    value: Column, from_unit: str, to_unit: str, corrected: bool = False
+) -> Column:
     """Convert a numeric column between units via the rules table.
 
     Two parity caveats (documented in README "Unit-catalog data
     quirks"): the Length/Power groups' published rules are inverted
     relative to physical reality and are applied AS PUBLISHED —
     convert(c, 'm', 'km') returns c*1000, matching the reference's
-    `target.ConversionRules[source.Name]` lookup, not physics; and the
+    `target.ConversionRules[source.Name]` lookup, not physics; pass
+    `corrected=True` to opt into the physically-correct direction for
+    those two groups (the reverse-direction published rule — both
+    groups' tables are complete in both directions). And the
     same-resolved-name identity shortcut below cannot see groups, so a
     dual-group name pair (Electrical watts vs Power watts) returns
     identity where `IotUnit.Convert` would have thrown on its group
@@ -240,7 +258,10 @@ def convert(value: Column, from_unit: str, to_unit: str) -> Column:
     divergence documented rather than guessed at."""
     if resolve(from_unit).name == resolve(to_unit).name:
         return value
-    return compile_rule(conversion_rule(from_unit, to_unit))(value)
+    src, dst = _resolve_pair(from_unit, to_unit)
+    if corrected and src.group in _INVERTED_GROUPS:
+        return compile_rule(src.rule_from(dst.name))(value)
+    return compile_rule(dst.rule_from(src.name))(value)
 
 
 def convert_slots(values: Column, from_unit: str, to_unit: str) -> Column:

@@ -276,23 +276,40 @@ def jaccard_pairs(
     # the df-cap filter and the i<j pair generation are per-row compute
     # on the grouped arrays — no self-join, no second shuffle of the
     # token table, no window sort.
-    # shingle strings are hashed to 64-bit (Spark-native xxhash64 — the
-    # hash is a GROUP KEY only, never output, so cross-engine portability
-    # doesn't apply) before the exchange: the posting-list shuffle ships
-    # 8-byte keys instead of n-word strings, and the aggregate compares
-    # longs instead of strings. Collisions would merge two shingles'
-    # posting lists (P ~ n_shingles²/2^64 — negligible far beyond 100 TB
-    # corpus sizes, and a collision only perturbs one pair count by 1).
+    # Shingles never materialize as strings here: each n-gram is hashed
+    # straight from its word tuple with multi-arg xxhash64 (Spark chains
+    # the per-column hashes, so token boundaries are preserved), and the
+    # distinct runs on 8-byte longs instead of n-word strings. The hash
+    # is a GROUP KEY only, never output, so cross-engine portability
+    # doesn't apply; tokens come from split(text, " ") and contain no
+    # spaces, so distinct-on-hash counts the same sets as the string
+    # shingles would. Collisions would merge two shingles' posting lists
+    # (P ~ n_shingles²/2^64 — negligible far beyond 100 TB corpus sizes,
+    # and a collision only perturbs one pair count by 1).
+    def hashed_distinct(words: Column) -> Column:
+        idx = F.when(
+            F.size(words) >= n,
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(words, i + off) for off in range(n)]
+                ),
+            )
+        )
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             let(
-                F.array_distinct(shingles(F.col(content), n)),
-                lambda sh: F.transform(
-                    sh,
-                    lambda s: F.struct(
-                        F.size(sh).alias("set_size"),
-                        F.xxhash64(s).alias("s"),
+                let(F.split(F.col(content), " "), hashed_distinct),
+                lambda dh: F.transform(
+                    dh,
+                    lambda h: F.struct(
+                        F.size(dh).alias("set_size"),
+                        h.alias("s"),
                     ),
                 ),
             )

@@ -7,8 +7,13 @@ as the batch `rollup_by_interval` come out per window."""
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from iot_database_spark.database import IotDatabase
 
 
 def windowed_rollup(
@@ -47,3 +52,58 @@ def windowed_rollup(
             "last_value",
         )
     )
+
+
+def windowed_rollup_to_table(
+    stream: DataFrame,
+    db: "IotDatabase",
+    table_name: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    guid: str = "guid",
+    ts: str = "ts",
+    value: str = "value",
+    checkpoint: str | None = None,
+):
+    """Stream the windowed rollup INTO a commit-log table (foreachBatch
+    MERGE) instead of a driver-resident memory sink — the 100-TB shape.
+
+    - output mode `update`: each micro-batch carries ONLY the windows
+      that batch changed (the watermark finalizes and evicts old state),
+      so merge cost tracks the update rate, not the table size;
+    - each window row gets a deterministic id = xxhash64(key, window
+      start), so a late update to a window REPLACES its row via the
+      table's upsert (anti-join + union through the snapshot-isolated
+      versioned-parquet commit log — every micro-batch is one atomic,
+      crash-safe table version, readable/time-travelable mid-stream);
+    - nothing accumulates on the driver: the rollup state lives in the
+      executor state store, the merged rows in parquet.
+
+    Returns the started StreamingQuery; callers trigger/await it (tests
+    use `trigger(availableNow=True)` semantics by awaiting termination
+    after pointing the source at a static directory). The id-as-hash
+    choice means the table's auto-id sequence is advanced past hash
+    values — the table is sink-owned, not for interleaved manual
+    inserts (documented divergence; collision P ~ n_windows²/2^64).
+    """
+    rolled = windowed_rollup(
+        stream, window=window, watermark=watermark, guid=guid, ts=ts, value=value
+    )
+    ddl = ", ".join(
+        ["id bigint"]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in rolled.schema.fields]
+    )
+    table = db.tables(table_name, schema=ddl)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        table.upsert(
+            batch_df.select(
+                F.xxhash64(F.col(guid), F.col("bucket_start")).alias("id"),
+                *[F.col(f.name) for f in rolled.schema.fields],
+            )
+        )
+
+    writer = rolled.writeStream.outputMode("update").foreachBatch(merge)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

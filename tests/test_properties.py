@@ -126,6 +126,34 @@ def test_unknown_unit_and_cross_group_raise():
         conversion_rule("no_such_unit", "meters")
 
 
+def test_corrected_mode_inverts_length_power(_spark):
+    """`corrected=True` applies the physically-correct direction for the
+    two groups whose published rules are inverted (Length, Power), and
+    is a no-op for direction-consistent groups (Temperature)."""
+    from iot_database_spark.functions.units import convert
+
+    row = (
+        _spark.range(1)
+        .select(
+            convert(F.lit(1500.0), "meters", "kilometers").alias("published"),
+            convert(F.lit(1500.0), "meters", "kilometers", corrected=True).alias(
+                "physical"
+            ),
+            convert(F.lit(2000.0), "watts", "kilowatts", corrected=True).alias(
+                "kw"
+            ),
+            convert(
+                F.lit(25.0), "degrees_celsius", "degrees_fahrenheit", corrected=True
+            ).alias("temp"),
+        )
+        .collect()[0]
+    )
+    assert row["published"] == pytest.approx(1500000.0)  # reference-faithful
+    assert row["physical"] == pytest.approx(1.5)  # physics
+    assert row["kw"] == pytest.approx(2.0)
+    assert row["temp"] == pytest.approx(77.0)  # unchanged outside the two groups
+
+
 def test_dual_group_names_resolve_into_matching_group():
     """Nine reference names exist in two groups (watts: Electrical AND
     Power; henrys: Electrical AND Inductance; ...). Conversion must

@@ -169,3 +169,57 @@ def test_streaming_rollup_equals_batch(spark, sf_dir, tmp_path):
         g = got[k]
         for c in ("n_samples", "min_value", "max_value", "first_value", "last_value"):
             assert g[c] == w[c], (k, c, g[c], w[c])
+
+
+def test_windowed_rollup_to_table_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch-to-table variant: the stream merges each micro-batch
+    into a commit-log table (update mode, deterministic window-row ids)
+    instead of a driver memory sink; the final table contents must equal
+    the batch rollup, and the merge must have gone through the versioned
+    commit log (history has versions; time travel works)."""
+    import os
+
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.streaming.windowed import (
+        windowed_rollup,
+        windowed_rollup_to_table,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "events_stream_tbl"
+    stream_dir.mkdir()
+    os.symlink(path, stream_dir / "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    convert = lambda df: df.select(  # noqa: E731
+        F.col("user_id").cast("string").alias("guid"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    db = IotDatabase("streamdb", str(tmp_path / "db"), spark)
+    stream = convert(spark.readStream.schema(raw_schema).parquet(str(stream_dir)))
+    q = windowed_rollup_to_table(
+        stream,
+        db,
+        "hourly_rollup",
+        window="1 hour",
+        watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt_tbl"),
+    )
+    q.awaitTermination(180)
+
+    batch = windowed_rollup(
+        convert(spark.read.parquet(path)), window="1 hour", watermark="1 minute"
+    )
+    table = db.table("hourly_rollup")
+    key = lambda r: (r["guid"], r["bucket_start"])  # noqa: E731
+    got = {key(r): r for r in table.df.collect()}
+    want = {key(r): r for r in batch.collect()}
+    assert set(got) == set(want) and len(got) > 10
+    for k, w in want.items():
+        g = got[k]
+        for c in ("n_samples", "min_value", "max_value", "first_value", "last_value"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
+    # deterministic ids: re-upserting the same windows replaces, not adds
+    assert len({r["id"] for r in table.df.select("id").collect()}) == len(got)
+    assert len(table.history()) >= 1
