@@ -260,12 +260,24 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int = 1000,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     max_df drops shingles present in more than max_df documents before
     the self-join — the skew guard that keeps the join linear in the
     number of truly-shared rare shingles.
+
+    max_df_frac is the SCALE-CORRECT form of that guard: a shingle is
+    dropped when its document frequency exceeds max_df_frac * n_docs
+    (floored at 2). An absolute cap stops engaging exactly when it's
+    needed most — as the corpus grows, every shingle's df grows with it,
+    so pair generation is Θ(Σ df²) ~ quadratic in corpus size until df
+    crosses the fixed cap (measured: 10x docs -> 18.9x runtime on the
+    sf1 probe, SCALE_r05.md). A fractional cap keeps the per-shingle
+    pair budget proportional to corpus size (stop-shingle removal, the
+    same reason search engines df-prune), at the cost of one extra
+    count() scalar. When both are given the tighter bound wins.
     """
     from iot_database_spark.operators.hof import let
 
@@ -325,10 +337,14 @@ def jaccard_pairs(
             F.when(lt, y["set_size"]).otherwise(x["set_size"]).alias("size_b"),
         )
 
+    cap = max_df
+    if max_df_frac is not None:
+        n_docs = df.count()
+        cap = min(max_df, max(2, int(max_df_frac * n_docs)))
     postings = (
         toks.groupBy("s")
         .agg(F.collect_list(F.struct("id", "set_size")).alias("m"))
-        .filter(F.size("m").between(2, max_df))
+        .filter(F.size("m").between(2, cap))
     )
     inter = (
         _explode_pairs(postings, "m", build)

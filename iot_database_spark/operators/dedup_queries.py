@@ -172,6 +172,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, max_df=1000)
 
 
+_JACCARD_FRAC_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    dsh AS (SELECT DISTINCT id, s FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM dsh GROUP BY id),
+    cap AS (SELECT LEAST(1000, GREATEST(2,
+                CAST(FLOOR(0.001 * COUNT(*)) AS BIGINT))) AS c
+            FROM documents),
+    dfreq AS (SELECT s, COUNT(DISTINCT id) AS df_count FROM dsh GROUP BY s),
+    rare AS (SELECT dsh.id, dsh.s FROM dsh JOIN dfreq ON dsh.s = dfreq.s
+             WHERE dfreq.df_count <= (SELECT c FROM cap)),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE) >= 0.02
+"""
+
+
+@register("dedup_ngram_jaccard_capped", oracle=_JACCARD_FRAC_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard pairs under the FRACTIONAL df guard (df <= 0.1% of docs,
+    floored at 2): the stop-shingle-removal form that keeps pair
+    generation linear as the corpus grows — the sf1 scale probe showed
+    the absolute-cap form going 18.9x for 10x docs because every
+    shingle's df grows with corpus size (SCALE_r05.md)."""
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.02, max_df=1000, max_df_frac=0.001
+    )
+
+
 _EMB_NEARDUP_ORACLE = """
     WITH e AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,

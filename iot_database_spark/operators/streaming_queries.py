@@ -84,6 +84,57 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_rollup_to_table",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', date_trunc('microsecond', ts)) AS bucket_start,
+           COUNT(*) AS n_samples,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', date_trunc('microsecond', ts))
+    """,
+)
+def stream_rollup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-shape streaming sink under the correctness gate: the
+    SAME windowed rollup as stream_windowed_rollup, but lands in a
+    versioned commit-log TABLE via foreachBatch upsert (update output
+    mode, deterministic window-row ids) instead of a driver-resident
+    memory sink — nothing accumulates on the driver, and the result is
+    readable/time-travelable parquet. Graded output = the table read
+    back, which must hash-match the plain batch GROUP BY."""
+    import tempfile
+
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.streaming.windowed import windowed_rollup_to_table
+
+    load_views(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_tbl_")
+    db = IotDatabase("streamsink", tmp, spark)
+    q = windowed_rollup_to_table(
+        stream,
+        db,
+        "hourly_rollup",
+        window="1 hour",
+        watermark="2 hours",
+        guid="event_type",
+        ts="ts",
+        value="value",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return db.table("hourly_rollup").df.select(
+        "event_type", "bucket_start", "n_samples", "min_value", "max_value"
+    )
+
+
+@register(
     "stream_exact_dedup",
     oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
 )
