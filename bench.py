@@ -83,6 +83,9 @@ HEADLINE = [
     # round 4 additions
     "unit_convert_bulk",
     "sql_include_digest",
+    # round 5 additions
+    "dedup_ngram_jaccard_capped",
+    "stream_rollup_to_table",
 ]
 
 

@@ -432,12 +432,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # labels only ever DECREASE (least of self and neighbors), so
-    # sum(cluster_id) is strictly monotone while anything changes —
-    # convergence is one tiny agg on the materialized frame, not a
-    # self-join diff
+    # sum(cluster_id) is strictly monotone while anything changes. The
+    # sum rides the SAME job that materializes the round's labels (an
+    # Observation fires during the eager localCheckpoint), so each round
+    # is exactly ONE keyed shuffle + one materialization — no separate
+    # convergence action.
+    from pyspark.sql import Observation
+
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "cluster_id")
@@ -450,8 +454,11 @@ def connected_components(
                 F.col("cluster_id"), F.coalesce(F.col("_nbr"), F.col("cluster_id"))
             ).alias("cluster_id"),
         )
-        labels = stepped.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        obs = Observation(f"cc_round_{i}")
+        labels = stepped.observe(obs, F.sum("cluster_id").alias("s")).localCheckpoint(
+            eager=True
+        )
+        cur_sum = obs.get["s"]
         if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             converged = True  # empty edge set converges trivially
             break

@@ -331,6 +331,77 @@ def mjpeg_split_frames(b: bytes) -> list[bytes]:
     return frames
 
 
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a RIFF chunk run
+    (chunks are word-aligned; LIST chunks carry a 4-byte type then
+    nested chunks)."""
+    i = start
+    while i + 8 <= end:
+        fourcc = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        payload = i + 8
+        if payload + size > end:
+            break
+        yield fourcc, payload, size
+        i = payload + size + (size & 1)  # pad to even
+
+
+def avi_split_frames(b: bytes) -> list[bytes]:
+    """Extract per-frame video chunk payloads from an AVI container —
+    REAL RIFF structural walk, pure stdlib (reference parity target:
+    Video/VideoCollection.cs frame indexing over captures).
+
+    Walks RIFF('AVI ') → LIST('movi') → '##dc'/'##db' chunks (compressed
+    / uncompressed video data for stream ##; LIST('rec ') groups
+    recurse). For MJPEG-in-AVI each payload is a complete still JPEG."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return []
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, payload, size in _riff_chunks(b, start, end):
+            if fourcc == b"LIST":
+                ltype = b[payload : payload + 4]
+                if ltype in (b"movi", b"rec "):
+                    walk(payload + 4, payload + size)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit() and size:
+                frames.append(b[payload : payload + size])
+
+    walk(12, len(b))
+    return frames
+
+
+def _parse_avi(b: bytes) -> dict | None:
+    """AVI metadata from the avih main header (dwWidth/dwHeight/
+    dwTotalFrames/dwMicroSecPerFrame), RIFF walk only."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta: dict = {"codec": "avi"}
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, payload, size in _riff_chunks(b, start, end):
+            if fourcc == b"LIST":
+                walk(payload + 4, payload + size)
+            elif fourcc == b"avih" and size >= 40:
+                (uspf,) = struct.unpack("<I", b[payload : payload + 4])
+                (total,) = struct.unpack("<I", b[payload + 16 : payload + 20])
+                w, h = struct.unpack("<II", b[payload + 32 : payload + 40])
+                meta.update(
+                    width=w,
+                    height=h,
+                    n_frames=total,
+                    duration_ms=int(total * uspf / 1000),
+                )
+
+    walk(12, len(b))
+    if "n_frames" not in meta:
+        n = len(avi_split_frames(b))
+        if n == 0:
+            return None
+        meta["n_frames"] = n
+    return meta
+
+
 def _parse_wav(b: bytes) -> dict | None:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -355,7 +426,14 @@ def _parse_wav(b: bytes) -> dict | None:
 def parse_container(content: bytes) -> dict | None:
     """Best-effort real parse of the byte container. Returns typed
     metadata with a `codec` tag, or None if no known container matches."""
-    for parse in (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg, _parse_wav):
+    for parse in (
+        _parse_png,
+        _parse_gif,
+        _parse_bmp,
+        _parse_jpeg,
+        _parse_avi,
+        _parse_wav,
+    ):
         meta = parse(content)
         if meta is not None:
             return meta
@@ -587,11 +665,27 @@ def frame_sample(
                         meta = _parse_jpeg(fb) or {}
                         emit(mid, i, int(meta.get("width", 0)),
                              int(meta.get("height", 0)), 0, "jpeg", fb)
+                elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    # MJPEG-in-AVI: each video chunk is a complete still
+                    # JPEG; other AVI codecs carry opaque payloads and
+                    # raise below so nothing silently passes as decoded
+                    fbs = avi_split_frames(blob)
+                    if not all(fb[:2] == b"\xff\xd8" for fb in fbs):
+                        raise NotImplementedError(
+                            "frame_sample(pixels=True): AVI stream is not "
+                            "MJPEG; true codec decode needs a media library"
+                        )
+                    for i, fb in enumerate(fbs):
+                        if i % every_n:
+                            continue
+                        meta = _parse_jpeg(fb) or {}
+                        emit(mid, i, int(meta.get("width", 0)),
+                             int(meta.get("height", 0)), 0, "jpeg", fb)
                 else:
                     raise NotImplementedError(
-                        "frame_sample(pixels=True): only GIF decodes and "
-                        "MJPEG splits in-process; no media libraries in "
-                        "this environment"
+                        "frame_sample(pixels=True): only GIF decodes, and "
+                        "MJPEG / MJPEG-in-AVI split, in-process; no media "
+                        "libraries in this environment"
                     )
             yield pd.DataFrame(rows)
 

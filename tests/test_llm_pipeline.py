@@ -710,3 +710,61 @@ def test_mjpeg_real_frame_split(spark):
         r["frame_idx"] for r in mm.frame_sample(media, every_n=1).collect()
     )
     assert idxs == [0, 1, 2]
+
+
+def _avi(frames: list[bytes], uspf: int = 40000, w: int = 8, h: int = 6) -> bytes:
+    """Minimal MJPEG-in-AVI: RIFF(AVI ) > LIST(hdrl){avih} + LIST(movi)
+    with one 00dc chunk per frame (word-aligned, per the RIFF spec)."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", uspf, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_real_frame_split(spark):
+    """MJPEG-in-AVI: the RIFF structural walk extracts each 00dc video
+    chunk's exact JPEG bytes (odd-size frames exercise word alignment),
+    avih supplies metadata, and frame_sample(pixels=True) rides the
+    same path; a non-MJPEG AVI payload raises instead of passing
+    opaque codec bytes off as frames."""
+    import pytest
+
+    f0 = _encode_fake_jpeg(8, 6, b"\x01\x02\x03")  # odd payload sizes ok
+    f1 = _encode_fake_jpeg(4, 2, b"\x05\x06\x07\x08")
+    f2 = _encode_fake_jpeg(16, 12, b"\xff\xd9\x00")
+    blob = _avi([f0, f1, f2])
+
+    assert mm.avi_split_frames(blob) == [f0, f1, f2]
+    meta = mm.auto_decoder(blob)
+    assert meta["codec"] == "avi" and meta["n_frames"] == 3
+    assert (meta["width"], meta["height"]) == (8, 6)
+    assert meta["duration_ms"] == 120  # 3 frames * 40 ms
+
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=2, pixels=True).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert bytes(rows[0]["rgb"]) == f0 and bytes(rows[2]["rgb"]) == f2
+    assert (rows[2]["width"], rows[2]["height"]) == (16, 12)
+    assert rows[0]["pixel_format"] == "jpeg"
+
+    # true-codec AVI (payloads are not JPEG) fails loudly
+    opaque = _avi([b"\x00\x01\x02\x03", b"\x04\x05\x06\x07"])
+    bad = spark.createDataFrame(
+        [(10, "video", bytearray(opaque), {})], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="not.*MJPEG|NotImplemented"):
+        mm.frame_sample(bad, every_n=1, pixels=True).collect()
