@@ -105,6 +105,38 @@ def test_jaccard_pairs_ranks_neardups(corpus):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_fractional_df_guard(spark):
+    """max_df_frac drops shingles whose df exceeds frac*n_docs: with a
+    stop-shingle shared by ALL docs and a rare shingle shared by two,
+    a 50% cap keeps only the rare-shingle pair evidence; the absolute
+    cap alone (1000) would count the stop shingle into every pair."""
+    rows = [
+        (1, "common common common rare rare rare"),
+        (2, "common common common rare rare rare"),
+        (3, "common common common x y z"),
+        (4, "common common common p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in dd.jaccard_pairs(df, threshold=0.0, max_df=1000).collect()
+    }
+    # every doc pair shares the 'common common common' shingle
+    assert len(uncapped) == 6
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in dd.jaccard_pairs(
+            df, threshold=0.0, max_df=1000, max_df_frac=0.5
+        ).collect()
+    }
+    # cap = 0.5*4 = 2: the all-docs shingle (df 4) is dropped, the
+    # rare 'rare rare rare' shingle (df 2) survives -> only (1,2) pairs
+    assert set(capped) == {(1, 2)}
+    # tighter-bound-wins: an absolute cap of 1 beats the frac cap
+    none = dd.jaccard_pairs(df, threshold=0.0, max_df=1, max_df_frac=0.5)
+    assert none.count() == 0
+
+
 def test_langid_and_quality(spark):
     df = spark.createDataFrame(
         [

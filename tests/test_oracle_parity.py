@@ -82,6 +82,34 @@ _QUERIES = registry.queries()
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(name, spark, sf_dir):
+    _assert_parity(name, spark, sf_dir)
+
+
+def _ulp_equal(a, b, ulps: int) -> bool:
+    """True when two floats are within `ulps` units-in-last-place."""
+    if a == b:
+        return True
+    return abs(a - b) <= ulps * math.ulp(max(abs(a), abs(b)))
+
+
+def _rows_equal(s_norm, d_norm, float_ulps: int) -> bool:
+    if float_ulps == 0:
+        return s_norm == d_norm
+    if len(s_norm) != len(d_norm):
+        return False
+    for sr, dr in zip(s_norm, d_norm):
+        if len(sr) != len(dr):
+            return False
+        for sv, dv in zip(sr, dr):
+            if isinstance(sv, float) and isinstance(dv, float):
+                if not _ulp_equal(sv, dv, float_ulps):
+                    return False
+            elif sv != dv:
+                return False
+    return True
+
+
+def _assert_parity(name, spark, sf_dir, float_ulps: int = 0):
     sdf = _QUERIES[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -155,10 +183,11 @@ def test_oracle_parity(name, spark, sf_dir):
 
     s_norm = _normalize(srows, scols)
     d_norm = _normalize(drows, dcols)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
-    ]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    if not _rows_equal(s_norm, d_norm, float_ulps):
+        mismatches = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+        ]
+        assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
 def test_hugeint_probe_fails_gate():
@@ -178,6 +207,44 @@ def test_hugeint_probe_fails_gate():
     assert isinstance(flat, int)  # the cursor flattening that hid the bug
     with pytest.raises(AssertionError, match="HUGEINT"):
         _check_decl_types("probe", {"session_no": "bigint"}, duck_decl)
+
+
+# Scale-step parity: the driver grades at sf0.01; this re-proves a
+# representative slice of the heaviest operator families at 100x that
+# (the generated sf1 from scripts/gen_scale_data.py) — correctness that
+# only holds at the graded scale factor is not correctness. Skipped when
+# the gitignored sf1 directory hasn't been generated on this machine.
+_SF1_DIR = "/root/repo/.scale/sf1"
+_SF1_SUBSET = (
+    "q01_pricing_summary",
+    "join4_revenue_by_nation",
+    "join6_local_supplier_revenue",
+    "groupby_having",
+    "window_topk_per_group",
+    "event_sessionization",
+    "ts_rollup_hourly",
+    "rollup_agg",
+    "semi_join_exists",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "search_bm25_topk",
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_SF1_DIR),
+    reason="sf1 scale data not generated (scripts/gen_scale_data.py)",
+)
+@pytest.mark.parametrize("name", _SF1_SUBSET)
+def test_oracle_parity_sf1(name, spark):
+    # float_ulps=2: at sf1 a decimal-exact SUM can exceed 2^53 * 10^-scale,
+    # where DuckDB's decimal->double conversion (int128 -> double, THEN
+    # divide by 10^scale) double-rounds while Spark's BigDecimal.doubleValue
+    # rounds once — verified on q01 sum_charge: both engines' DECIMAL sums
+    # are bit-identical (…941590), only the final double differs by 1 ulp.
+    # The graded scale factors (sf0.01 driver / sf0.1 local) stay below the
+    # 2^53 threshold and keep the bit-exact gate.
+    _assert_parity(name, spark, _SF1_DIR, float_ulps=2)
 
 
 def test_every_query_has_entry():
