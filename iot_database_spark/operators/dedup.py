@@ -417,9 +417,17 @@ def connected_components(
     the large-star/small-star algorithm; min-propagation is the right
     cost model here because components are tiny.
     """
+    # both edge orientations from ONE pass over `pairs` (a union of two
+    # selects would execute the whole upstream pair-generation plan —
+    # the LSH shuffle included — once per branch)
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.localCheckpoint(eager=False)
 
     # iterate ONLY over edge-incident nodes — singletons (the vast
