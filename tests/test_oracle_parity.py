@@ -228,6 +228,18 @@ _SF1_SUBSET = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "search_bm25_topk",
+    "q03_shipping_priority",
+    "q06_revenue_forecast",
+    "event_funnel",
+    "event_cohort_retention",
+    "window_lag_delta",
+    "set_union",
+    "skew_salted_agg",
+    "ts_asof_join",
+    "vector_cosine_topk",
+    "text_token_count",
+    "unit_convert_bulk",
+    "string_format_regex",
 )
 
 
