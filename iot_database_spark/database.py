@@ -467,7 +467,8 @@ class IotDatabase:
         (Delta OPTIMIZE at cluster scale). Reclaims the small-file +
         old-version overhead of incremental appends."""
         t = self.table(name)
-        t._write(t._dirs_df(t._base_dirs()).coalesce(target_files))
+        rv = t._read_version()
+        t._write(t._dirs_df(t._base_dirs()).coalesce(target_files), base_version=rv)
         t.vacuum(keep_last=1)  # raises inside a transaction (staged dirs)
 
 
@@ -512,10 +513,15 @@ class _Transaction:
     def commit(self) -> None:
         """Two-phase publish: write every table's tmp manifest first (any
         failure there rolls the whole transaction back — nothing became
-        visible), then flip them in with os.replace, which only fails on
-        environmental IO errors. A partial flip is surfaced loudly with
-        the list of tables that did/didn't commit instead of silently
-        committing a prefix."""
+        visible), then flip them in with conflict-checked links
+        (Table._flip). A concurrent writer advancing a table's version
+        during the transaction surfaces as CommitConflict: on the FIRST
+        table nothing has flipped, so the transaction rolls back whole;
+        mid-flip it is reported as a partial commit with the list of
+        tables that did/didn't publish instead of silently clobbering
+        the other writer's manifest or committing a prefix."""
+        from iot_database_spark.tables import CommitConflict
+
         prepared: list[tuple[str, str, str]] = []  # (table, tmp, final)
         try:
             for name, dirs in self.pending.items():
@@ -529,19 +535,33 @@ class _Transaction:
                     pass
             self.rollback()
             raise
-        self._done = True
-        self.db._txn = None
         committed: list[str] = []
         for name, tmp, final in prepared:
             try:
-                os.replace(tmp, final)
+                Table._flip(tmp, final)
                 committed.append(name)
-            except OSError as exc:
+            except (OSError, CommitConflict) as exc:
+                if not committed:
+                    # nothing visible yet: clean abort, txn state intact
+                    for _n, t2, _f2 in prepared:
+                        try:
+                            os.remove(t2)
+                        except OSError:
+                            pass
+                    self.rollback()
+                    raise CommitConflict(
+                        f"transaction commit lost the manifest race on "
+                        f"{name!r}; nothing was published"
+                    ) from exc
+                self._done = True
+                self.db._txn = None
                 remaining = [n for n, _, _ in prepared if n not in committed]
                 raise RuntimeError(
                     f"partial transaction commit: committed={committed} "
                     f"failed/unpublished={remaining}"
                 ) from exc
+        self._done = True
+        self.db._txn = None
         for fn in self._commit_hooks:
             fn()
 

@@ -81,6 +81,13 @@ class ConstraintViolation(Exception):
     pass
 
 
+class CommitConflict(Exception):
+    """Another writer published the manifest version this commit claimed
+    (optimistic concurrency — the Delta-protocol conflict class).
+    Appends retry automatically (they commute); snapshot rewrites
+    surface it, since their content was computed against a stale base."""
+
+
 class Table:
     def __init__(self, db, name: str, schema: str, foreign_keys, unique, path: str):
         self.db = db
@@ -146,30 +153,51 @@ class Table:
         )
         return sub
 
-    def _prepare_publish(self, dirs: list[str]) -> tuple[str, str]:
+    def _prepare_publish(
+        self, dirs: list[str], version: int | None = None
+    ) -> tuple[str, str]:
         """Phase 1 of a publish: write the tmp manifest for the next
-        version and return (tmp_path, final_path). The caller flips it in
-        with os.replace — this split lets a multi-table transaction stage
-        every manifest before making any of them visible."""
+        version (or an explicitly pinned one) and return (tmp_path,
+        final_path). The caller flips it in with _flip — this split lets
+        a multi-table transaction stage every manifest before making any
+        of them visible, and the explicit `version` lets read-modify-
+        write paths pin the slot right after the version their content
+        was READ at, so any interleaved commit collides instead of
+        being silently overwritten."""
         os.makedirs(self._txn_dir(), exist_ok=True)
-        v = self._current_version() + 1
+        v = self._current_version() + 1 if version is None else version
         tmp = os.path.join(self._txn_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump({"version": v, "dirs": dirs}, f)
         return tmp, os.path.join(self._txn_dir(), f"{v}.json")
 
+    def _read_version(self) -> int | None:
+        """The committed version a read-modify-write is based on — pin it
+        BEFORE resolving base dirs. None inside a transaction (publish
+        happens at txn commit, whose flip does the conflict check)."""
+        txn = getattr(self.db, "_txn", None)
+        if txn is not None and txn.base_dirs(self) is not None:
+            return None
+        return self._current_version()
+
+    @staticmethod
+    def _flip(tmp: str, final: str) -> None:
+        """Make a prepared manifest live — atomically, and ONLY if its
+        version slot is still free. os.link fails with FileExistsError
+        when a concurrent writer already published this version (where
+        os.replace would silently clobber their commit — a lost update);
+        that loser raises CommitConflict and re-chains."""
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(final) from None
+        os.unlink(tmp)
+
     def _publish(self, dirs: list[str]) -> None:
         """Atomically publish a manifest making `dirs` the new version."""
         tmp, final = self._prepare_publish(dirs)
-        os.replace(tmp, final)
-
-    def _commit(self, dirs: list[str], staged: str) -> None:
-        """Publish immediately, or defer into the active transaction."""
-        txn = getattr(self.db, "_txn", None)
-        if txn is not None:
-            txn.record(self, dirs, staged)
-        else:
-            self._publish(dirs)
+        self._flip(tmp, final)
 
     def _base_dirs(self) -> list[str]:
         """The dirs the next write chains on: the active transaction's
@@ -192,17 +220,47 @@ class Table:
             return self.db.spark.createDataFrame([], self.schema)
         return self.db.spark.read.schema(self.schema).parquet(*paths)
 
-    def _write(self, df: DataFrame) -> None:
+    def _write(self, df: DataFrame, base_version: int | None = None) -> None:
         """Full-snapshot rewrite (update/delete/upsert): one write job to
-        a fresh dir, then publish."""
+        a fresh dir, then publish at base_version+1 (the version the
+        caller pinned when it READ the rows it is rewriting; defaults to
+        entry-time current). A CommitConflict is a true write-write
+        conflict — another writer committed between that read and this
+        publish — and propagates: retrying would silently drop the other
+        writer's rows."""
         sub = self._stage(df)
-        self._commit([sub], sub)
+        txn = getattr(self.db, "_txn", None)
+        if txn is not None:
+            txn.record(self, [sub], sub)
+            return
+        v = self._current_version() if base_version is None else base_version
+        tmp, final = self._prepare_publish([sub], version=v + 1)
+        self._flip(tmp, final)
 
     def _append(self, df: DataFrame) -> None:
-        """Insert path: stage only the new batch — O(batch) I/O."""
-        base = self._base_dirs()
+        """Insert path: stage only the new batch — O(batch) I/O.
+
+        The base dirs and the version slot are read together, so an
+        interleaved commit always collides at the flip. Appends commute:
+        losing the race costs one manifest retry against the re-read
+        base (the staged data dir is reused; no Spark job re-runs)."""
         sub = self._stage(df)
-        self._commit(base + [sub], sub)
+        txn = getattr(self.db, "_txn", None)
+        if txn is not None:
+            txn.record(self, self._base_dirs() + [sub], sub)
+            return
+        for _ in range(64):
+            v = self._current_version()
+            base = self._manifest_dirs(v) if v >= 0 else []
+            tmp, final = self._prepare_publish(base + [sub], version=v + 1)
+            try:
+                self._flip(tmp, final)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{self.name}: append lost the manifest race 64 times"
+        )
 
     def ensure_index(
         self, column: str, unique: bool = False, name: str | None = None
@@ -217,6 +275,7 @@ class Table:
         role the reference's skip-list index plays, without a second
         structure to maintain). The index column is recorded in table
         metadata; `unique` validates now and on every future insert."""
+        rv = self._read_version()
         current = self._dirs_df(self._base_dirs())  # txn-pending aware
         appended_unique = False
         if unique and column not in self.unique:
@@ -237,7 +296,7 @@ class Table:
             max(1, self.db.spark.sparkContext.defaultParallelism // 4),
             F.col(column),
         ).sortWithinPartitions(column)
-        self._write(sorted_df)
+        self._write(sorted_df, base_version=rv)
 
         def apply_meta() -> None:
             meta = self.db._meta["tables"][self.name]
@@ -514,14 +573,17 @@ class Table:
 
     def delete(self, predicate: Column | str) -> int:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        rv = self._read_version()
         doomed_ids = (
             self._dirs_df(self._base_dirs())
             .filter(pred)
             .select(F.col("id").alias("_did"))
         )
-        return self._delete_ids(doomed_ids)
+        return self._delete_ids(doomed_ids, rv=rv)
 
-    def _delete_ids(self, doomed_ids: DataFrame) -> int:
+    _RV_UNSET = object()
+
+    def _delete_ids(self, doomed_ids: DataFrame, rv=_RV_UNSET) -> int:
         """Delete by an id set (a DataFrame, so cascades stay distributed —
         the recursion never collects ids to the driver).
 
@@ -530,6 +592,8 @@ class Table:
         single validation pass — control flow (early exit, restrictive
         raise, which children to touch) needs the counts before any
         mutation, but not one job per count."""
+        if rv is Table._RV_UNSET:
+            rv = self._read_version()
         children = list(self.db.children_of(self.name))
         if children:
             doomed_ids = doomed_ids.persist()
@@ -561,6 +625,7 @@ class Table:
             return 0
         for child_name, fk in children:
             child = self.db.table(child_name)
+            child_rv = child._read_version()
             cdf = child._dirs_df(child._base_dirs())
             affected_ids = cdf.join(
                 doomed_ids, cdf[fk.column] == F.col("_did"), "left_semi"
@@ -574,7 +639,7 @@ class Table:
                     f"{child_name} reference it (Restrictive)"
                 )
             if fk.constraint == "cascading":
-                child._delete_ids(affected_ids)
+                child._delete_ids(affected_ids, rv=child_rv)
             elif fk.constraint in ("setnull", "setdefault"):
                 fill = (
                     F.lit(None) if fk.constraint == "setnull" else F.lit(fk.default)
@@ -591,11 +656,12 @@ class Table:
                         for c in cdf.columns
                     ]
                 )
-                child._write(new_cdf)
+                child._write(new_cdf, base_version=child_rv)
 
         current = self._dirs_df(self._base_dirs())
         self._write(
-            current.join(doomed_ids, current["id"] == F.col("_did"), "left_anti")
+            current.join(doomed_ids, current["id"] == F.col("_did"), "left_anti"),
+            base_version=rv,
         )
         if children:
             doomed_ids.unpersist()
@@ -607,6 +673,7 @@ class Table:
         """UpdateMany(transform, predicate): apply column expressions to
         matching rows, e.g. {'name': F.upper(F.col('name'))}."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        rv = self._read_version()
         current = self._dirs_df(self._base_dirs())
         unknown = set(transforms) - set(current.columns)
         if unknown:
@@ -630,7 +697,7 @@ class Table:
         observed = current.observe(
             obs, F.sum(F.when(pred, 1).otherwise(0)).alias("n")
         ).select(*cols)
-        self._write(observed)
+        self._write(observed, base_version=rv)
         return int(obs.get["n"] or 0)
 
     def upsert(self, rows: list[dict] | DataFrame) -> int:
@@ -650,9 +717,10 @@ class Table:
                 F.count(F.lit(1)).alias("n"), F.max("id").alias("m")
             ).collect()[0]
             n = row["n"]
+        rv = self._read_version()
         current = self._dirs_df(self._base_dirs())
         keep = current.join(batch.select("id"), "id", "left_anti")
-        self._write(keep.unionByName(batch))
+        self._write(keep.unionByName(batch), base_version=rv)
         if not from_list:
             batch.unpersist()
             if row["m"] is not None:
