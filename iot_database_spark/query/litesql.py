@@ -357,6 +357,12 @@ _UPDATE_CMD = re.compile(
 )
 _DELETE_CMD = re.compile(r"^\s*DELETE\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S)
 _DROP_CMD = re.compile(r"^\s*DROP\s+(?:COLLECTION|TABLE)\s+(\w+)\s*$", re.I)
+_ALTER_ADD_CMD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$", re.I
+)
+_ALTER_DROP_CMD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$", re.I
+)
 _RENAME_CMD = re.compile(
     r"^\s*RENAME\s+COLLECTION\s+(\w+)\s+TO\s+(\w+)\s*$", re.I
 )
@@ -533,4 +539,19 @@ def execute(db, sql: str, params: dict | None = None):
         for t in db.list_tables():
             db.compact_table(t)
         return None
+    if kw == "ALTER":
+        # superset command — LiteDB is schemaless so it has no ALTER;
+        # this is the fixed-schema engine's additive-evolution surface
+        # (Table.add_column/drop_column: metadata-only, old rows read
+        # the new column as NULL like a missing BSON field)
+        m = _ALTER_ADD_CMD.match(sql)
+        if m:
+            return db.table(m.group(1)).add_column(m.group(2), m.group(3).strip())
+        m = _ALTER_DROP_CMD.match(sql)
+        if m:
+            return db.table(m.group(1)).drop_column(m.group(2))
+        raise ValueError(
+            "expected: ALTER TABLE <t> ADD COLUMN <c> <type> | "
+            "ALTER TABLE <t> DROP COLUMN <c>"
+        )
     raise ValueError(f"unsupported command: {kw!r}")

@@ -345,6 +345,64 @@ class Table:
         """$indexes-style introspection."""
         return list(self.db._meta["tables"][self.name].get("indexes", []))
 
+    # -- schema evolution --------------------------------------------------
+    # The reference stores schemaless BSON documents: a document may gain
+    # a field at any time and older documents read the field as null
+    # (BsonDocument indexer semantics). This engine's fixed-schema
+    # narrowing gets the additive half of that back as metadata-only
+    # evolution: reads pass the EXPLICIT table schema, so parquet files
+    # written before an add_column fill the new column with NULL, and
+    # files written before a drop_column simply never project it — no
+    # data rewrite, any `as_of` version still readable.
+
+    def _set_schema(self, fields) -> None:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        self.schema = ddl
+        self.db._meta["tables"][self.name]["schema"] = ddl
+        self.db._save_meta()
+
+    def _no_txn(self, op: str) -> None:
+        if getattr(self.db, "_txn", None) is not None:
+            raise RuntimeError(
+                f"{op} is metadata DDL and cannot run inside a transaction"
+            )
+
+    def add_column(self, column: str, dtype: str) -> None:
+        """Additive evolution: rows inserted before this read NULL for
+        the new column (the reference's missing-BSON-field semantics)."""
+        self._no_txn("add_column")
+        fields = list(
+            self.db.spark.createDataFrame([], self.schema).schema.fields
+        )
+        if any(f.name == column for f in fields):
+            raise ValueError(f"{self.name}.{column} already exists")
+        new = self.db.spark.createDataFrame([], f"{column} {dtype}").schema.fields
+        self._set_schema(fields + list(new))
+
+    def drop_column(self, column: str) -> None:
+        """Projection-only drop: the bytes stay in old data dirs, new
+        reads and writes no longer carry the column (`as_of` also reads
+        under the CURRENT schema, so history reads drop it too). id /
+        FK / unique / indexed columns refuse."""
+        self._no_txn("drop_column")
+        if column == "id":
+            raise ValueError("cannot drop the id column")
+        protected = (
+            {fk.column for fk in self.foreign_keys}
+            | set(self.unique)
+            | {e["column"] for e in self.indexes()}
+        )
+        if column in protected:
+            raise ValueError(
+                f"{self.name}.{column} is referenced by an FK/unique/index"
+            )
+        fields = list(
+            self.db.spark.createDataFrame([], self.schema).schema.fields
+        )
+        if not any(f.name == column for f in fields):
+            raise KeyError(f"{self.name}: no column {column!r}")
+        self._set_schema([f for f in fields if f.name != column])
+
     def as_of(self, version: int) -> DataFrame:
         """Time-travel read of a committed version (Delta `versionAsOf`;
         the storage analog of the reference's per-file version chains,

@@ -517,3 +517,52 @@ def test_snapshot_write_conflict_raises(db, spark):
         t._write(snapshot, base_version=rv)
     # the interleaved row survived
     assert {r["id"] for r in t.df.collect()} == {1, 2}
+
+
+def test_schema_evolution_add_and_drop_column(db, spark):
+    """Additive evolution (the reference's schemaless analog): rows
+    inserted before add_column read NULL for the new column; drop_column
+    projects it away without rewriting data; protections hold."""
+    t = db.tables("evo_t", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}])
+    t.add_column("score", "double")
+    t.insert([{"id": 2, "v": "b", "score": 0.5}])
+    rows = {r["id"]: r for r in t.df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+    # evolution survives a database reopen (metadata persisted)
+    import os
+
+    db2 = IotDatabase("testdb", os.path.dirname(db.root), db.spark)
+    assert "score" in db2.table("evo_t").columns
+
+    # missing dict keys on insert fill as NULL (BSON missing field)
+    t.insert([{"id": 3, "v": "c"}])
+    assert {r["id"] for r in t.df.filter("score IS NULL").collect()} == {1, 3}
+
+    t.drop_column("score")
+    assert "score" not in t.columns
+    assert "score" not in t.df.columns
+    with pytest.raises(ValueError):
+        t.drop_column("id")
+    with pytest.raises(KeyError):
+        t.drop_column("nope")
+    with pytest.raises(ValueError):
+        t.add_column("v", "string")  # already exists
+
+    # protected columns refuse to drop
+    t.ensure_index("v")
+    with pytest.raises(ValueError):
+        t.drop_column("v")
+
+
+def test_alter_table_sql_routing(db):
+    from iot_database_spark.query.litesql import execute
+
+    t = db.tables("evo_sql", "id bigint, v string")
+    t.insert([{"id": 1, "v": "x"}])
+    execute(db, "ALTER TABLE evo_sql ADD COLUMN note string")
+    assert "note" in t.columns
+    execute(db, "ALTER TABLE evo_sql DROP COLUMN note")
+    assert "note" not in t.columns
+    with pytest.raises(ValueError):
+        execute(db, "ALTER TABLE evo_sql RENAME COLUMN v TO w")
