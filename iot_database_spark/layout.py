@@ -59,6 +59,71 @@ def bucket_for(key_value, n_buckets: int = 16):
     return F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_buckets))
 
 
+def zorder_value(
+    df: DataFrame, columns: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a Z-order (Morton) key interleaving `columns` — the layout
+    that lets min/max row-group stats prune on EVERY clustered column,
+    not just the leading sort key (Delta `OPTIMIZE ZORDER BY`).
+
+    Each column is linearly quantized to `bits` bits between its min and
+    max (one tiny agg, broadcast as literals), then the bit planes are
+    interleaved with plain integer shift/mask expressions — JVM-side,
+    no UDF. Linear (value-based) quantization is the cheap variant:
+    heavily skewed columns would want rank-based quantization (a global
+    sort per column) — the clustering contract (narrow per-file min/max
+    on every column) is identical. Returns (df + key, key column name).
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in columns],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in columns],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    quantized = []
+    for c in columns:
+        lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        span = (hi - lo) or 1.0
+        quantized.append(
+            F.least(
+                F.lit(levels),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels
+                ).cast("bigint"),
+            )
+        )
+    n = len(columns)
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, q in enumerate(quantized):
+            z = z + F.shiftright(q, bit).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (bit * n + j)
+            ).cast("bigint")
+    return df.withColumn("_zorder", z), "_zorder"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    columns: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite `df` Z-ordered on `columns`: range-partition + sort by
+    the Morton key so every output file covers a small hyper-rectangle
+    of the clustered space — point/range filters on ANY of the columns
+    skip most files via parquet min/max stats (asserted per-file in
+    tests/test_layout.py)."""
+    out, key = zorder_value(df, columns, bits)
+    (
+        out.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

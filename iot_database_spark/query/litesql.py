@@ -357,6 +357,9 @@ _UPDATE_CMD = re.compile(
 )
 _DELETE_CMD = re.compile(r"^\s*DELETE\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S)
 _DROP_CMD = re.compile(r"^\s*DROP\s+(?:COLLECTION|TABLE)\s+(\w+)\s*$", re.I)
+_ASOF_REF = re.compile(
+    r"\bFROM\s+(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
 _ALTER_ADD_CMD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$", re.I
 )
@@ -431,6 +434,20 @@ def execute(db, sql: str, params: dict | None = None):
             return view
 
         masked = _QUERY_REF.sub(subquery, masked)
+
+        # time travel over the commit log (Delta `VERSION AS OF` syntax;
+        # superset — the reference's file store versions files, not
+        # collections): FROM t FOR VERSION AS OF n reads the committed
+        # manifest n via Table.as_of, with the collation policy applied
+        def timetravel(m: re.Match) -> str:
+            tname, ver = m.group(1), int(m.group(2))
+            view = f"{tname}__asof_{ver}"
+            db.apply_collation(db.table(tname).as_of(ver)).createOrReplaceTempView(
+                view
+            )
+            return f"FROM {view}"
+
+        masked = _ASOF_REF.sub(timetravel, masked)
         if _SYS_REF.search(masked):
 
             def sysview(m: re.Match) -> str:

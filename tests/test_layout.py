@@ -77,3 +77,56 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path, smoke_dir):
 
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_layout_clusters_every_column(spark, tmp_path):
+    """Z-order rewrite: every output file must cover a NARROW min/max
+    range on BOTH clustered columns (the multi-column pruning contract
+    a single-column sort cannot give — its files span the full range of
+    the second column)."""
+    import glob
+
+    from iot_database_spark.layout import write_zordered
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("bigint").alias("x"),
+        (F.col("id") / n).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def spans(path):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) >= 4
+        out = []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("x") - F.min("x")).alias("sx"),
+                    (F.max("y") - F.min("y")).alias("sy"),
+                )
+                .collect()[0]
+            )
+            out.append((r["sx"], r["sy"]))
+        return out
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(grid, zpath, ["x", "y"], n_files=16)
+    # each file's span must be well under the full 0..63 extent on BOTH
+    # dims (16 files over a 64x64 grid -> ~16x16 Morton tiles)
+    for sx, sy in spans(zpath):
+        assert sx <= n // 2 and sy <= n // 2, (sx, sy)
+
+    # contrast: lexicographic sort on x leaves y unclustered
+    lpath = str(tmp_path / "lex")
+    (
+        grid.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    assert any(sy >= n - 1 for _, sy in spans(lpath))
+
+    # the rewrite preserves the rows exactly
+    assert spark.read.parquet(zpath).count() == n * n

@@ -475,3 +475,27 @@ def test_collation_knob_ci_vs_binary(spark, tmp_path):
 
     with pytest.raises(ValueError, match="binary' or 'ci"):
         IotDatabase("coll_bad", str(tmp_path), spark, collation="fr-FR")
+
+
+def test_select_for_version_as_of(spark, tmp_path):
+    """SQL time travel over the commit log: FOR VERSION AS OF n reads
+    the committed manifest n (Delta syntax; superset command)."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.query.litesql import execute
+
+    db = IotDatabase("ttdb", str(tmp_path), spark)
+    t = db.tables("m", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}])          # version 0
+    t.insert([{"id": 2, "v": "b"}])          # version 1
+    execute(db, "DELETE m WHERE id = 1")     # version 2
+
+    now = execute(db, "SELECT $.id FROM m").collect()
+    assert {r["id"] for r in now} == {2}
+    v0 = execute(db, "SELECT $.id FROM m FOR VERSION AS OF 0").collect()
+    assert {r["id"] for r in v0} == {1}
+    v1 = execute(db, "SELECT id FROM m FOR VERSION AS OF 1 WHERE v = 'b'").collect()
+    assert [r["id"] for r in v1] == [2]
+    import pytest
+
+    with pytest.raises(ValueError, match="no committed version"):
+        execute(db, "SELECT $.id FROM m FOR VERSION AS OF 99")
