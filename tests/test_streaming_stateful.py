@@ -223,3 +223,78 @@ def test_windowed_rollup_to_table_equals_batch(spark, sf_dir, tmp_path):
     # deterministic ids: re-upserting the same windows replaces, not adds
     assert len({r["id"] for r in table.df.select("id").collect()}) == len(got)
     assert len(table.history()) >= 1
+
+
+def test_windowed_rollup_to_table_merges_across_batches(spark, tmp_path):
+    """Cross-micro-batch merge semantics: a later batch that updates an
+    already-written window must REPLACE its table row (deterministic
+    window-row id + upsert), not append a duplicate — and the final
+    table must equal the batch rollup over everything ingested."""
+    import json
+
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.streaming.windowed import (
+        windowed_rollup,
+        windowed_rollup_to_table,
+    )
+
+    src = tmp_path / "mb_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    b1 = [
+        {"guid": "g", "ts": "2024-01-01T00:01:00", "value": 10.0},
+        {"guid": "g", "ts": "2024-01-01T00:07:00", "value": 70.0},
+    ]
+    write_batch("b1.json", b1)
+    db = IotDatabase("mbdb", str(tmp_path / "db"), spark)
+
+    def run_pass():
+        stream = spark.readStream.schema(
+            "guid string, ts timestamp, value double"
+        ).json(str(src))
+        q = windowed_rollup_to_table(
+            stream,
+            db,
+            "mb_rollup",
+            window="5 minutes",
+            watermark="10 minutes",
+            checkpoint=str(tmp_path / "ckpt_mb"),
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    assert db.table("mb_rollup").df.count() == 2  # two 5-min windows
+
+    # batch 2: one row lands in the EXISTING 00:00 window (updates it),
+    # one opens a new window
+    b2 = [
+        {"guid": "g", "ts": "2024-01-01T00:03:00", "value": 30.0},
+        {"guid": "g", "ts": "2024-01-01T00:11:00", "value": 110.0},
+    ]
+    write_batch("b2.json", b2)
+    run_pass()  # same checkpoint: processes only b2
+
+    table = db.table("mb_rollup")
+    want = {
+        (r["guid"], r["bucket_start"]): r
+        for r in windowed_rollup(
+            spark.createDataFrame(
+                [(r["guid"], r["ts"], r["value"]) for r in b1 + b2],
+                "guid string, ts string, value double",
+            ).withColumn("ts", F.col("ts").cast("timestamp")),
+            window="5 minutes",
+            watermark="10 minutes",
+        ).collect()
+    }
+    got = {(r["guid"], r["bucket_start"]): r for r in table.df.collect()}
+    assert set(got) == set(want) and len(got) == 3
+    for k, w in want.items():
+        for c in ("n_samples", "min_value", "max_value"):
+            assert got[k][c] == w[c], (k, c)
+    # the updated 00:00 window was REPLACED in place: unique ids per window
+    assert len({r["id"] for r in table.df.collect()}) == 3
