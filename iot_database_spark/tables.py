@@ -432,12 +432,24 @@ class Table:
         )
         return [{"version": v, "n_dirs": len(self._manifest_dirs(v))} for v in vs]
 
-    def vacuum(self, keep_last: int = 2) -> int:
+    def vacuum(self, keep_last: int = 2, retention_s: float = 3600.0) -> int:
         """Remove data dirs unreferenced by the newest `keep_last`
         manifests (and the superseded manifests). Old snapshots stay
         readable until vacuumed — Delta VACUUM semantics. Refused inside
         a transaction: staged-but-unpublished dirs are not in any
-        committed manifest and would be swept as garbage."""
+        committed manifest and would be swept as garbage.
+
+        Two garbage classes, treated differently (Delta's retention
+        model): dirs referenced by a SUPERSEDED manifest were committed
+        and can never be re-published — deleted immediately; dirs
+        referenced by NO manifest are either a crashed writer's leftovers
+        or a LIVE concurrent writer's staged-but-not-yet-flipped batch —
+        deleted only when older than `retention_s`, so vacuum can run
+        beside active writers without yanking their commit out from
+        under them. Orphaned `.tmp-*.json` manifests get the same age
+        guard."""
+        import time
+
         if getattr(self.db, "_txn", None) is not None:
             raise RuntimeError(
                 "vacuum inside a transaction would delete its staged dirs"
@@ -447,19 +459,41 @@ class Table:
             return 0
         floor = max(0, v - keep_last + 1)
         live: set[str] = set()
-        for x in range(floor, v + 1):
-            if os.path.exists(os.path.join(self._txn_dir(), f"{x}.json")):
-                live |= set(self._manifest_dirs(x))
+        referenced: set[str] = set()
+        for f in os.listdir(self._txn_dir()):
+            if f.endswith(".json") and f[:-5].isdigit():
+                x = int(f[:-5])
+                dirs = set(self._manifest_dirs(x))
+                referenced |= dirs
+                if x >= floor:
+                    live |= dirs
+        now = time.time()
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
-                if os.path.join("data", d) not in live:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                    removed += 1
+                rel = os.path.join("data", d)
+                if rel in live:
+                    continue
+                full = os.path.join(data_root, d)
+                if rel not in referenced:
+                    try:
+                        if now - os.path.getmtime(full) < retention_s:
+                            continue  # possibly a live writer's staged batch
+                    except OSError:
+                        continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
         for f in os.listdir(self._txn_dir()):
+            p = os.path.join(self._txn_dir(), f)
             if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) < floor:
-                os.remove(os.path.join(self._txn_dir(), f))
+                os.remove(p)
+            elif f.startswith(".tmp-"):
+                try:
+                    if now - os.path.getmtime(p) >= retention_s:
+                        os.remove(p)  # crashed writer's prepared manifest
+                except OSError:
+                    pass
         return removed
 
     # -- insert (TableCollection.cs:922-1070) -----------------------------

@@ -566,3 +566,36 @@ def test_alter_table_sql_routing(db):
     assert "note" not in t.columns
     with pytest.raises(ValueError):
         execute(db, "ALTER TABLE evo_sql RENAME COLUMN v TO w")
+
+
+def test_vacuum_age_guards_unreferenced_dirs(db, spark):
+    """Never-referenced data dirs (a live writer's staged batch or a
+    crashed writer's leftovers) survive vacuum until retention_s; dirs
+    from superseded manifests delete immediately regardless of age.
+    Orphaned .tmp manifests get the same age guard."""
+    import os
+    import time
+
+    t = db.tables("vac_t", "id bigint, v string")
+    t.insert([{"id": 1, "v": "a"}])
+    t.update_many({"v": F.lit("b")}, "id = 1")  # supersedes version 0
+
+    # a freshly staged, never-published dir (simulated live writer)
+    sub = t._stage(spark.createDataFrame([(9, "z")], t.schema))
+    staged_full = os.path.join(t.path, sub)
+    # an orphaned prepared manifest (simulated crashed writer)
+    tmp, _final = t._prepare_publish([sub])
+
+    removed = t.vacuum(keep_last=1)
+    assert removed >= 1  # the superseded version-0 dir went
+    assert os.path.isdir(staged_full)  # young orphan survives
+    assert os.path.exists(tmp)
+
+    # age both past retention: now they are garbage
+    old = time.time() - 7200
+    os.utime(staged_full, (old, old))
+    os.utime(tmp, (old, old))
+    t.vacuum(keep_last=1)
+    assert not os.path.isdir(staged_full)
+    assert not os.path.exists(tmp)
+    assert t.find_one("id = 1")["v"] == "b"  # table intact
