@@ -86,6 +86,7 @@ HEADLINE = [
     # round 5 additions
     "dedup_ngram_jaccard_capped",
     "stream_rollup_to_table",
+    "zorder_key_events",
 ]
 
 

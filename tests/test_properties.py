@@ -222,3 +222,26 @@ def test_chunks_reconstruct_document(spark, n_words, chunk_tokens, overlap):
         assert toks[:overlap] == rebuilt[len(rebuilt) - overlap :][: overlap]
         rebuilt.extend(toks[overlap:])
     assert rebuilt == words
+
+
+def test_zorder_interleave_is_bijective(_spark):
+    """layout.zorder_value on an exact 2^bits grid (where linear
+    quantization is the identity) must produce a BIJECTIVE Morton key:
+    de-interleaving every key recovers exactly its (x, y)."""
+    from iot_database_spark.layout import zorder_value
+
+    bits = 4
+    n = 1 << bits
+    grid = _spark.range(n * n).select(
+        (F.col("id") % n).cast("bigint").alias("x"),
+        F.floor(F.col("id") / n).cast("bigint").alias("y"),
+    )
+    keyed, key = zorder_value(grid, ["x", "y"], bits=bits)
+    rows = keyed.collect()
+    assert len({r[key] for r in rows}) == n * n  # injective
+    for r in rows:
+        z, qx, qy = r[key], 0, 0
+        for b in range(bits):
+            qx |= ((z >> (2 * b)) & 1) << b
+            qy |= ((z >> (2 * b + 1)) & 1) << b
+        assert (qx, qy) == (r["x"], r["y"]), (z, r["x"], r["y"])
