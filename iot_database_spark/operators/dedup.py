@@ -281,23 +281,27 @@ def jaccard_pairs(
     """
     from iot_database_spark.operators.hof import let
 
-    # set_size is computed per row BEFORE the explode (array size — a
-    # pure scan); let-binding keeps the shingle chain from being inlined
-    # into both the size() and the generator by CollapseProject. One
-    # groupBy(s) exchange then co-locates each shingle's posting list;
-    # the df-cap filter and the i<j pair generation are per-row compute
-    # on the grouped arrays — no self-join, no second shuffle of the
-    # token table, no window sort.
-    # Shingles never materialize as strings here: each n-gram is hashed
-    # straight from its word tuple with multi-arg xxhash64 (Spark chains
-    # the per-column hashes, so token boundaries are preserved), and the
-    # distinct runs on 8-byte longs instead of n-word strings. The hash
-    # is a GROUP KEY only, never output, so cross-engine portability
-    # doesn't apply; tokens come from split(text, " ") and contain no
-    # spaces, so distinct-on-hash counts the same sets as the string
-    # shingles would. Collisions would merge two shingles' posting lists
-    # (P ~ n_shingles²/2^64 — negligible far beyond 100 TB corpus sizes,
-    # and a collision only perturbs one pair count by 1).
+    # Plan shape (each piece chosen by measurement — see the sf1 probe in
+    # SCALE_r05.md):
+    # - shingles never materialize as strings: each n-gram is hashed
+    #   straight from its word tuple with multi-arg xxhash64 (Spark
+    #   chains the per-column hashes, so token boundaries are
+    #   preserved), and the distinct runs on 8-byte longs. The hash is a
+    #   GROUP KEY only, never output, so cross-engine portability
+    #   doesn't apply; tokens come from split(text, " ") and contain no
+    #   spaces, so distinct-on-hash counts the same sets as string
+    #   shingles would. Collisions would merge two shingles' posting
+    #   lists (P ~ n_shingles²/2^64 — negligible far beyond 100 TB, and
+    #   a collision only perturbs one pair count by 1).
+    # - set sizes are NOT carried through the token explode / posting
+    #   lists / pair generation: df is one row per document, so the
+    #   sizes frame is a plain second projection of it (no exchange) and
+    #   joins back — broadcast — onto the AGGREGATED pairs. Carrying two
+    #   int fields per pair row made the pair shuffle the bottleneck:
+    #   dropping them measured 31.9 s -> 11.2 s at the sf1 scale step.
+    # - one groupBy(s) exchange co-locates each shingle's posting list;
+    #   the df-cap filter and i<j pair generation are per-row compute on
+    #   the grouped arrays — no self-join, no second token shuffle.
     def hashed_distinct(words: Column) -> Column:
         idx = F.when(
             F.size(words) >= n,
@@ -312,29 +316,15 @@ def jaccard_pairs(
             )
         )
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            let(
-                let(F.split(F.col(content), " "), hashed_distinct),
-                lambda dh: F.transform(
-                    dh,
-                    lambda h: F.struct(
-                        F.size(dh).alias("set_size"),
-                        h.alias("s"),
-                    ),
-                ),
-            )
-        ).alias("t"),
-    ).select("id", "t.set_size", "t.s")
+    hashed = let(F.split(F.col(content), " "), hashed_distinct)
+    toks = df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("s"))
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(hashed).alias("set_size")
+    )
 
     def build(x: Column, y: Column) -> Column:
-        lt = x["id"] < y["id"]
         return F.struct(
-            F.least(x["id"], y["id"]).alias("id_a"),
-            F.greatest(x["id"], y["id"]).alias("id_b"),
-            F.when(lt, x["set_size"]).otherwise(y["set_size"]).alias("size_a"),
-            F.when(lt, y["set_size"]).otherwise(x["set_size"]).alias("size_b"),
+            F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
         )
 
     cap = max_df
@@ -343,23 +333,28 @@ def jaccard_pairs(
         cap = min(max_df, max(2, int(max_df_frac * n_docs)))
     postings = (
         toks.groupBy("s")
-        .agg(F.collect_list(F.struct("id", "set_size")).alias("m"))
+        .agg(F.collect_list("id").alias("m"))
         .filter(F.size("m").between(2, cap))
     )
     inter = (
         _explode_pairs(postings, "m", build)
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
-    out = inter.withColumn(
-        "jaccard",
-        F.col("n_common")
-        / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
-    ).filter(F.col("jaccard") >= threshold)
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
