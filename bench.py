@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",
     "stream_rollup_to_table",
     "zorder_key_events",
+    "cagg_incremental_refresh",
 ]
 
 

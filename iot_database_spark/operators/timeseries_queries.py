@@ -312,3 +312,49 @@ def ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         "rate_per_sec",
     )
+
+
+@register(
+    "cagg_incremental_refresh",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS guid,
+           CAST(epoch_us(date_trunc('hour', date_trunc('microsecond', ts)))
+                AS BIGINT) AS bucket_us,
+           COUNT(*) AS n_samples,
+           MIN(CAST(value AS DOUBLE)) AS min_value,
+           MAX(CAST(value AS DOUBLE)) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate INCREMENTAL refresh under the hash gate: a
+    base rollup materialized from the first half of the month, then
+    refresh_rollup recomputes only buckets >= the split from the full
+    sample stream and keeps older buckets untouched — the merged result
+    must equal a full GROUP BY over everything (the TimescaleDB-style
+    incremental == full contract, here cross-engine hash-checked; the
+    reference's QueryExecutionService re-runs full queries every tick,
+    O(history), which this path replaces at scale). first/last columns
+    are dropped from the graded output (arg_min ties on duplicate
+    timestamps are engine-nondeterministic)."""
+    from iot_database_spark.operators.caggs import refresh_rollup
+
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    split = "2024-01-16 00:00:00"
+    base = ts_ops.rollup_by_interval(
+        samples.filter(F.col("ts") < F.lit(split).cast("timestamp")), "1 hour"
+    )
+    merged = refresh_rollup(base, samples, since=split, interval="1 hour")
+    return merged.select(
+        "guid",
+        epoch_us("bucket_start").alias("bucket_us"),
+        "n_samples",
+        "min_value",
+        "max_value",
+    )
