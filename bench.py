@@ -88,6 +88,7 @@ HEADLINE = [
     "stream_rollup_to_table",
     "zorder_key_events",
     "cagg_incremental_refresh",
+    "timetravel_asof_digest",
 ]
 
 

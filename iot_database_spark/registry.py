@@ -154,6 +154,7 @@ def _ensure_loaded() -> None:
         "iot_database_spark.operators.search_queries",
         "iot_database_spark.operators.nl_queries",
         "iot_database_spark.operators.streaming_queries",
+        "iot_database_spark.operators.storage_queries",
     ):
         try:
             importlib.import_module(mod)
