@@ -89,6 +89,9 @@ HEADLINE = [
     "zorder_key_events",
     "cagg_incremental_refresh",
     "timetravel_asof_digest",
+    "evolution_nullfill_digest",
+    "txn_atomicity_digest",
+    "fk_cascade_digest",
 ]
 
 
