@@ -402,6 +402,167 @@ def _parse_avi(b: bytes) -> dict | None:
     return meta
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) over an ISO-BMFF box
+    run (ISO/IEC 14496-12): 32-bit size, size==1 → 64-bit largesize,
+    size==0 → box extends to the end of the enclosing run."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                break
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < payload - i or i + size > end:
+            break
+        yield btype, payload, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, btype: bytes):
+    """(payload_start, payload_end) of the first child box of `btype`."""
+    for t, p, e in _mp4_boxes(b, start, end):
+        if t == btype:
+            return p, e
+    return None
+
+
+def _mp4_video_stbl(b: bytes):
+    """Locate the first video track's sample table. Returns
+    (stbl_start, stbl_end, codec_fourcc, tkhd_payload | None) or None.
+
+    Walk: moov → trak → mdia → hdlr(handler=='vide') → minf → stbl;
+    codec fourcc comes from stbl's stsd first sample entry."""
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    for t, p, e in _mp4_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(b, p, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_find(b, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = _mp4_find(b, *minf, b"stbl")
+        if stbl is None:
+            continue
+        codec = b""
+        stsd = _mp4_find(b, *stbl, b"stsd")
+        if stsd is not None and stsd[0] + 16 <= stsd[1]:
+            codec = b[stsd[0] + 12 : stsd[0] + 16]  # first entry's fourcc
+        tkhd = _mp4_find(b, p, e, b"tkhd")
+        return stbl[0], stbl[1], codec, (tkhd[0] if tkhd else None)
+    return None
+
+
+def _parse_mp4(b: bytes) -> dict | None:
+    """MP4/ISO-BMFF metadata — REAL structural box walk, pure stdlib.
+
+    mvhd supplies timescale+duration, the first 'vide' track's tkhd
+    supplies width/height (16.16 fixed point) and its stsz the frame
+    count; the stsd sample-entry fourcc is surfaced as `codec='mp4/<cc>'`
+    so downstream can tell decodable (jpeg/mjpa) from opaque (avc1)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    meta: dict = {"codec": "mp4"}
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    mvhd = _mp4_find(b, *moov, b"mvhd")
+    if mvhd is not None:
+        p = mvhd[0]
+        if b[p] == 1:  # version 1: 64-bit times
+            scale, dur = struct.unpack(">IQ", b[p + 20 : p + 32])
+        else:
+            scale, dur = struct.unpack(">II", b[p + 12 : p + 20])
+        if scale:
+            meta["duration_ms"] = int(dur * 1000 / scale)
+    vt = _mp4_video_stbl(b)
+    if vt is not None:
+        s, e, codec, tkhd = vt
+        if codec:
+            meta["codec"] = "mp4/" + codec.decode("ascii", "replace").strip()
+        if tkhd is not None:
+            off = tkhd + (88 if b[tkhd] == 1 else 76)
+            w, h = struct.unpack(">II", b[off : off + 8])
+            meta["width"], meta["height"] = w >> 16, h >> 16
+        stsz = _mp4_find(b, s, e, b"stsz")
+        if stsz is not None:
+            (count,) = struct.unpack(">I", b[stsz[0] + 8 : stsz[0] + 12])
+            meta["n_frames"] = count
+    return meta
+
+
+def mp4_split_samples(b: bytes) -> list[bytes]:
+    """Extract the first video track's per-sample (per-frame) byte ranges
+    from an MP4 — REAL sample-table resolution, pure stdlib.
+
+    Resolves stsz (per-sample sizes, or one uniform size), stsc
+    (sample→chunk runs), and stco/co64 (absolute chunk offsets) exactly
+    as ISO/IEC 14496-12 defines: for each chunk, samples are laid out
+    back-to-back from the chunk offset. For codec 'jpeg'/'mjpa' each
+    sample is a complete still JPEG (reference parity target:
+    Video/VideoCollection.cs frame indexing over captures)."""
+    vt = _mp4_video_stbl(b)
+    if vt is None:
+        return []
+    s, e, _codec, _tkhd = vt
+    stsz = _mp4_find(b, s, e, b"stsz")
+    stsc = _mp4_find(b, s, e, b"stsc")
+    stco = _mp4_find(b, s, e, b"stco")
+    long_off = False
+    if stco is None:
+        stco = _mp4_find(b, s, e, b"co64")
+        long_off = True
+    if stsz is None or stsc is None or stco is None:
+        return []
+    uniform, count = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
+    sizes = (
+        [uniform] * count
+        if uniform
+        else list(
+            struct.unpack(f">{count}I", b[stsz[0] + 12 : stsz[0] + 12 + 4 * count])
+        )
+    )
+    (n_chunks,) = struct.unpack(">I", b[stco[0] + 4 : stco[0] + 8])
+    width = 8 if long_off else 4
+    offsets = [
+        struct.unpack(">Q" if long_off else ">I",
+                      b[stco[0] + 8 + k * width : stco[0] + 8 + (k + 1) * width])[0]
+        for k in range(n_chunks)
+    ]
+    (n_runs,) = struct.unpack(">I", b[stsc[0] + 4 : stsc[0] + 8])
+    runs = [
+        struct.unpack(">III", b[stsc[0] + 8 + k * 12 : stsc[0] + 20 + k * 12])
+        for k in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+    per_chunk: list[int] = []
+    for k, (first, spc, _d) in enumerate(runs):
+        last = runs[k + 1][0] if k + 1 < n_runs else n_chunks + 1
+        per_chunk.extend([spc] * (last - first))
+    frames: list[bytes] = []
+    si = 0
+    for chunk_off, spc in zip(offsets, per_chunk):
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= count or pos + sizes[si] > len(b):
+                return frames
+            frames.append(b[pos : pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    return frames
+
+
 def _parse_wav(b: bytes) -> dict | None:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -432,6 +593,7 @@ def parse_container(content: bytes) -> dict | None:
         _parse_bmp,
         _parse_jpeg,
         _parse_avi,
+        _parse_mp4,
         _parse_wav,
     ):
         meta = parse(content)
@@ -619,10 +781,13 @@ def frame_sample(
       still-JPEG bytes (mjpeg_split_frames: marker-aware walk; width/
       height from the frame's own SOF header). Entropy decode to raw
       pixels needs a codec library, so the frame payload stays encoded.
+      The same path serves MJPEG-in-AVI (RIFF chunk walk) and
+      MJPEG-in-MP4 (stsz/stsc/stco sample resolution) — each container
+      sample is a complete still JPEG.
 
-    True video codecs (H.264/MP4 etc.) raise NotImplementedError loudly
-    — no media libraries in this environment; plug a real decoder into
-    the same batch shape when one exists."""
+    True video codecs (H.264 in MP4/AVI etc.) raise NotImplementedError
+    loudly — no media libraries in this environment; plug a real decoder
+    into the same batch shape when one exists."""
     from pyspark.sql import functions as F
 
     if not pixels:
@@ -681,11 +846,30 @@ def frame_sample(
                         meta = _parse_jpeg(fb) or {}
                         emit(mid, i, int(meta.get("width", 0)),
                              int(meta.get("height", 0)), 0, "jpeg", fb)
+                elif len(blob) >= 12 and blob[4:8] == b"ftyp":
+                    # MP4: real stsz/stsc/stco sample resolution; JPEG
+                    # codecs carry complete stills, true codecs raise
+                    meta = _parse_mp4(blob) or {}
+                    codec = str(meta.get("codec", "mp4"))
+                    fbs = mp4_split_samples(blob)
+                    if not fbs or codec not in ("mp4/jpeg", "mp4/mjpa", "mp4/mjpb"):
+                        raise NotImplementedError(
+                            f"frame_sample(pixels=True): MP4 codec "
+                            f"{codec!r} needs a media library — only GIF "
+                            "decodes, and MJPEG(-in-AVI/-in-MP4) splits, "
+                            "in-process"
+                        )
+                    for i, fb in enumerate(fbs):
+                        if i % every_n:
+                            continue
+                        fmeta = _parse_jpeg(fb) or {}
+                        emit(mid, i, int(fmeta.get("width", 0)),
+                             int(fmeta.get("height", 0)), 0, "jpeg", fb)
                 else:
                     raise NotImplementedError(
                         "frame_sample(pixels=True): only GIF decodes, and "
-                        "MJPEG / MJPEG-in-AVI split, in-process; no media "
-                        "libraries in this environment"
+                        "MJPEG / MJPEG-in-AVI / MJPEG-in-MP4 split, "
+                        "in-process; no media libraries in this environment"
                     )
             yield pd.DataFrame(rows)
 

@@ -800,3 +800,122 @@ def test_avi_mjpeg_real_frame_split(spark):
     )
     with pytest.raises(Exception, match="not.*MJPEG|NotImplemented"):
         mm.frame_sample(bad, every_n=1, pixels=True).collect()
+
+
+def _mp4(
+    frames: list[bytes],
+    codec: bytes = b"jpeg",
+    w: int = 8,
+    h: int = 6,
+    timescale: int = 1000,
+    duration: int = 120,
+    chunks: list[int] | None = None,
+) -> bytes:
+    """Minimal ISO-BMFF MP4 with one 'vide' track: ftyp + mdat(samples,
+    laid out per `chunks` sample counts) + moov(mvhd + trak(tkhd +
+    mdia(hdlr + minf(stbl(stsd stsz stsc stco))))). Chunk offsets are
+    real absolute file offsets into mdat."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    chunks = chunks or [len(frames)]
+    assert sum(chunks) == len(frames)
+    ftyp = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+    mdat = box(b"mdat", b"".join(frames))
+    # absolute offset of sample 0 = len(ftyp) + mdat header (8)
+    offsets, pos, si = [], len(ftyp) + 8, 0
+    for spc in chunks:
+        offsets.append(pos)
+        pos += sum(len(f) for f in frames[si : si + spc])
+        si += spc
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration) + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, duration)
+        + bytes(52)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(13))
+    stsd = box(
+        b"stsd",
+        struct.pack(">II", 0, 1) + struct.pack(">I", 16) + codec + bytes(8),
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    # one stsc run per distinct consecutive samples-per-chunk value
+    runs = []
+    for k, spc in enumerate(chunks):
+        if k == 0 or spc != chunks[k - 1]:
+            runs.append((k + 1, spc, 1))
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_mjpeg_real_sample_split(spark):
+    """MJPEG-in-MP4: the ISO-BMFF box walk resolves stsz/stsc/stco to
+    each sample's exact JPEG bytes across MULTIPLE chunks, mvhd/tkhd/
+    stsd supply metadata, and frame_sample(pixels=True) rides the same
+    path; a true-codec MP4 (avc1) raises instead of passing opaque
+    payloads off as frames."""
+    import pytest
+
+    f0 = _encode_fake_jpeg(8, 6, b"\x01\x02\x03")
+    f1 = _encode_fake_jpeg(4, 2, b"\x05\x06\x07\x08")
+    f2 = _encode_fake_jpeg(16, 12, b"\xff\xd9\x00")
+    # 2 chunks (2 samples + 1 sample) exercises the stsc run expansion
+    blob = _mp4([f0, f1, f2], chunks=[2, 1])
+
+    assert mm.mp4_split_samples(blob) == [f0, f1, f2]
+    meta = mm.auto_decoder(blob)
+    assert meta["codec"] == "mp4/jpeg" and meta["n_frames"] == 3
+    assert (meta["width"], meta["height"]) == (8, 6)
+    assert meta["duration_ms"] == 120
+
+    media = spark.createDataFrame(
+        [(11, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=2, pixels=True).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert bytes(rows[0]["rgb"]) == f0 and bytes(rows[2]["rgb"]) == f2
+    assert (rows[2]["width"], rows[2]["height"]) == (16, 12)
+    assert rows[0]["pixel_format"] == "jpeg"
+
+    # metadata-level sampling rides the structural frame count
+    idxs = sorted(
+        r["frame_idx"] for r in mm.frame_sample(media, every_n=1).collect()
+    )
+    assert idxs == [0, 1, 2]
+
+    # true-codec MP4 fails loudly with the codec named
+    opaque = _mp4([b"\x00\x01\x02\x03", b"\x04\x05"], codec=b"avc1")
+    assert mm.auto_decoder(opaque)["codec"] == "mp4/avc1"
+    bad = spark.createDataFrame(
+        [(12, "video", bytearray(opaque), {})], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="avc1"):
+        mm.frame_sample(bad, every_n=1, pixels=True).collect()
