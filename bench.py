@@ -92,6 +92,7 @@ HEADLINE = [
     "evolution_nullfill_digest",
     "txn_atomicity_digest",
     "fk_cascade_digest",
+    "ts_range_join",
 ]
 
 

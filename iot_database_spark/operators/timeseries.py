@@ -298,3 +298,47 @@ def rate_of_change(
         )
         .filter(F.col("delta").isNotNull())
     )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_s: int = 1800,
+) -> DataFrame:
+    """Interval (range) join: each left row paired with every interval
+    whose half-open window [start, end) contains left_ts — WITHOUT the
+    BroadcastNestedLoopJoin a naive `ON ts >= start AND ts < end` gets
+    from Spark (a non-equi join has no hashable key, so Spark falls back
+    to an O(|left| x |intervals|) nested loop: the classic 100-TB killer).
+
+    Plan: bin the time axis into `bucket_s`-second buckets. Each left
+    row lands in exactly ONE bucket (its own); each interval EXPLODES
+    across the buckets its span covers (ceil(span/bucket) rows, so size
+    `bucket_s` near the median interval span to bound the blow-up at
+    ~2x). The join becomes a plain equi-join on the bucket key — one
+    hash shuffle, AQE-skewable — with the exact window predicate applied
+    as a residual filter. Because the left bucket is unique per row, no
+    pair can match twice: no distinct pass needed.
+
+    Returns left columns + interval columns (callers project/aggregate).
+    """
+    bucket_us = F.lit(int(bucket_s) * 1_000_000)
+    l = left.withColumn("_rjb", F.floor(epoch_us(left_ts) / bucket_us))
+    iv = intervals.withColumn(
+        "_rjb",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_us(start) / bucket_us),
+                # end is exclusive: a window ending exactly on a bucket
+                # boundary contributes nothing to that bucket
+                F.floor((epoch_us(end) - 1) / bucket_us),
+            )
+        ),
+    )
+    joined = l.join(iv, on="_rjb", how="inner").filter(
+        (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
+    )
+    return joined.drop("_rjb")

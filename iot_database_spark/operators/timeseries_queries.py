@@ -358,3 +358,51 @@ def cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "ts_range_join",
+    oracle="""
+    WITH incidents AS (
+        SELECT CAST(event_id AS BIGINT) AS incident_id,
+               date_trunc('microsecond', ts) AS start_ts,
+               date_trunc('microsecond', ts) + INTERVAL 30 MINUTE AS end_ts
+        FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT i.incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(c.value) AS DOUBLE) AS click_value
+    FROM incidents i
+    JOIN clicks c ON c.ts >= i.start_ts AND c.ts < i.end_ts
+    GROUP BY i.incident_id
+    """,
+)
+def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: click activity inside the 30-minute window after
+    each error event. The DuckDB oracle states the semantics as a plain
+    non-equi `ON ts >= start AND ts < end` join; the Spark plan is the
+    bucketized equi-join (`ts_ops.range_join`) — interval rows exploded
+    across the 30-min buckets they span, one hash shuffle on the bucket
+    key, residual window filter — because Spark would otherwise fall
+    back to BroadcastNestedLoopJoin for the inequality condition."""
+    ev = load_views(spark, sf_dir)["events"]
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("bigint").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.col("value").cast("double").alias("value")
+    )
+    pairs = ts_ops.range_join(
+        clicks, incidents, left_ts="ts", start="start_ts", end="end_ts",
+        bucket_s=1800,
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum("value").cast("double").alias("click_value"),
+    )

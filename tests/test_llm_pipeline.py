@@ -919,3 +919,34 @@ def test_mp4_mjpeg_real_sample_split(spark):
     )
     with pytest.raises(Exception, match="avc1"):
         mm.frame_sample(bad, every_n=1, pixels=True).collect()
+
+
+def test_range_join_boundary_semantics(spark):
+    """range_join window is half-open [start, end): an event exactly at
+    `end` does not match; one exactly at `start` does — including when
+    the boundary falls exactly on a bucket edge (the exploded interval
+    must not leak into the bucket that starts at its exclusive end)."""
+    from datetime import datetime
+
+    from iot_database_spark.operators.timeseries import range_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0)),   # == start: in
+            (2, datetime(2024, 1, 1, 0, 59, 59)), # inside
+            (3, datetime(2024, 1, 1, 1, 0, 0)),   # == end: out
+            (4, datetime(2023, 12, 31, 23, 59, 59)),  # before: out
+        ],
+        "event_id bigint, ts timestamp",
+    )
+    # window [00:00, 01:00) with end on an exact 30-min bucket boundary
+    iv = spark.createDataFrame(
+        [(7, t0, datetime(2024, 1, 1, 1, 0, 0))],
+        "iv_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in range_join(ev, iv, bucket_s=1800).collect()
+    )
+    assert got == [1, 2]

@@ -162,3 +162,15 @@ def test_unit_convert_stays_jvm(spark, sf):
     # the rule constants fold: Math.PI/180 must appear pre-multiplied
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "0.017453292519943295" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf):
+    """ts_range_join must plan as a hash/merge EQUI-join on the bucket
+    key — the whole point of the bucketize-and-explode rewrite is that a
+    naive non-equi interval join falls back to BroadcastNestedLoopJoin,
+    which is O(|events| x |intervals|) at scale."""
+    df = _Q["ts_range_join"](spark, sf)
+    plan = audit.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
