@@ -950,3 +950,39 @@ def test_range_join_boundary_semantics(spark):
         for r in range_join(ev, iv, bucket_s=1800).collect()
     )
     assert got == [1, 2]
+
+
+def test_mp4_uniform_stsz_and_co64_paths():
+    """The stsz uniform-size shortcut and 64-bit co64 chunk offsets must
+    resolve the same sample ranges as the explicit-size/stco path."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    frames = [b"AAAA", b"BBBB", b"CCCC"]  # uniform 4-byte samples
+    ftyp = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+    mdat = box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8
+    mvhd = box(b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, 1000, 90) + bytes(80))
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, 90)
+        + bytes(52)
+        + struct.pack(">II", 4 << 16, 4 << 16),
+    )
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(13))
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + struct.pack(">I", 16) + b"raw " + bytes(8))
+    # uniform size 4, no per-sample table
+    stsz = box(b"stsz", struct.pack(">III", 0, 4, 3))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 3, 1))
+    co64 = box(b"co64", struct.pack(">II", 0, 1) + struct.pack(">Q", base))
+    stbl = box(b"stbl", stsd + stsz + stsc + co64)
+    blob = ftyp + mdat + box(
+        b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", hdlr + box(b"minf", stbl)))
+    )
+
+    assert mm.mp4_split_samples(blob) == frames
+    meta = mm.auto_decoder(blob)
+    assert meta["codec"] == "mp4/raw" and meta["n_frames"] == 3
+    assert meta["duration_ms"] == 90
