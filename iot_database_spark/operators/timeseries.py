@@ -327,6 +327,10 @@ def range_join(
     """
     bucket_us = F.lit(int(bucket_s) * 1_000_000)
     l = left.withColumn("_rjb", F.floor(epoch_us(left_ts) / bucket_us))
+    # an empty or inverted window matches nothing; dropping it here also
+    # keeps sequence() from exploding a DESCENDING bucket run (Spark
+    # auto-steps -1 when start > stop) that the residual would discard
+    intervals = intervals.filter(F.col(end) > F.col(start))
     iv = intervals.withColumn(
         "_rjb",
         F.explode(

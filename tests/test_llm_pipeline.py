@@ -986,3 +986,26 @@ def test_mp4_uniform_stsz_and_co64_paths():
     meta = mm.auto_decoder(blob)
     assert meta["codec"] == "mp4/raw" and meta["n_frames"] == 3
     assert meta["duration_ms"] == 90
+
+
+def test_range_join_drops_inverted_and_empty_intervals(spark):
+    """Inverted (end < start) and empty (end == start) windows match
+    nothing — and must not reach sequence(), which would otherwise
+    explode a descending bucket run for the inverted window."""
+    from datetime import datetime
+
+    from iot_database_spark.operators.timeseries import range_join
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30))], "event_id bigint, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 0, 0)),
+            (8, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 0)),
+            (9, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+        ],
+        "iv_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = [(r["event_id"], r["iv_id"]) for r in range_join(ev, iv).collect()]
+    assert got == [(1, 9)]
