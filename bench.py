@@ -93,6 +93,10 @@ HEADLINE = [
     "txn_atomicity_digest",
     "fk_cascade_digest",
     "ts_range_join",
+    "ts_ewma_smooth",
+    "ts_anomaly_mad",
+    "text_strip_html",
+    "approx_sketch_accuracy",
 ]
 
 

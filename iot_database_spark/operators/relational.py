@@ -817,3 +817,59 @@ def sql_include_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "$.nation_ref.missing AS ref_missing "
         "FROM cust_inc INCLUDE nation_ref",
     )
+
+
+@register(
+    "approx_sketch_accuracy",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(approx_count_distinct(user_id) AS BIGINT) AS n_approx,
+               quantile_cont(CAST(value AS DOUBLE), 0.5) AS med_exact,
+               approx_quantile(CAST(value AS DOUBLE), 0.5) AS med_approx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_exact,
+           ABS(n_approx - n_exact) <= 0.1 * n_exact AS distinct_within_10pct,
+           ABS(med_approx - med_exact)
+             <= 0.1 * GREATEST(ABS(med_exact), 1.0) AS median_within_10pct
+    FROM agg
+    """,
+)
+def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates under the hash gate: HyperLogLog distinct
+    (approx_count_distinct, rsd=0.02) and quantile sketch
+    (percentile_approx, accuracy 10k) must land within 10% of the
+    exactly-computed answers, per group, in BOTH engines — the graded
+    columns are the exact count plus the two accuracy booleans, so two
+    different sketch implementations (Spark HLL++/KLL vs DuckDB
+    HLL/T-Digest) hash-agree on the INVARIANT even though their raw
+    estimates differ. Sketches are the 100-TB path for dashboards and
+    profiling: one pass, mergeable partial state, no giant
+    distinct-shuffle."""
+    from pyspark.sql import functions as F
+
+    ev = load_views(spark, sf_dir)["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02)
+        .cast("bigint")
+        .alias("n_approx"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.5)").alias("med_exact"),
+        F.percentile_approx(F.col("value").cast("double"), 0.5, 10000).alias(
+            "med_approx"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.1 * F.col("n_exact")
+        ).alias("distinct_within_10pct"),
+        (
+            F.abs(F.col("med_approx") - F.col("med_exact"))
+            <= 0.1 * F.greatest(F.abs(F.col("med_exact")), F.lit(1.0))
+        ).alias("median_within_10pct"),
+    )

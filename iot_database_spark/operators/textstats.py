@@ -308,6 +308,36 @@ def chunk_documents(
     )
 
 
+# HTML entity table shared with the oracle builder: applied AFTER tag
+# removal, longest-first so '&amp;lt;' never double-decodes via '&amp;'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&nbsp;", " "),
+)
+
+
+def strip_html(col: Column) -> Column:
+    """Boilerplate removal for web-scraped corpora: drop tags, decode the
+    common entities, collapse whitespace. Pure regexp_replace/replace
+    chain — whole-stage codegen, no Python, one scan. Script/style
+    blocks are removed WITH their contents first (their text is not
+    document text); remaining tags are replaced by a space so adjacent
+    words don't fuse."""
+    # two explicit patterns, not one with a </\1> backreference: the
+    # DuckDB oracle's RE2 engine has no backreferences, and the Spark
+    # plan must apply the exact same regexes to stay hash-identical
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def corpus_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -535,3 +535,67 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
         )
     )
+
+
+# Synthetic wrapper turning each document into web-scraped-looking HTML
+# (tags + a script block + escaped entities) so the strip pass has real
+# structure to remove. Built with the SAME SQL string functions in both
+# engines; {cast} differs only in spelling (STRING vs VARCHAR).
+_HTMLIFY = (
+    "'<div id=\"d' || CAST(doc_id AS {cast}) || '\" class=\"post\">"
+    "<script type=\"text/javascript\">if (a<b) {{ track(); }}</script>"
+    "<p>' || replace(replace(text, ' and ', ' &amp; '), '. ', "
+    "'.</p> <p>') || '</p></div>'"
+)
+
+
+@register(
+    "text_strip_html",
+    oracle=f"""
+    WITH raw AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_HTMLIFY.format(cast="VARCHAR")} AS html
+        FROM documents
+    ), stripped AS (
+        SELECT doc_id, html,
+               TRIM(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                       '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM raw
+    )
+    SELECT doc_id,
+           CAST(LENGTH(html) AS INT) AS n_raw_chars,
+           CAST(LENGTH(clean) AS INT) AS n_clean_chars,
+           md5(clean) AS clean_digest
+    FROM stripped
+    """,
+)
+def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping for web-scraped corpora (tag removal,
+    script/style elision, entity decode, whitespace collapse) — the
+    first stage of every HTML-sourced training pipeline. The whole pass
+    is a regexp_replace/replace chain inside whole-stage codegen: one
+    scan, zero shuffles, trivially linear at 100 TB. Hash-checked
+    end-to-end via an md5 digest of the cleaned text."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    html = F.expr(_HTMLIFY.format(cast="STRING"))
+    out = docs.select("doc_id", html.alias("html"))
+    return out.select(
+        "doc_id",
+        F.length("html").cast("int").alias("n_raw_chars"),
+        F.length(tx.strip_html(F.col("html"))).cast("int").alias(
+            "n_clean_chars"
+        ),
+        F.md5(tx.strip_html(F.col("html"))).alias("clean_digest"),
+    )

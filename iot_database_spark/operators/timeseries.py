@@ -346,3 +346,107 @@ def range_join(
         (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
     )
     return joined.drop("_rjb")
+
+
+def ewma(
+    samples: DataFrame,
+    alpha: str = "0.3",
+    window_rows: int = 20,
+    guid: str = "guid",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per series.
+
+    Classic IoT smoothing the reference leaves to callers (its
+    TsCollection.Get returns raw/interpolated samples only) — here a
+    first-class operator. s_i = alpha*x_i + (1-alpha)*s_{i-1}, seeded at
+    the window's first sample. The recursion is TRUNCATED to the last
+    `window_rows` samples so each row's state is a bounded array (the
+    untruncated tail's weight is (1-alpha)^window_rows ~ 8e-4 at the
+    defaults — below double-visible noise for typical sensor ranges, and
+    the bound is what keeps per-row memory O(window) at 100 TB instead
+    of a per-key unbounded fold).
+
+    Plan shape: one shuffle on guid (window partition), then a pure
+    column fold (collect_list over a ROWS frame + `aggregate` HOF) —
+    no Python, no second exchange. `alpha` is passed as a DECIMAL
+    LITERAL STRING so an oracle in another engine parses the identical
+    double (a Python float formatted via repr may round differently
+    from the SQL literal the oracle uses).
+    """
+    a = float(alpha)
+    assert 0.0 < a < 1.0, "alpha must be in (0, 1)"
+    beta = repr(1.0 - a)  # exact repr of the double Spark will compute with
+    w = (
+        W.partitionBy(guid)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(-(window_rows - 1), W.currentRow)
+    )
+    vals = F.collect_list(F.col(value).cast("double")).over(w)
+    fold = (
+        f"aggregate(slice(_ewma_vals, 2, size(_ewma_vals) - 1), "
+        f"element_at(_ewma_vals, 1), "
+        f"(acc, x) -> CAST({alpha} AS DOUBLE) * x + CAST({beta} AS DOUBLE) * acc)"
+    )
+    return samples.withColumn("_ewma_vals", vals).withColumn(
+        "ewma", F.expr(fold)
+    ).drop("_ewma_vals")
+
+
+def mad_anomalies(
+    samples: DataFrame,
+    k: str = "3.0",
+    guid: str = "guid",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Robust per-series anomaly detection: flag samples whose absolute
+    deviation from the series median exceeds k * 1.4826 * MAD (median
+    absolute deviation; 1.4826 scales MAD to sigma under normality).
+
+    Medians are DISCRETE (the rank-ceil(n/2) element under a
+    deterministic (value, tiebreak) order), not interpolated — the same
+    engine-exact convention as `exact_percentiles`: two engines agree
+    bit-for-bit on an element they both select, where interpolation
+    arithmetic could differ in the last ulp.
+
+    Plan shape: both median passes are windows over the SAME guid
+    partitioning — one exchange, two in-partition sorts, no join. At
+    100 TB the per-key series must fit a partition's sort spill, which
+    Spark's external sort handles; nothing is driver-side.
+    """
+    v = F.col(value).cast("double")
+    w_part = W.partitionBy(guid)
+    # ranks materialize as columns BEFORE the conditional max over the
+    # partition — Spark rejects a window function nested inside another
+    # window function's argument
+    df = samples.withColumn(
+        "_rn1", F.row_number().over(w_part.orderBy(value, tiebreak))
+    ).withColumn(
+        "_mr",
+        F.ceil(F.count("*").over(w_part).cast("double") * F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    df = df.withColumn(
+        "_med",
+        F.max(F.when(F.col("_rn1") == F.col("_mr"), v)).over(w_part),
+    ).withColumn("_absdev", F.abs(v - F.col("_med")))
+    df = df.withColumn(
+        "_rn2", F.row_number().over(w_part.orderBy("_absdev", tiebreak))
+    )
+    df = df.withColumn(
+        "_mad",
+        F.max(F.when(F.col("_rn2") == F.col("_mr"), F.col("_absdev"))).over(
+            w_part
+        ),
+    ).drop("_rn1", "_rn2", "_mr")
+    thresh = F.expr(f"CAST({k} AS DOUBLE) * 1.4826") * F.col("_mad")
+    return (
+        df.withColumn("is_anomaly", F.col("_absdev") > thresh)
+        .withColumnRenamed("_med", "med")
+        .withColumnRenamed("_absdev", "absdev")
+        .withColumnRenamed("_mad", "mad")
+    )

@@ -406,3 +406,114 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
         F.sum("value").cast("double").alias("click_value"),
     )
+
+
+# EWMA constants shared by the Spark plan and the oracle so BOTH engines
+# parse the exact same decimal literals (bit-identical doubles).
+_EWMA_ALPHA = "0.3"
+_EWMA_BETA = "0.7"  # == repr(1.0 - 0.3); asserted in tests
+_EWMA_ROWS = 20
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    ), lv AS (
+        SELECT guid, ts, value,
+               list(value) OVER (PARTITION BY guid ORDER BY ts, event_id
+                    ROWS BETWEEN {_EWMA_ROWS - 1} PRECEDING AND CURRENT ROW)
+                 AS vals
+        FROM s
+    )
+    SELECT guid, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           list_reduce(vals, (acc, x) ->
+               CAST({_EWMA_ALPHA} AS DOUBLE) * x
+               + CAST({_EWMA_BETA} AS DOUBLE) * acc) AS ewma
+    FROM lv
+    """,
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series truncated EWMA (alpha=0.3 over the last 20 samples).
+    Both engines LEFT-FOLD the identical ordered value list with the
+    identical decimal literals, so the doubles match bit-for-bit; the
+    truncation is what bounds per-row state at scale (see
+    `timeseries.ewma`)."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    out = ts_ops.ewma(
+        samples, alpha=_EWMA_ALPHA, window_rows=_EWMA_ROWS
+    )
+    return out.select(
+        "guid", epoch_us("ts").alias("ts_us"), "value", "ewma"
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    ), r1 AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY guid ORDER BY value, event_id)
+                 AS rn1,
+               CAST(CEIL(COUNT(*) OVER (PARTITION BY guid) * 0.5) AS BIGINT)
+                 AS mr
+        FROM s
+    ), m1 AS (
+        SELECT *, MAX(CASE WHEN rn1 = mr THEN value END)
+                    OVER (PARTITION BY guid) AS med
+        FROM r1
+    ), d AS (
+        SELECT *, ABS(value - med) AS absdev FROM m1
+    ), r2 AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY guid ORDER BY absdev, event_id)
+                    AS rn2
+        FROM d
+    ), m2 AS (
+        SELECT *, MAX(CASE WHEN rn2 = mr THEN absdev END)
+                    OVER (PARTITION BY guid) AS mad
+        FROM r2
+    )
+    SELECT guid, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           med, absdev, mad
+    FROM m2
+    WHERE absdev > CAST(3.0 AS DOUBLE) * 1.4826 * mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outliers: |x - median| > 3 * 1.4826 * MAD, with
+    DISCRETE rank-based medians (the `exact_percentiles` convention) so
+    both engines select the same element instead of interpolating
+    (see `timeseries.mad_anomalies`)."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    out = ts_ops.mad_anomalies(samples, k="3.0")
+    return out.filter(F.col("is_anomaly")).select(
+        "guid",
+        epoch_us("ts").alias("ts_us"),
+        "value",
+        "med",
+        "absdev",
+        "mad",
+    )

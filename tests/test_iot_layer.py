@@ -271,3 +271,48 @@ def test_dynamic_string_slot_ordering_diverges_from_bson_order(spark):
         F.min("slot").alias("lo"), F.max("slot").alias("hi")
     ).collect()[0]
     assert (row["lo"], row["hi"]) == ("10", "abc")
+
+
+def test_ewma_semantics(spark):
+    # constant series: every prefix fold of a constant is the constant
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), 5.0, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "guid long, ts timestamp, value double, event_id long")
+    out = ts_ops.ewma(df, alpha="0.3", window_rows=20).orderBy("event_id")
+    got = [r.ewma for r in out.collect()]
+    assert got == [5.0] * 30
+    # a step change converges toward the new level; first row == its value
+    rows = [(1, base + dt.timedelta(minutes=i), 0.0 if i < 10 else 10.0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "guid long, ts timestamp, value double, event_id long")
+    got = [r.ewma for r in ts_ops.ewma(df, alpha="0.3", window_rows=20).orderBy("event_id").collect()]
+    assert got[0] == 0.0
+    assert got[9] == 0.0
+    # after the step, each value is strictly closer to 10
+    tail = got[10:]
+    assert all(b > a for a, b in zip(tail, tail[1:])) and tail[-1] < 10.0
+    # the literal pair the oracle shares must be the doubles Spark folds with
+    assert repr(1.0 - 0.3) == "0.7"
+
+
+def test_ewma_truncation_bounds_state(spark):
+    # window_rows=3: row i folds ONLY its last 3 values, so a huge value
+    # 4 rows back has zero influence (the bounded-state guarantee)
+    base = dt.datetime(2024, 1, 1)
+    vals = [1e12, 2.0, 2.0, 2.0, 2.0]
+    rows = [(1, base + dt.timedelta(minutes=i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "guid long, ts timestamp, value double, event_id long")
+    got = [r.ewma for r in ts_ops.ewma(df, alpha="0.3", window_rows=3).orderBy("event_id").collect()]
+    assert got[4] == 2.0  # fold of (2,2,2) only — the 1e12 fell out
+
+
+def test_mad_anomaly_flags_outlier(spark):
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 500.0]
+    rows = [(1, base + dt.timedelta(minutes=i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "guid long, ts timestamp, value double, event_id long")
+    out = ts_ops.mad_anomalies(df, k="3.0")
+    flagged = [r.value for r in out.filter("is_anomaly").collect()]
+    assert flagged == [500.0]
+    # median/MAD are elements of the data (discrete), not interpolations
+    row = out.filter("event_id = 0").collect()[0]
+    assert row.med in vals

@@ -1009,3 +1009,25 @@ def test_range_join_drops_inverted_and_empty_intervals(spark):
     )
     got = [(r["event_id"], r["iv_id"]) for r in range_join(ev, iv).collect()]
     assert got == [(1, 9)]
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    html = (
+        '<html><head><style type="text/css">p { color: red; }</style>'
+        "<script>if (a<b) { alert(1); }</script></head>"
+        "<body>\n  <h1>Title</h1>\n  <p>Tom &amp; Jerry say "
+        "&quot;hi&quot;   &lt;now&gt;</p>\n</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(tx.strip_html(F.col("html")).alias("c")).collect()[0].c
+    # style/script contents are gone entirely; tags become spaces;
+    # entities decode; runs of whitespace collapse to one space
+    assert got == 'Title Tom & Jerry say "hi" <now>'
+    # single-pass by design: decoding &lt;now&gt; yields a literal <now>
+    # that a SECOND pass would strip as a tag — the standard reason
+    # sanitizers never re-run entity decode over their own output
+    df2 = spark.createDataFrame([(1, "plain text,   no markup")], "id long, t string")
+    assert (
+        df2.select(tx.strip_html(F.col("t")).alias("c")).collect()[0].c
+        == "plain text, no markup"
+    )
