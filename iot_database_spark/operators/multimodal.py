@@ -563,6 +563,120 @@ def mp4_split_samples(b: bytes) -> list[bytes]:
     return frames
 
 
+_Y4M_CHROMA_DIVS = {
+    # chroma tag -> (x_div, y_div) plane subsampling; None = no chroma
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1), "mono": None,
+}
+
+
+def _y4m_header(b: bytes) -> dict | None:
+    """Parse the YUV4MPEG2 stream header line: geometry, framerate,
+    chroma mode, and the offset where the first FRAME starts."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    num, den = 30, 1
+    chroma = "420"
+    for p in b[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F" and b":" in val:
+            num, den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            chroma = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0 or chroma not in _Y4M_CHROMA_DIVS:
+        return None
+    divs = _Y4M_CHROMA_DIVS[chroma]
+    if divs is not None and (w % divs[0] or h % divs[1]):
+        return None  # subsampled planes need divisible dimensions
+    chroma_bytes = 0 if divs is None else 2 * (w // divs[0]) * (h // divs[1])
+    return {
+        "width": w, "height": h, "fps_num": num, "fps_den": den,
+        "chroma": chroma, "frame_bytes": w * h + chroma_bytes,
+        "data_start": nl + 1,
+    }
+
+
+def _y4m_frame_offsets(b: bytes, hdr: dict) -> list[int]:
+    """Offsets of each frame's PLANE DATA (past its FRAME marker line)."""
+    out = []
+    pos = hdr["data_start"]
+    while pos < len(b) and b[pos : pos + 5] == b"FRAME":
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + hdr["frame_bytes"] > len(b):
+            break
+        out.append(fnl + 1)
+        pos = fnl + 1 + hdr["frame_bytes"]
+    return out
+
+
+def _parse_y4m(b: bytes) -> dict | None:
+    hdr = _y4m_header(b)
+    if hdr is None:
+        return None
+    n = len(_y4m_frame_offsets(b, hdr))
+    if n == 0:
+        return None
+    num, den = hdr["fps_num"], hdr["fps_den"]
+    return {
+        "codec": f"y4m/{hdr['chroma']}",
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "n_frames": n,
+        "duration_ms": int(n * 1000 * den / num) if num else 0,
+    }
+
+
+def y4m_decode_frames(b: bytes) -> list[dict]:
+    """REAL raw-video decode: YUV4MPEG2 is header + uncompressed planar
+    YUV frames (the format `ffmpeg -f yuv4mpegpipe` and RTSP/V4L raw
+    capture rigs emit), so full pixel decode needs no codec library —
+    plane slicing plus the BT.601 limited-range matrix, vectorized with
+    numpy. Supports C420*/C422/C444/Cmono. Returns one dict per frame:
+    {width, height, delay_ms, rgb: RGB24 bytes}."""
+    import numpy as np
+
+    hdr = _y4m_header(b)
+    if hdr is None:
+        return []
+    w, h = hdr["width"], hdr["height"]
+    divs = _Y4M_CHROMA_DIVS[hdr["chroma"]]
+    num, den = hdr["fps_num"], hdr["fps_den"]
+    delay_ms = int(1000 * den / num) if num else 0
+    frames = []
+    for off in _y4m_frame_offsets(b, hdr):
+        y = np.frombuffer(b, np.uint8, w * h, off).reshape(h, w)
+        yf = 1.164 * (y.astype(np.float32) - 16.0)
+        if divs is None:
+            r = g = bl = yf  # mono: chroma at neutral
+        else:
+            cw, ch = w // divs[0], h // divs[1]
+            u = np.frombuffer(b, np.uint8, cw * ch, off + w * h)
+            v = np.frombuffer(b, np.uint8, cw * ch, off + w * h + cw * ch)
+            u = u.reshape(ch, cw).astype(np.float32) - 128.0
+            v = v.reshape(ch, cw).astype(np.float32) - 128.0
+            u = np.repeat(np.repeat(u, divs[1], 0), divs[0], 1)
+            v = np.repeat(np.repeat(v, divs[1], 0), divs[0], 1)
+            r = yf + 1.596 * v
+            g = yf - 0.813 * v - 0.391 * u
+            bl = yf + 2.018 * u
+        rgb = np.clip(
+            np.stack([r, g, bl], axis=-1) + 0.5, 0.0, 255.0
+        ).astype(np.uint8)
+        frames.append(
+            {"width": w, "height": h, "delay_ms": delay_ms,
+             "rgb": rgb.tobytes()}
+        )
+    return frames
+
+
 def _parse_wav(b: bytes) -> dict | None:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -594,6 +708,7 @@ def parse_container(content: bytes) -> dict | None:
         _parse_jpeg,
         _parse_avi,
         _parse_mp4,
+        _parse_y4m,
         _parse_wav,
     ):
         meta = parse(content)
@@ -776,6 +891,9 @@ def frame_sample(
 
     - animated GIF → pixel_format 'rgb24', rgb = decoded RGB bytes
       (gif_decode_frames: stdlib structural walk + LZW + palette);
+    - Y4M / YUV4MPEG2 (raw planar capture) → pixel_format 'rgb24',
+      rgb = decoded RGB via plane slicing + BT.601 matrix
+      (y4m_decode_frames — uncompressed, so no codec library needed);
     - MJPEG (concatenated JPEGs, the stripped RTSP/HTTP-multipart
       capture shape) → pixel_format 'jpeg', rgb = that frame's complete
       still-JPEG bytes (mjpeg_split_frames: marker-aware walk; width/
@@ -819,6 +937,13 @@ def frame_sample(
                 blob = bytes(content)
                 if blob[:6] in (b"GIF87a", b"GIF89a"):
                     for i, f in enumerate(gif_decode_frames(blob)):
+                        if i % every_n:
+                            continue
+                        emit(mid, i, f["width"], f["height"], f["delay_ms"],
+                             "rgb24", f["rgb"])
+                elif blob[:9] == b"YUV4MPEG2":
+                    # raw planar YUV: full pixel decode, no codec needed
+                    for i, f in enumerate(y4m_decode_frames(blob)):
                         if i % every_n:
                             continue
                         emit(mid, i, f["width"], f["height"], f["delay_ms"],
@@ -867,8 +992,8 @@ def frame_sample(
                              int(fmeta.get("height", 0)), 0, "jpeg", fb)
                 else:
                     raise NotImplementedError(
-                        "frame_sample(pixels=True): only GIF decodes, and "
-                        "MJPEG / MJPEG-in-AVI / MJPEG-in-MP4 split, "
+                        "frame_sample(pixels=True): only GIF and Y4M decode, "
+                        "and MJPEG / MJPEG-in-AVI / MJPEG-in-MP4 split, "
                         "in-process; no media libraries in this environment"
                     )
             yield pd.DataFrame(rows)

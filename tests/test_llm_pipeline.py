@@ -1031,3 +1031,50 @@ def test_strip_html_tags_entities_whitespace(spark):
         df2.select(tx.strip_html(F.col("t")).alias("c")).collect()[0].c
         == "plain text, no markup"
     )
+
+
+def _make_y4m(frames_yuv, w, h, chroma=b"C420", fps=b"F25:1"):
+    """frames_yuv: list of (y_fill, u_fill, v_fill) byte values."""
+    cw, ch_ = w // 2, h // 2
+    out = b"YUV4MPEG2 W%d H%d %s Ip A1:1 %s\n" % (w, h, fps, chroma)
+    for yv, uv, vv in frames_yuv:
+        out += b"FRAME\n"
+        out += bytes([yv]) * (w * h) + bytes([uv]) * (cw * ch_) + bytes([vv]) * (cw * ch_)
+    return out
+
+
+def test_y4m_real_pixel_decode(spark):
+    # frame 1: white (Y=235, U=V=128 -> BT.601 full white 255)
+    # frame 2: pure-ish red (Y=81, U=90, V=240)
+    blob = _make_y4m([(235, 128, 128), (81, 90, 240)], w=4, h=2)
+    meta = mm.parse_container(blob)
+    assert meta == {
+        "codec": "y4m/420", "width": 4, "height": 2,
+        "n_frames": 2, "duration_ms": 80,
+    }
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(blob))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {
+        r.frame_idx: r
+        for r in mm.frame_sample(df, every_n=1, pixels=True).collect()
+    }
+    assert sorted(rows) == [0, 1]
+    f0, f1 = rows[0], rows[1]
+    assert (f0.width, f0.height, f0.pixel_format, f0.delay_ms) == (4, 2, "rgb24", 40)
+    px0 = bytes(f0.rgb)
+    assert len(px0) == 4 * 2 * 3
+    assert set(px0) == {255}  # every channel saturates to white
+    px1 = bytes(f1.rgb)
+    r, g, b = px1[0], px1[1], px1[2]
+    assert r > 240 and g < 30 and b < 30  # red within rounding
+    assert px1 == px1[:3] * 8  # uniform frame
+    # mono variant: no chroma planes, grayscale output
+    mono = b"YUV4MPEG2 W2 H2 F10:1 Cmono\nFRAME\n" + bytes([126]) * 4
+    mf = mm.y4m_decode_frames(mono)
+    assert len(mf) == 1 and mf[0]["delay_ms"] == 100
+    assert set(mf[0]["rgb"]) == {128}  # 1.164*(126-16) = 128.04 -> 128
+    # truncated final frame is dropped, not half-decoded
+    trunc = blob[:-3]
+    assert mm.parse_container(trunc)["n_frames"] == 1
