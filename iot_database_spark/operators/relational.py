@@ -851,8 +851,19 @@ def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = load_views(spark, sf_dir)["events"]
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    # exact distinct runs as its own two-level aggregation: fusing
+    # count(DISTINCT) into the sketch agg makes Spark pre-aggregate by
+    # (event_type, user_id) and drag the HLL + percentile merge state
+    # (hundreds of buffer fields) through per-user groups and two
+    # exchanges — ~8x slower. Split, both sides reduce to one row per
+    # event_type and the join broadcasts.
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02)
         .cast("bigint")
         .alias("n_approx"),
@@ -861,6 +872,7 @@ def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_approx"
         ),
     )
+    agg = exact.join(F.broadcast(sketches), "event_type")
     return agg.select(
         "event_type",
         "n_exact",

@@ -125,17 +125,23 @@ def resample(
         .orderBy(F.col("grid_ts"), F.col("_is_sample").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_after = (
+    # "first non-null at-or-after" is computed as a RUNNING last over the
+    # REVERSED sort, not a [currentRow, unboundedFollowing] frame: the
+    # running frame keeps O(1) state per row, where Spark evaluates an
+    # unbounded-following first(ignorenulls) by scanning forward from
+    # every row — O(n^2) per partition on sparse series. Same single
+    # exchange; the second sort happens within partitions.
+    w_after_rev = (
         W.partitionBy(guid)
-        .orderBy(F.col("grid_ts"), F.col("_is_sample").desc())
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("grid_ts").desc(), F.col("_is_sample").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sample_ts = F.when(F.col("_is_sample") == 1, F.col("grid_ts"))
     resolved = (
         both.withColumn("prev_v", F.last("_v", ignorenulls=True).over(w_before))
         .withColumn("prev_ts", F.last(sample_ts, ignorenulls=True).over(w_before))
-        .withColumn("next_v", F.first("_v", ignorenulls=True).over(w_after))
-        .withColumn("next_ts", F.first(sample_ts, ignorenulls=True).over(w_after))
+        .withColumn("next_v", F.last("_v", ignorenulls=True).over(w_after_rev))
+        .withColumn("next_ts", F.last(sample_ts, ignorenulls=True).over(w_after_rev))
         .filter(F.col("_is_sample") == 0)
         .filter(F.col("prev_ts").isNotNull())  # skip before first sample
     )

@@ -245,3 +245,43 @@ def test_zorder_interleave_is_bijective(_spark):
             qx |= ((z >> (2 * b)) & 1) << b
             qy |= ((z >> (2 * b + 1)) & 1) << b
         assert (qx, qy) == (r["x"], r["y"]), (z, r["x"], r["y"])
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    window_rows=st.sampled_from([1, 3, 20]),
+)
+@settings(max_examples=10, deadline=None)
+def test_ewma_is_convex_combination_of_window(spark, vals, window_rows):
+    """EWMA is a convex combination of the window's values, so every
+    output must lie within [min, max] of that row's window — for any
+    data, any alpha in (0,1), any truncation length. Also: the fold is
+    exactly reproducible in plain Python (left fold, same literals)."""
+    import datetime as dt
+
+    from iot_database_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), v, i) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "guid long, ts timestamp, value double, event_id long"
+    )
+    got = [
+        r.ewma
+        for r in ewma(df, alpha="0.3", window_rows=window_rows)
+        .orderBy("event_id")
+        .collect()
+    ]
+    for i, g in enumerate(got):
+        window = vals[max(0, i - window_rows + 1) : i + 1]
+        assert min(window) <= g <= max(window)
+        acc = window[0]
+        for x in window[1:]:
+            acc = 0.3 * x + 0.7 * acc
+        assert g == acc  # bit-identical to the reference left fold
