@@ -174,3 +174,30 @@ def test_range_join_is_equi_not_nested_loop(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_round5_new_ops_plan_shapes(spark, sf):
+    # EWMA: exactly one exchange (the guid window partition), no Python
+    ewma = _Q["ts_ewma_smooth"](spark, sf)
+    assert audit.count_exchanges(ewma) == 1
+    assert not audit.uses_python_udf(ewma)
+    # MAD: three window passes share ONE guid exchange (re-sorts, no
+    # re-shuffles), no join materializes
+    mad = _Q["ts_anomaly_mad"](spark, sf)
+    assert audit.count_exchanges(mad) == 1
+    assert not audit.uses_python_udf(mad)
+    # HTML strip: zero shuffles — a pure scan-side codegen regexp chain
+    strip = _Q["text_strip_html"](spark, sf)
+    assert audit.count_exchanges(strip) == 0
+    assert not audit.uses_python_udf(strip)
+    # sketch accuracy: the exact-distinct leg joins the sketch leg by
+    # BROADCAST (both are one-row-per-event_type), and the plan must NOT
+    # contain the fused per-(type,user) sketch-state expand (one
+    # aggregate per leg plus the distinct's two-level pair)
+    sk = _Q["approx_sketch_accuracy"](spark, sf)
+    assert audit.uses_broadcast_join(sk)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ObjectHashAggregate" in line:
+            keys = line.split("functions")[0]
+            assert "user_id" not in keys, line
