@@ -79,21 +79,40 @@ def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
 
 def detect_language(text: Column) -> Column:
     """Stopword-profile language ID: the language with the most stopword
-    hits wins; ties break alphabetically; zero hits -> 'unknown'."""
+    hits wins; ties break alphabetically; zero hits -> 'unknown'.
+
+    Implemented as ONE `aggregate` fold: all per-language counters
+    advance in a single pass over the token array, and the winner is
+    picked in the fold's finish lambda where the accumulator is a BOUND
+    VARIABLE (evaluated once). The naive form — one filter() per
+    language referenced again inside greatest() and every WHEN branch —
+    rebuilds the split/lower/filter tree ~6x per language, and Spark's
+    subexpression elimination cannot deduplicate expressions containing
+    lambda functions, so that cost was real (r5 honest bench)."""
+    langs = sorted(LANG_STOPWORDS.items())
+    arrs = {lang: F.array(*[F.lit(x) for x in sw]) for lang, sw in langs}
     words = F.transform(tokens(text), lambda w: F.lower(w))
+    acc0 = F.struct(*[F.lit(0).alias(lang) for lang, _ in langs])
 
-    def score(sw: tuple[str, ...]) -> Column:
-        sw_arr = F.array(*[F.lit(x) for x in sw])
-        return F.size(F.filter(words, lambda w: F.array_contains(sw_arr, w)))
+    def step(acc: Column, w: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[lang] + F.array_contains(arrs[lang], w).cast("int"))
+                .alias(lang)
+                for lang, _ in langs
+            ]
+        )
 
-    scores = [(lang, score(sw)) for lang, sw in sorted(LANG_STOPWORDS.items())]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("unknown")
-    # alphabetical-first tie-break: later (alphabetically greater)
-    # candidates only replace 'unknown'
-    for lang, s in reversed(scores):
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    def finish(acc: Column) -> Column:
+        best = F.greatest(*[acc[lang] for lang, _ in langs])
+        out = F.lit("unknown")
+        # alphabetical-first tie-break: later (alphabetically greater)
+        # candidates only replace 'unknown'
+        for lang, _ in reversed(langs):
+            out = F.when((acc[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return F.aggregate(words, acc0, step, finish)
 
 
 def fingerprint(
