@@ -102,6 +102,7 @@ HEADLINE = [
     "ts_range_join",
     "ts_ewma_smooth",
     "ts_anomaly_mad",
+    "ts_threshold_alerts",
     "text_strip_html",
     "approx_sketch_accuracy",
 ]

@@ -401,6 +401,63 @@ def ewma(
     ).drop("_ewma_vals")
 
 
+def threshold_alerts(
+    samples: DataFrame,
+    high: str = "200.0",
+    low: str = "100.0",
+    guid: str = "guid",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Hysteresis threshold alerting — the monitoring rule every SCADA /
+    IoT deployment runs on its point values (the reference's
+    QueryExecutionService re-evaluates full queries on a timer for
+    this; here it is an incremental stream-shaped operator): an alert
+    RAISES when the value reaches `high`, CLEARS only when it falls to
+    `low`, and values in the dead band (low, high) carry the previous
+    state — the two-threshold band is what stops a noisy signal
+    oscillating on one threshold from flapping the alarm.
+
+    Emits ONLY transitions: (guid, ts, value, alert='raise'|'clear').
+    The carried state is a LOCF window (last non-null decision), the
+    transition filter a lag compare — one exchange on guid, no Python,
+    and at 100 TB the output is tiny (state changes, not samples).
+    `high`/`low` are literal strings so an oracle engine parses the
+    identical doubles."""
+    v = F.col(value).cast("double")
+    decision = (
+        F.when(v >= F.expr(f"CAST({high} AS DOUBLE)"), F.lit(1))
+        .when(v <= F.expr(f"CAST({low} AS DOUBLE)"), F.lit(0))
+    )
+    w_run = (
+        W.partitionBy(guid)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    df = samples.withColumn(
+        "_state",
+        F.coalesce(F.last(decision, ignorenulls=True).over(w_run), F.lit(0)),
+    )
+    df = df.withColumn(
+        "_prev",
+        F.coalesce(
+            F.lag("_state").over(W.partitionBy(guid).orderBy(ts, tiebreak)),
+            F.lit(0),
+        ),
+    )
+    return (
+        df.filter(F.col("_state") != F.col("_prev"))
+        .withColumn(
+            "alert",
+            F.when(F.col("_state") == 1, F.lit("raise")).otherwise(
+                F.lit("clear")
+            ),
+        )
+        .drop("_state", "_prev")
+    )
+
+
 def mad_anomalies(
     samples: DataFrame,
     k: str = "3.0",

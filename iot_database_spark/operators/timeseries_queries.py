@@ -517,3 +517,57 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "absdev",
         "mad",
     )
+
+
+# Alert thresholds shared by the Spark plan and the oracle (identical
+# decimal literals -> identical doubles in both engines).
+_ALERT_HIGH = "200.0"
+_ALERT_LOW = "100.0"
+
+
+@register(
+    "ts_threshold_alerts",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    ), st AS (
+        SELECT *,
+               COALESCE(LAST_VALUE(
+                   CASE WHEN value >= CAST({_ALERT_HIGH} AS DOUBLE) THEN 1
+                        WHEN value <= CAST({_ALERT_LOW} AS DOUBLE) THEN 0
+                   END IGNORE NULLS)
+                 OVER (PARTITION BY guid ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS state
+        FROM s
+    ), tr AS (
+        SELECT *,
+               COALESCE(LAG(state) OVER (PARTITION BY guid
+                                         ORDER BY ts, event_id), 0) AS prev
+        FROM st
+    )
+    SELECT guid, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           CASE WHEN state = 1 THEN 'raise' ELSE 'clear' END AS alert
+    FROM tr WHERE state <> prev
+    """,
+)
+def ts_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting over the event series: raise at >= 200, clear
+    at <= 100, dead band carries state; only transitions are emitted
+    (see `timeseries.threshold_alerts` — LOCF state + lag compare, one
+    guid exchange, output proportional to state CHANGES not samples)."""
+    tables = load_views(spark, sf_dir)
+    samples = tables["events"].select(
+        F.col("user_id").cast("bigint").alias("guid"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    out = ts_ops.threshold_alerts(samples, high=_ALERT_HIGH, low=_ALERT_LOW)
+    return out.select(
+        "guid", epoch_us("ts").alias("ts_us"), "value", "alert"
+    )

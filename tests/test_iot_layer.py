@@ -316,3 +316,27 @@ def test_mad_anomaly_flags_outlier(spark):
     # median/MAD are elements of the data (discrete), not interpolations
     row = out.filter("event_id = 0").collect()[0]
     assert row.med in vals
+
+
+def test_threshold_alerts_hysteresis(spark):
+    # raise at >=100, clear at <=50; dead-band values must NOT flap
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 120.0, 80.0, 60.0, 130.0, 40.0, 70.0, 150.0]
+    #        -    raise  hold  hold  hold   clear hold  raise
+    rows = [(1, base + dt.timedelta(minutes=i), v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "guid long, ts timestamp, value double, event_id long")
+    out = sorted(
+        ts_ops.threshold_alerts(df, high="100.0", low="50.0").collect(),
+        key=lambda r: r.event_id,
+    )
+    assert [(r.value, r.alert) for r in out] == [
+        (120.0, "raise"),
+        (40.0, "clear"),
+        (150.0, "raise"),
+    ]
+    # a series that never crosses high emits nothing (initial state is clear)
+    quiet = spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=i), 30.0, i) for i in range(5)],
+        "guid long, ts timestamp, value double, event_id long",
+    )
+    assert ts_ops.threshold_alerts(quiet, high="100.0", low="50.0").count() == 0
