@@ -105,6 +105,7 @@ HEADLINE = [
     "ts_threshold_alerts",
     "text_strip_html",
     "approx_sketch_accuracy",
+    "text_trigram_coverage",
 ]
 
 

@@ -323,3 +323,47 @@ def pack_sequences(
         (slice_start - F.col("start")).alias("doc_off"),
         (slice_end - slice_start + 1).alias("n_tok"),
     )
+
+
+def trigram_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 1000
+) -> DataFrame:
+    """Fraction of each document's DISTINCT character trigrams that
+    appear in the corpus's top-k trigrams by document frequency — the
+    exact-arithmetic cousin of LM-perplexity quality filtering (see
+    `text_trigram_coverage` for the oracle-gated query + scale notes:
+    one explode, one df groupBy, TakeOrderedAndProject top-k that
+    broadcasts into a left-semi join)."""
+    from pyspark.sql import functions as F
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text)).alias("_t"))
+    tris_expr = F.when(
+        F.length("_t") >= 3,
+        F.expr(
+            "array_distinct(transform(sequence(1, length(_t) - 2),"
+            " i -> substring(_t, i, 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tl = d.select("doc_id", tris_expr.alias("tris"))
+    dt = tl.select("doc_id", F.explode("tris").alias("tri"))
+    topk = (
+        dt.groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tri"))
+        .limit(k)
+        .select("tri")
+    )
+    hit = (
+        dt.join(F.broadcast(topk), "tri", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return tl.join(hit, "doc_id", "left").select(
+        "doc_id",
+        F.size("tris").cast("bigint").alias("n_tri"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.greatest(F.size("tris"), F.lit(1))
+        ).alias("coverage"),
+    )

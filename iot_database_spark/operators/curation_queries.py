@@ -422,3 +422,56 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed, key = zorder_value(ev, ["user_id", "value"])
     return keyed.select("event_id", F.col(key).alias("zkey"))
+
+
+@register(
+    "text_trigram_coverage",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, LOWER(text) AS t
+        FROM documents
+    ), tl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(LENGTH(t) - 1, 1)),
+                   i -> substr(t, CAST(i AS INT), 3))) AS tris
+        FROM d
+    ), dt AS (
+        SELECT doc_id, UNNEST(tris) AS tri FROM tl
+    ), topk AS (
+        SELECT tri FROM (
+            SELECT tri, COUNT(*) AS df FROM dt
+            GROUP BY tri ORDER BY df DESC, tri LIMIT 1000
+        )
+    ), hit AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM dt WHERE tri IN (SELECT tri FROM topk)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.tris) AS BIGINT) AS n_tri,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / GREATEST(LEN(t.tris), 1) AS coverage
+    FROM tl t LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def text_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-domain quality signal without transcendentals: fraction of a
+    document's DISTINCT character trigrams that appear in the corpus's
+    top-1000 trigrams by document frequency — the exact-arithmetic
+    cousin of CCNet-style LM-perplexity filtering (a low-coverage doc
+    is the same outlier a high-perplexity doc is, but integer counts +
+    one final division hash-compare across engines where log-probs
+    cannot).
+
+    Scale shape: one explode of per-doc distinct trigrams (bounded:
+    <= len(text) entries/doc), one groupBy for document frequencies,
+    TakeOrderedAndProject for the top-1000, which then BROADCASTS into
+    a left-semi join — the corpus never re-shuffles on the doc axis,
+    and the model table is 1000 rows no matter how big the corpus."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return cu.trigram_coverage(docs, k=1000)

@@ -1078,3 +1078,30 @@ def test_y4m_real_pixel_decode(spark):
     # truncated final frame is dropped, not half-decoded
     trunc = blob[:-3]
     assert mm.parse_container(trunc)["n_frames"] == 1
+
+
+def test_trigram_coverage_separates_garbage(spark, sf_dir):
+    """A doc made of characters the corpus never uses must score far
+    below in-domain docs (the perplexity-filter contract)."""
+    from iot_database_spark.operators.curation import trigram_coverage
+    from iot_database_spark.operators.curation_queries import (
+        text_trigram_coverage,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(1, 10)
+    ] + [(10, "qz7#x9@k!m2$w8%v4^b6&n1*p3(j5)")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in trigram_coverage(df, k=50).collect()}
+    assert all(0.0 <= r.coverage <= 1.0 and r.n_hit <= r.n_tri for r in got.values())
+    assert got[1].coverage > 0.9  # in-domain: nearly all head trigrams
+    assert got[10].coverage < 0.2  # out-of-domain garbage scores low
+    # short/empty docs are well-defined, not division errors
+    tiny = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    t = {r.doc_id: r for r in trigram_coverage(tiny, k=10).collect()}
+    assert t[1].n_tri == 0 and t[1].coverage == 0.0
+    assert t[2].n_tri == 0 and t[2].coverage == 0.0
+    # the oracle-gated query runs end-to-end on the parquet corpus
+    out = text_trigram_coverage(spark, sf_dir).collect()
+    assert all(0.0 <= r.coverage <= 1.0 for r in out)
