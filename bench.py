@@ -106,6 +106,7 @@ HEADLINE = [
     "text_strip_html",
     "approx_sketch_accuracy",
     "text_trigram_coverage",
+    "stream_threshold_alerts",
 ]
 
 

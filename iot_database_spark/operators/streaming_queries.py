@@ -168,3 +168,70 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+@register(
+    "stream_threshold_alerts",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(user_id AS BIGINT) AS guid,
+               date_trunc('microsecond', ts) AS ts,
+               CAST(value AS DOUBLE) AS value,
+               CAST(event_id AS BIGINT) AS event_id
+        FROM events
+    ), st AS (
+        SELECT *,
+               COALESCE(LAST_VALUE(
+                   CASE WHEN value >= CAST(200.0 AS DOUBLE) THEN 1
+                        WHEN value <= CAST(100.0 AS DOUBLE) THEN 0
+                   END IGNORE NULLS)
+                 OVER (PARTITION BY guid ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS state
+        FROM s
+    ), tr AS (
+        SELECT *,
+               COALESCE(LAG(state) OVER (PARTITION BY guid
+                                         ORDER BY ts, event_id), 0) AS prev
+        FROM st
+    )
+    SELECT guid, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           CASE WHEN state = 1 THEN 'raise' ELSE 'clear' END AS alert
+    FROM tr WHERE state <> prev
+    """,
+)
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting computed BY A RUNNING STREAM: readStream file
+    source -> applyInPandasWithState (one int of state per series,
+    persisted across micro-batches) -> append memory sink. Must
+    hash-match the batch LOCF+lag window plan (`ts_threshold_alerts`'s
+    oracle) — the streaming==batch equivalence that lets the alarm rule
+    run incrementally instead of the reference's timer-driven full
+    re-query (Queries/QueryExecutionService.cs)."""
+    from iot_database_spark.streaming.stateful import (
+        streaming_threshold_alerts,
+    )
+
+    load_views(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").alias("guid"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value"),
+            F.col("event_id"),
+        )
+    )
+    alerts = streaming_threshold_alerts(stream, high=200.0, low=100.0)
+    sink = f"stream_alerts_{uuid.uuid4().hex[:8]}"
+    (
+        alerts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)

@@ -91,3 +91,61 @@ def streaming_effective_value(writes_stream):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ALERT_STATE_SCHEMA = "state int"
+ALERT_OUTPUT_SCHEMA = "guid bigint, ts_us bigint, value double, alert string"
+
+
+def make_alert_updater(high: float, low: float):
+    """applyInPandasWithState update function for hysteresis threshold
+    alerting (the streaming twin of `timeseries.threshold_alerts`): the
+    per-guid alert state (0=clear, 1=raised) persists in the state store
+    ACROSS micro-batches, each batch's samples replay in (ts, event_id)
+    order, and only transitions are emitted. A value >= high raises,
+    <= low clears, the dead band carries state — identical semantics to
+    the batch window plan, so the two are hash-interchangeable."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (guid,) = key
+        cur = int(state.get[0]) if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        epoch = batch["ts"].astype("datetime64[us]").astype("int64")
+        out_ts: list[int] = []
+        out_v: list[float] = []
+        out_a: list[str] = []
+        for t, v in zip(epoch, batch["value"]):
+            v = float(v)
+            nxt = 1 if v >= high else (0 if v <= low else cur)
+            if nxt != cur:
+                out_ts.append(int(t))
+                out_v.append(v)
+                out_a.append("raise" if nxt == 1 else "clear")
+            cur = nxt
+        state.update((cur,))
+        yield pd.DataFrame(
+            {
+                "guid": [int(guid)] * len(out_ts),
+                "ts_us": out_ts,
+                "value": out_v,
+                "alert": out_a,
+            }
+        )
+
+    return update
+
+
+def streaming_threshold_alerts(samples_stream, high: float, low: float):
+    """Stream of (guid bigint, ts timestamp, value double, event_id
+    bigint) -> append stream of alert transitions. State per guid is ONE
+    int — at 100 TB/day the store holds one integer per live series."""
+    return samples_stream.groupBy("guid").applyInPandasWithState(
+        make_alert_updater(high, low),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -298,3 +298,52 @@ def test_windowed_rollup_to_table_merges_across_batches(spark, tmp_path):
             assert got[k][c] == w[c], (k, c)
     # the updated 00:00 window was REPLACED in place: unique ids per window
     assert len({r["id"] for r in table.df.collect()}) == 3
+
+
+def test_streaming_alerts_carry_state_across_batches(spark, tmp_path):
+    """The clear in batch 2 is only detectable if batch 1's raised state
+    survived in the state store — one int per series, two micro-batches
+    (maxFilesPerTrigger=1)."""
+    import json as _json
+
+    from iot_database_spark.streaming.stateful import (
+        streaming_threshold_alerts,
+    )
+
+    src = tmp_path / "alerts_src"
+    src.mkdir()
+    b1 = [
+        {"guid": 1, "ts": "2024-01-01T00:00:00", "value": 10.0, "event_id": 1},
+        {"guid": 1, "ts": "2024-01-01T00:01:00", "value": 250.0, "event_id": 2},
+        {"guid": 1, "ts": "2024-01-01T00:02:00", "value": 150.0, "event_id": 3},
+    ]
+    b2 = [
+        # dead-band first: must NOT clear; then a true clear
+        {"guid": 1, "ts": "2024-01-01T00:03:00", "value": 120.0, "event_id": 4},
+        {"guid": 1, "ts": "2024-01-01T00:04:00", "value": 50.0, "event_id": 5},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema(
+            "guid bigint, ts timestamp, value double, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_threshold_alerts(stream, high=200.0, low=100.0)
+    (
+        out.writeStream.format("memory")
+        .queryName("alert_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "alert_ckpt"))
+        .start()
+        .awaitTermination(120)
+    )
+    rows = sorted(spark.table("alert_stream").collect(), key=lambda r: r.ts_us)
+    assert [(r.value, r.alert) for r in rows] == [
+        (250.0, "raise"),
+        (50.0, "clear"),
+    ]
