@@ -201,3 +201,15 @@ def test_round5_new_ops_plan_shapes(spark, sf):
         if "ObjectHashAggregate" in line:
             keys = line.split("functions")[0]
             assert "user_id" not in keys, line
+
+
+def test_round5_alerting_and_coverage_plan_shapes(spark, sf):
+    # hysteresis alerts: two window passes over ONE guid exchange
+    al = _Q["ts_threshold_alerts"](spark, sf)
+    assert audit.count_exchanges(al) == 1
+    assert not audit.uses_python_udf(al)
+    # trigram coverage: the 1000-row model must broadcast (left-semi)
+    # and the top-k must heap-take, not full-sort
+    cov = _Q["text_trigram_coverage"](spark, sf)
+    assert audit.uses_broadcast_join(cov)
+    assert audit.uses_take_ordered(cov)
