@@ -240,6 +240,12 @@ _SF1_SUBSET = (
     "text_token_count",
     "unit_convert_bulk",
     "string_format_regex",
+    # round-5 additions with per-series window or broadcast-model shapes
+    "ts_ewma_smooth",
+    "ts_anomaly_mad",
+    "ts_threshold_alerts",
+    "text_trigram_coverage",
+    "approx_sketch_accuracy",
 )
 
 
