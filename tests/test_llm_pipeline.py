@@ -1105,3 +1105,249 @@ def test_trigram_coverage_separates_garbage(spark, sf_dir):
     # the oracle-gated query runs end-to-end on the parquet corpus
     out = text_trigram_coverage(spark, sf_dir).collect()
     assert all(0.0 <= r.coverage <= 1.0 for r in out)
+
+
+# --- real still-image and JPEG entropy decode (round-5 codecs) ------------
+
+
+def _make_png(w, h, color, pix, plte=None, filters=None):
+    """Spec-side PNG encoder for fixtures (independent of the decoder):
+    filters applied per the RFC 2083 definitions, CRC-correct chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = pix.reshape(h, w * nch)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = rows[y].astype(np.int32)
+        enc = line.copy()
+        if f == 1:
+            enc[nch:] = (line[nch:] - line[:-nch]) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            for x in range(w * nch):
+                left = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(w * nch):
+                a = line[x - nch] if x >= nch else 0
+                up = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_real_pixel_decode_all_filters_and_color_types():
+    """png_decode_pixels is bit-exact for 8-bit gray/RGB/palette/
+    gray+alpha/RGBA across all five scanline filters; Adam7 and 16-bit
+    reject loudly."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pix = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(5, 7, 2, pix, filters=[0, 1, 2, 3, 4, 1, 4]))
+    assert (d["width"], d["height"]) == (5, 7)
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(7, 5, 3), pix
+    )
+    pixa = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(6, 4, 6, pixa, filters=[4, 3, 2, 1]))
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(4, 6, 3), pixa[:, :, :3]
+    )
+    g = rng.integers(0, 256, (3, 8, 1), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(8, 3, 0, g, filters=[1, 4, 3]))
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(3, 8, 3),
+        np.repeat(g, 3, axis=2),
+    )
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(4, 3, 4, ga, filters=[0, 2, 4]))
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(3, 4, 3),
+        np.repeat(ga[:, :, :1], 3, axis=2),
+    )
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pi = rng.integers(0, 16, (5, 5, 1), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(5, 5, 3, pi, plte=plte, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(5, 5, 3), plte[pi[:, :, 0]]
+    )
+    # Adam7 interlace: loud rejection, not garbage pixels
+    bad = bytearray(_make_png(5, 5, 2, rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)))
+    bad[28] = 1  # IHDR interlace byte
+    import zlib as _z
+    bad[29:33] = struct.pack(">I", _z.crc32(bytes(bad[12:29])) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        mm.png_decode_pixels(bytes(bad))
+
+
+def test_jpeg_baseline_roundtrip_and_rejections():
+    """jpeg_decode_pixels entropy-decodes baseline JPEG for real: a
+    near-lossless round trip through the independent encoder bounds
+    per-pixel error by the quantization step; 4:2:0 + restart markers
+    and grayscale decode; progressive rejects loudly."""
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import (
+        jpeg_decode_pixels,
+        jpeg_encode_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (w + h)], axis=2
+    ) + rng.normal(0, 3, (h, w, 3))
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+    # 4:4:4 with quant tables ~1: error bounded by DCT rounding
+    d = jpeg_decode_pixels(jpeg_encode_baseline(img.tobytes(), w, h, quant_scale=0.02))
+    assert (d["width"], d["height"], d["n_components"]) == (w, h, 3)
+    out = np.frombuffer(d["rgb"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    # 4:2:0 subsampling + restart interval, Annex K tables: lossy but close
+    d = jpeg_decode_pixels(
+        jpeg_encode_baseline(img.tobytes(), w, h, subsample=True, restart_interval=2)
+    )
+    out = np.frombuffer(d["rgb"], dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 10 and err.max() < 64
+
+    # grayscale: DCT round trip is exact on a smooth ramp
+    g = np.clip(np.round(xx * 255 / w), 0, 255).astype(np.uint8)
+    d = jpeg_decode_pixels(
+        jpeg_encode_baseline(g.tobytes(), w, h, quant_scale=0.02, grayscale=True)
+    )
+    assert d["n_components"] == 1
+    out = np.frombuffer(d["rgb"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 1], g)
+
+    # progressive (SOF2) rejects loudly
+    blob = bytearray(jpeg_encode_baseline(img.tobytes(), w, h))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode_pixels(bytes(blob))
+
+
+def test_image_decode_pixels_spark(spark):
+    """image_decode_pixels routes PNG/JPEG/GIF/BMP rows through one
+    mapInPandas stage and every row lands as rgb24 with real pixels."""
+    import struct
+
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import jpeg_encode_baseline
+
+    rng = np.random.default_rng(11)
+    png_pix = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    png = _make_png(4, 6, 2, png_pix, filters=[0, 1, 2, 3, 4, 1])
+    jw, jh = 16, 8
+    smooth = np.clip(
+        np.round(np.mgrid[0:jh, 0:jw][1] * 255 / jw), 0, 255
+    ).astype(np.uint8)
+    jpg = jpeg_encode_baseline(
+        np.repeat(smooth[:, :, None], 3, axis=2).tobytes(), jw, jh, quant_scale=0.02
+    )
+    bw, bh = 3, 2
+    bimg = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)
+    stride = (bw * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(bh - 1, -1, -1):
+        row = bytearray()
+        for x in range(bw):
+            row += bytes([bimg[y, x, 2], bimg[y, x, 1], bimg[y, x, 0]])
+        px += row + b"\x00" * (stride - len(row))
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, len(px), 0, 0, 0, 0)
+        + bytes(px)
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), {}),
+            (2, "image", bytearray(jpg), {}),
+            (3, "image", bytearray(bmp), {}),
+            (4, "video", bytearray(b"not-an-image"), {}),  # filtered out
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.image_decode_pixels(media).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r["pixel_format"] == "rgb24" for r in rows.values())
+    assert np.array_equal(
+        np.frombuffer(bytes(rows[1]["rgb"]), dtype=np.uint8).reshape(6, 4, 3),
+        png_pix,
+    )
+    got_j = np.frombuffer(bytes(rows[2]["rgb"]), dtype=np.uint8).reshape(jh, jw, 3)
+    assert np.abs(got_j[:, :, 0].astype(int) - smooth.astype(int)).max() <= 4
+    assert np.array_equal(
+        np.frombuffer(bytes(rows[3]["rgb"]), dtype=np.uint8).reshape(bh, bw, 3),
+        bimg,
+    )
+
+
+def test_mjpeg_entropy_decode_to_rgb(spark):
+    """The MJPEG video path now decodes each baseline frame to REAL
+    rgb24 pixels (jpeg_codec entropy decode) instead of passing encoded
+    bytes; a non-baseline frame in the same stream stays honestly tagged
+    pixel_format='jpeg'."""
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import jpeg_encode_baseline
+
+    w, h = 16, 8
+    ramp = np.clip(
+        np.round(np.mgrid[0:h, 0:w][1] * 255 / w), 0, 255
+    ).astype(np.uint8)
+    f0 = jpeg_encode_baseline(
+        np.repeat(ramp[:, :, None], 3, axis=2).tobytes(), w, h, quant_scale=0.02
+    )
+    f1 = jpeg_encode_baseline(
+        (255 - np.repeat(ramp[:, :, None], 3, axis=2)).tobytes(), w, h, quant_scale=0.02
+    )
+    fake = _encode_fake_jpeg(4, 2, b"\x05\x06\x07")  # undecodable scan
+    blob = f0 + f1 + fake
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=1, pixels=True).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["pixel_format"] == "rgb24"
+    got0 = np.frombuffer(bytes(rows[0]["rgb"]), dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got0[:, :, 0].astype(int) - ramp.astype(int)).max() <= 4
+    got1 = np.frombuffer(bytes(rows[1]["rgb"]), dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got1[:, :, 0].astype(int) - (255 - ramp).astype(int)).max() <= 4
+    assert rows[2]["pixel_format"] == "jpeg"
+    assert bytes(rows[2]["rgb"]) == fake
