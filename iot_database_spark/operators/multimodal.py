@@ -1064,6 +1064,101 @@ def image_decode_pixels(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_rgb(
+    rgb: bytes, w: int, h: int, out_w: int, out_h: int,
+    method: str = "bilinear",
+) -> bytes:
+    """REAL raster resize over decoded RGB24 bytes, vectorized numpy.
+    'bilinear' uses half-pixel-center sampling (the OpenCV/PIL
+    align_corners=False convention); 'nearest' picks the covering source
+    pixel. Pure gather — no Python per-pixel loop."""
+    import numpy as np
+
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    if method == "nearest":
+        ix = np.clip(np.round(sx), 0, w - 1).astype(np.int64)
+        iy = np.clip(np.round(sy), 0, h - 1).astype(np.int64)
+        out = src[iy[:, None], ix[None, :]]
+    elif method == "bilinear":
+        x0 = np.clip(np.floor(sx), 0, w - 1).astype(np.int64)
+        y0 = np.clip(np.floor(sy), 0, h - 1).astype(np.int64)
+        x1 = np.minimum(x0 + 1, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        fx = np.clip(sx - x0, 0, 1)[None, :, None]
+        fy = np.clip(sy - y0, 0, 1)[:, None, None]
+        tl = src[y0[:, None], x0[None, :]]
+        tr = src[y0[:, None], x1[None, :]]
+        bl = src[y1[:, None], x0[None, :]]
+        br = src[y1[:, None], x1[None, :]]
+        out = (
+            tl * (1 - fx) * (1 - fy) + tr * fx * (1 - fy)
+            + bl * (1 - fx) * fy + br * fx * fy
+        )
+    else:
+        raise ValueError(f"resize method {method!r}: bilinear|nearest")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8).tobytes()
+
+
+def image_resize(
+    media: DataFrame, out_w: int, out_h: int, method: str = "bilinear"
+) -> DataFrame:
+    """Decode kind='image' rows and resize to (out_w, out_h) — REAL
+    pixels in, real pixels out, one mapInPandas stage (decode + resize
+    fuse inside the partition's Arrow batch; no intermediate shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "pixel_format", "rgb",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_image_bytes(bytes(content))
+                rows["media_id"].append(mid)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["pixel_format"].append("rgb24")
+                rows["rgb"].append(
+                    resize_rgb(d["rgb"], d["width"], d["height"],
+                               out_w, out_h, method)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter("kind = 'image'").select("media_id", "content").mapInPandas(
+        run, schema=IMAGE_PIXELS_SCHEMA
+    )
+
+
+def image_pixel_features(blob: bytes, grid: int = 8) -> list[float]:
+    """REAL image-content featurizer: decode to pixels, grayscale
+    (BT.601 luma), bilinear-resize to a grid x grid thumbnail, scale to
+    [0,1]. Survives re-encoding (JPEG quality change, PNG<->BMP) where
+    the byte-histogram featurizer sees unrelated bytes — so cosine over
+    these features finds NEAR-DUPLICATE IMAGES, feeding the same
+    embedding-cosine dedup / ANN operators the text pipeline uses."""
+    import numpy as np
+
+    d = decode_image_bytes(blob)
+    small = np.frombuffer(
+        resize_rgb(d["rgb"], d["width"], d["height"], grid, grid),
+        dtype=np.uint8,
+    ).reshape(grid, grid, 3).astype(np.float64)
+    luma = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
+    return [float(v) for v in (luma / 255.0).reshape(-1)]
+
+
+def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
+    """extract_features with the REAL pixel-content featurizer over
+    kind='image' rows: (media_id, feature array<float> of grid*grid
+    luma values). Chains directly into operators/similarity.py ANN and
+    operators/dedup.py embedding-cosine near-dup."""
+    return extract_features(
+        media.filter("kind = 'image'"),
+        featurizer=lambda blob: image_pixel_features(blob, grid),
+    )
+
+
 def _emit_jpeg_frame(emit, mid, idx, fb: bytes) -> None:
     """Emit one split JPEG frame: REAL entropy decode to rgb24 when the
     frame is baseline (operators/jpeg_codec.py — numpy Huffman + IDCT,

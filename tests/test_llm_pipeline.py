@@ -1351,3 +1351,92 @@ def test_mjpeg_entropy_decode_to_rgb(spark):
     assert np.abs(got1[:, :, 0].astype(int) - (255 - ramp).astype(int)).max() <= 4
     assert rows[2]["pixel_format"] == "jpeg"
     assert bytes(rows[2]["rgb"]) == fake
+
+
+def test_image_resize_real_semantics(spark):
+    """image_resize emits real resized pixels: nearest 2x upscaling
+    duplicates blocks exactly, bilinear preserves constants and linear
+    ramps, and the whole decode+resize runs in one mapInPandas stage."""
+    import numpy as np
+
+    # nearest 2x: each source pixel becomes an exact 2x2 block
+    src = np.array(
+        [[[10, 20, 30], [200, 100, 50]], [[0, 0, 0], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    up = np.frombuffer(
+        mm.resize_rgb(src.tobytes(), 2, 2, 4, 4, method="nearest"),
+        dtype=np.uint8,
+    ).reshape(4, 4, 3)
+    assert np.array_equal(up, np.repeat(np.repeat(src, 2, 0), 2, 1))
+
+    # bilinear preserves a constant image at any scale
+    const = np.full((5, 7, 3), 123, dtype=np.uint8)
+    out = np.frombuffer(
+        mm.resize_rgb(const.tobytes(), 7, 5, 13, 3), dtype=np.uint8
+    )
+    assert (out == 123).all()
+
+    # bilinear 2x downscale of a horizontal ramp averages pixel pairs
+    ramp = np.zeros((2, 8, 3), dtype=np.uint8)
+    ramp[:, :, :] = (np.arange(8) * 30).astype(np.uint8)[None, :, None]
+    down = np.frombuffer(
+        mm.resize_rgb(ramp.tobytes(), 8, 2, 4, 1), dtype=np.uint8
+    ).reshape(1, 4, 3)
+    expect = ((np.arange(8) * 30).reshape(4, 2).mean(axis=1)).round()
+    assert np.array_equal(down[0, :, 0].astype(float), expect)
+
+    # end-to-end through Spark: PNG in, resized rgb24 out
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_make_png(6, 6, 2, pix)), {})], mm.MEDIA_SCHEMA
+    )
+    rows = mm.image_resize(media, 3, 3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["pixel_format"]) == (3, 3, "rgb24")
+    assert len(bytes(r["rgb"])) == 3 * 3 * 3
+
+
+def test_image_features_find_reencoded_near_dups(spark):
+    """The pixel-content featurizer survives re-encoding: the same
+    picture as PNG and as a lossy JPEG land within cosine ~1, while a
+    different picture is far — byte-level features cannot do this, and
+    it is what lets the embedding-cosine dedup path deduplicate images."""
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import jpeg_encode_baseline
+
+    rng = np.random.default_rng(9)
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    photo = np.clip(
+        np.round(
+            np.stack([xx * 14, yy * 14, (xx + yy) * 7], axis=2)
+            + rng.normal(0, 4, (h, w, 3))
+        ), 0, 255,
+    ).astype(np.uint8)
+    other = 255 - photo.transpose(1, 0, 2)
+    png = _make_png(w, h, 2, photo)
+    jpg = jpeg_encode_baseline(photo.tobytes(), w, h)  # lossy re-encode
+    other_png = _make_png(w, h, 2, other)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), {}),
+            (2, "image", bytearray(jpg), {}),
+            (3, "image", bytearray(other_png), {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: np.array(r["feature"], dtype=float)
+        for r in mm.image_features(media).collect()
+    }
+    assert set(feats) == {1, 2, 3} and len(feats[1]) == 64
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(feats[1], feats[2]) > 0.995  # same picture, different codec
+    assert cos(feats[1], feats[3]) < 0.98  # different picture
