@@ -258,55 +258,12 @@ def _parse_bmp(b: bytes) -> dict | None:
     return {"codec": "bmp", "width": w, "height": abs(h)}
 
 
-def png_decode_pixels(b: bytes) -> dict:
-    """REAL PNG pixel decode — stdlib zlib only.
-
-    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), all five scanline filters, non-interlaced.
-    Alpha is dropped (not composited) so every image lands in the one
-    rgb24 frame schema. Adam7 interlace, 16-bit depth, and sub-byte
-    depths raise NotImplementedError with the feature named.
-    Returns {"width", "height", "rgb"}.
-    """
-    import zlib
-
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int):
+    """Reverse PNG scanline filtering for one (sub-)image of h lines of
+    w pixels: returns an (h, w*nch) uint8-valued int32 array. `raw` must
+    hold exactly h*(w*nch+1) bytes (filter byte + line, per RFC 2083)."""
     import numpy as np
 
-    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG stream")
-    pos = 8
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[pos : pos + 4])
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-            if depth != 8:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} unsupported (8-bit only)"
-                )
-            if interlace:
-                raise NotImplementedError("PNG Adam7 interlace unsupported")
-            if color not in (0, 2, 3, 4, 6):
-                raise ValueError(f"PNG color type {color} invalid")
-            ihdr = (w, h, color)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    w, h, color = ihdr
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
@@ -345,7 +302,84 @@ def png_decode_pixels(b: bytes) -> dict:
                 row[x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"PNG filter type {f} invalid")
-    px = recon.astype(np.uint8).reshape(h, w, nch)
+    return recon
+
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def png_decode_pixels(b: bytes) -> dict:
+    """REAL PNG pixel decode — stdlib zlib only.
+
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, and both
+    non-interlaced and Adam7-interlaced layouts (each of the seven
+    passes unfilters as its own sub-image, then scatters into place).
+    Alpha is dropped (not composited) so every image lands in the one
+    rgb24 frame schema. 16-bit depth and sub-byte depths raise
+    NotImplementedError with the feature named.
+    Returns {"width", "height", "rgb"}.
+    """
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} unsupported (8-bit only)"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace} invalid")
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"PNG color type {color} invalid")
+            ihdr = (w, h, color, interlace)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, color, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        recon = _png_unfilter(raw, w, h, nch)
+        px = recon.astype(np.uint8).reshape(h, w, nch)
+    else:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * nch + 1)
+            sub = _png_unfilter(raw[off : off + need], pw, ph, nch)
+            off += need
+            px[y0::dy, x0::dx] = (
+                sub.astype(np.uint8).reshape(ph, pw, nch)
+            )
     if color == 0:
         rgb = np.repeat(px, 3, axis=2)
     elif color == 2:

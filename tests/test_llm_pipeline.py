@@ -1110,9 +1110,47 @@ def test_trigram_coverage_separates_garbage(spark, sf_dir):
 # --- real still-image and JPEG entropy decode (round-5 codecs) ------------
 
 
-def _make_png(w, h, color, pix, plte=None, filters=None):
+def _png_filter_lines(rows, nch, filters):
+    """Apply RFC 2083 scanline filters forward (fixture side): rows is
+    an (h, w*nch) array; returns the filter-byte-prefixed raw stream."""
+    import numpy as np
+
+    h = rows.shape[0]
+    stride = rows.shape[1]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = rows[y].astype(np.int32)
+        enc = line.copy()
+        if f == 1:
+            enc[nch:] = (line[nch:] - line[:-nch]) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                up = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+        prev = line
+    return bytes(raw)
+
+
+def _make_png(w, h, color, pix, plte=None, filters=None, interlace=False):
     """Spec-side PNG encoder for fixtures (independent of the decoder):
-    filters applied per the RFC 2083 definitions, CRC-correct chunks."""
+    filters applied per the RFC 2083 definitions, CRC-correct chunks,
+    optional Adam7 interlacing (each pass filtered as its own image)."""
     import struct
     import zlib
 
@@ -1125,39 +1163,27 @@ def _make_png(w, h, color, pix, plte=None, filters=None):
         )
 
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    rows = pix.reshape(h, w * nch)
-    filters = filters or [0] * h
-    raw = bytearray()
-    prev = np.zeros(w * nch, dtype=np.int32)
-    for y in range(h):
-        f = filters[y]
-        line = rows[y].astype(np.int32)
-        enc = line.copy()
-        if f == 1:
-            enc[nch:] = (line[nch:] - line[:-nch]) & 0xFF
-        elif f == 2:
-            enc = (line - prev) & 0xFF
-        elif f == 3:
-            for x in range(w * nch):
-                left = line[x - nch] if x >= nch else 0
-                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:
-            for x in range(w * nch):
-                a = line[x - nch] if x >= nch else 0
-                up = prev[x]
-                c = prev[x - nch] if x >= nch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                enc[x] = (line[x] - pred) & 0xFF
-        raw.append(f)
-        raw += bytes(enc.astype(np.uint8))
-        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    img = pix.reshape(h, w, nch)
+    if not interlace:
+        raw = _png_filter_lines(img.reshape(h, w * nch), nch, filters)
+    else:
+        raw = bytearray()
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        for pi, (x0, y0, dx, dy) in enumerate(passes):
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            # cycle filters per pass so every filter sees interlaced lines
+            pfilters = [(pi + y) % 5 for y in range(ph)]
+            raw += _png_filter_lines(sub.reshape(ph, pw * nch), nch, pfilters)
+        raw = bytes(raw)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         out += chunk(b"PLTE", plte.tobytes())
-    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def test_png_real_pixel_decode_all_filters_and_color_types():
@@ -1198,12 +1224,26 @@ def test_png_real_pixel_decode_all_filters_and_color_types():
     assert np.array_equal(
         np.frombuffer(d["rgb"], dtype=np.uint8).reshape(5, 5, 3), plte[pi[:, :, 0]]
     )
-    # Adam7 interlace: loud rejection, not garbage pixels
-    bad = bytearray(_make_png(5, 5, 2, rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)))
-    bad[28] = 1  # IHDR interlace byte
+    # Adam7 interlace: all seven passes unfilter and scatter bit-exactly
+    # (11x9 exercises partial passes and odd tails)
+    ipix = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(11, 9, 2, ipix, interlace=True))
+    assert (d["width"], d["height"]) == (11, 9)
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(9, 11, 3), ipix
+    )
+    # tiny image where late passes are empty
+    tpix = rng.integers(0, 256, (1, 2, 3), dtype=np.uint8)
+    d = mm.png_decode_pixels(_make_png(2, 1, 2, tpix, interlace=True))
+    assert np.array_equal(
+        np.frombuffer(d["rgb"], dtype=np.uint8).reshape(1, 2, 3), tpix
+    )
+    # 16-bit depth still rejects loudly
+    bad = bytearray(_make_png(4, 4, 2, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    bad[24] = 16  # IHDR bit-depth byte
     import zlib as _z
     bad[29:33] = struct.pack(">I", _z.crc32(bytes(bad[12:29])) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(NotImplementedError, match="16"):
         mm.png_decode_pixels(bytes(bad))
 
 
