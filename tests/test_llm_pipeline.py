@@ -1480,3 +1480,47 @@ def test_image_features_find_reencoded_near_dups(spark):
 
     assert cos(feats[1], feats[2]) > 0.995  # same picture, different codec
     assert cos(feats[1], feats[3]) < 0.98  # different picture
+
+
+def test_audio_resample_real_pcm(spark):
+    """audio_resample decodes WAV PCM, linearly resamples to the target
+    rate, and re-emits playable 16-bit WAV: a pure sine keeps its
+    frequency (zero-crossing count scales with duration, not rate), the
+    sample count scales by out/in, and audio_features reads the result
+    at the new rate."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    rate_in, rate_out, secs, freq = 8000, 16000, 1.0, 440.0
+    t = np.arange(int(rate_in * secs)) / rate_in
+    sine = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate_in)
+        w.writeframes(sine.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), {})], mm.MEDIA_SCHEMA
+    )
+    out = mm.audio_resample(media, rate_out).collect()
+    assert len(out) == 1
+    feats = {
+        r["media_id"]: r
+        for r in mm.audio_features(
+            spark.createDataFrame(out, mm.MEDIA_SCHEMA)
+        ).collect()
+    }
+    f = feats[1]
+    assert f["sample_rate"] == rate_out
+    assert abs(f["n_samples"] - int(rate_in * secs) * 2) <= 2
+    # a 440 Hz tone has 880 sign changes/sec regardless of sample rate:
+    # zcr (per-sample rate) should halve when the rate doubles
+    with wave.open(_io.BytesIO(bytes(out[0]["content"]))) as w2:
+        y = np.frombuffer(w2.readframes(w2.getnframes()), dtype=np.int16)
+    crossings = int(np.sum(np.signbit(y[1:]) != np.signbit(y[:-1])))
+    assert abs(crossings - 2 * freq * secs) <= 4
+    # amplitude preserved within interpolation loss
+    assert 0.30 <= f["rms"] <= 0.36  # sine rms = 0.5/sqrt(2) ~ 0.354
