@@ -1,21 +1,27 @@
-"""Baseline JPEG codec — pure stdlib + numpy, no media libraries.
+"""JPEG codec — pure stdlib + numpy, no media libraries.
 
-Decoder: ``jpeg_decode_pixels(b)`` entropy-decodes a baseline
-(SOF0/SOF1, 8-bit, Huffman) JPEG to raw RGB24 bytes: marker walk,
-DQT/DHT table collection, restart-interval handling, per-MCU Huffman
-decode, dequantize, zigzag, vectorized 8x8 IDCT (one einsum per
-component over all blocks), chroma upsampling for 4:2:0/4:2:2/4:1:1,
-and the JPEG full-range BT.601 YCbCr->RGB matrix.  Progressive (SOF2),
-arithmetic-coded, hierarchical, and 12-bit streams raise
-NotImplementedError with the feature named -- nothing silently passes
+Decoder: ``jpeg_decode_pixels(b)`` entropy-decodes BOTH sequential
+baseline (SOF0/SOF1) and progressive (SOF2) 8-bit Huffman JPEGs to raw
+RGB24 bytes: marker walk, DQT/DHT table collection, restart-interval
+handling, per-scan Huffman decode into per-component coefficient grids
+(progressive spectral selection AND successive approximation — DC
+first/refine, AC first/refine with EOB-run coding per ITU T.81 §G),
+then one reconstruction pass: dequantize, zigzag, vectorized 8x8 IDCT
+(one einsum per component over all blocks), chroma upsampling for
+4:2:0/4:2:2/4:1:1, and the JPEG full-range BT.601 YCbCr->RGB matrix.
+Arithmetic-coded, lossless, hierarchical, and 12-bit streams raise
+NotImplementedError with the feature named — nothing silently passes
 as decoded.
 
-Encoder: ``jpeg_encode_baseline(rgb, w, h)`` produces a spec-correct
-baseline JPEG (Annex K default Huffman tables, caller-scalable quant
-tables, optional 4:2:0 subsampling, optional restart intervals).  Its
-job is fixture generation: tests round-trip encoder->decoder and bound
-the per-pixel error by the quantization step, which verifies the
-decoder against an independently computed forward transform.
+Encoders (fixture generation): ``jpeg_encode_baseline(rgb, w, h)``
+writes a spec-correct baseline JPEG (Annex K tables, caller-scalable
+quant, optional 4:2:0, optional restart intervals);
+``jpeg_encode_progressive`` writes a SOF2 stream whose scan script
+exercises all four progressive scan types with successive
+approximation.  Coefficient recovery through the progressive path is
+exact, so the round-trip test demands BIT-IDENTICAL pixels between the
+baseline and progressive encodings of the same image — a much stronger
+check than a tolerance bound.
 
 This closes the reference's RTSP/MJPEG frame path (reference:
 Video/Clients/RtspClient.cs frame loop, VideoCollection.cs frame
@@ -30,7 +36,11 @@ import struct
 
 import numpy as np
 
-__all__ = ["jpeg_decode_pixels", "jpeg_encode_baseline"]
+__all__ = [
+    "jpeg_decode_pixels",
+    "jpeg_encode_baseline",
+    "jpeg_encode_progressive",
+]
 
 # zigzag order: index i of this array holds the (row-major) coefficient
 # position of the i-th coefficient in scan order (ITU T.81 Figure A.6)
@@ -182,12 +192,21 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode_pixels(b: bytes) -> dict:
-    """Decode a baseline JPEG to RGB24.
+    """Decode a JPEG to RGB24 — baseline (SOF0/SOF1) AND progressive
+    (SOF2) with both spectral selection and successive approximation.
+
+    Architecture: one marker walk accumulates DQT/DHT state and decodes
+    every SOS scan into per-component DCT-coefficient grids (progressive
+    JPEGs carry many scans — DC first/refine, per-band AC first/refine
+    with EOB-run coding per ITU T.81 §G); reconstruction (dequantize,
+    un-zigzag, vectorized IDCT, chroma upsample, YCbCr->RGB) runs once
+    at EOI over the final coefficients, so baseline is simply the
+    single-scan case of the same pipeline.
 
     Returns ``{"width", "height", "n_components", "rgb"}`` where rgb is
-    ``width*height*3`` bytes (grayscale is replicated to RGB so every
-    decoded image lands in one frame schema).  Raises ValueError for
-    malformed streams and NotImplementedError for non-baseline modes.
+    ``width*height*3`` bytes (grayscale replicated to RGB).  Raises
+    ValueError for malformed streams and NotImplementedError for
+    arithmetic coding, lossless/hierarchical modes, and 12-bit depth.
     """
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -195,9 +214,12 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
-    frame = None  # (w, h, [(cid, h, v, tq)])
+    frame = None  # (w, h, [(cid, h, v, tq)], progressive)
+    geo = None
+    coefs: list[np.ndarray] | None = None
     i = 2
     n = len(b)
+    saw_scan = False
     while i + 3 < n:
         if b[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
@@ -208,7 +230,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seglen]
@@ -221,9 +243,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                     tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8)
                     j += 64
                 else:
-                    tbl = np.frombuffer(
-                        seg[j : j + 128], dtype=">u2"
-                    )
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
                     j += 128
                 qt[tq] = tbl.astype(np.float64)
         elif marker == 0xC4:  # DHT
@@ -233,10 +253,11 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 counts = seg[j + 1 : j + 17]
                 total = sum(counts)
                 symbols = seg[j + 17 : j + 17 + total]
-                table = _HuffTable(counts, symbols)
-                (huff_dc if tc == 0 else huff_ac)[th] = table
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, symbols
+                )
                 j += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -248,19 +269,23 @@ def jpeg_decode_pixels(b: bytes) -> dict:
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
-                tq = seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            frame = (w, h, comps, marker == 0xC2)
+            geo = _frame_geometry(frame)
+            coefs = [
+                np.zeros((geo["bh"][ci] * geo["bw"][ci], 64), dtype=np.int32)
+                for ci in range(len(comps))
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
             name = {
-                0xC2: "progressive (SOF2)", 0xC3: "lossless (SOF3)",
+                0xC3: "lossless (SOF3)",
                 0xC9: "arithmetic-coded (SOF9)",
                 0xCA: "progressive arithmetic (SOF10)",
             }.get(marker, f"SOF{marker - 0xC0}")
             raise NotImplementedError(
-                f"JPEG {name} decoding unsupported — baseline "
-                "(SOF0/SOF1 Huffman) only"
+                f"JPEG {name} decoding unsupported — Huffman "
+                "sequential/progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
@@ -273,89 +298,274 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 cs = seg[1 + 2 * c]
                 tdta = seg[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                b, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            i = _decode_scan_into(
+                b, i + 2 + seglen, frame, geo, coefs, scan,
+                (ss, se, ah, al), huff_dc, huff_ac, restart_interval,
             )
+            saw_scan = True
+            continue
         i += 2 + seglen
-    raise ValueError("JPEG stream ended before SOS")
+    if not saw_scan:
+        raise ValueError("JPEG stream ended before SOS")
+    return _reconstruct(frame, geo, coefs, qt)
 
 
-def _decode_scan(
-    b: bytes,
-    pos: int,
-    frame: tuple,
-    scan: list[tuple[int, int, int]],
-    qt: dict[int, np.ndarray],
-    huff_dc: dict[int, _HuffTable],
-    huff_ac: dict[int, _HuffTable],
-    restart_interval: int,
-) -> dict:
-    w, h, comps = frame
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "JPEG multi-scan (non-interleaved) streams unsupported"
-        )
+def _frame_geometry(frame) -> dict:
+    """MCU tiling and per-component block-grid dims.
+
+    bw/bh: MCU-padded block grid (interleaved addressing, also the
+    coefficient-array shape).  nbw/nbh: the component's OWN block grid
+    (ceil(comp samples / 8)) — the traversal bounds of non-interleaved
+    scans per T.81 A.2.2."""
+    w, h, comps, _prog = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    by_id = {cs: (td, ta) for cs, td, ta in scan}
+    geo = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+           "bw": [], "bh": [], "nbw": [], "nbh": []}
+    for _cid, hi, vi, _tq in comps:
+        comp_w = (w * hi + hmax - 1) // hmax
+        comp_h = (h * vi + vmax - 1) // vmax
+        geo["bw"].append(mcux * hi)
+        geo["bh"].append(mcuy * vi)
+        geo["nbw"].append((comp_w + 7) // 8)
+        geo["nbh"].append((comp_h + 7) // 8)
+    return geo
 
-    # per component: block grid sized to the MCU tiling
-    plans = []  # (ci, hi, vi, qtbl, dctab, actab, coef array, blocks_w)
-    coefs = []
-    for cid, hi, vi, tq in comps:
-        if cid not in by_id:
+
+def _next_marker(b: bytes, p: int) -> int:
+    """Scan forward to the next true marker (skips entropy remnants,
+    stuffed FF00 pairs, fill bytes, and stray RSTn)."""
+    n = len(b)
+    while p + 1 < n:
+        if b[p] == 0xFF and b[p + 1] != 0x00 and not (
+            0xD0 <= b[p + 1] <= 0xD7
+        ) and b[p + 1] != 0xFF:
+            return p
+        p += 1
+    return n
+
+
+def _decode_scan_into(
+    b: bytes,
+    pos: int,
+    frame,
+    geo: dict,
+    coefs: list[np.ndarray],
+    scan: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    huff_dc: dict[int, _HuffTable],
+    huff_ac: dict[int, _HuffTable],
+    restart_interval: int,
+) -> int:
+    """Entropy-decode ONE scan into the coefficient grids; returns the
+    stream offset of the marker following the scan's entropy data."""
+    w, h, comps, progressive = frame
+    ss, se, ah, al = band
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    by_id = {c[0]: ci for ci, c in enumerate(comps)}
+    members = []  # (ci, dctab|None, actab|None)
+    for cs, td, ta in scan:
+        if cs not in by_id:
             raise ValueError("scan references unknown component")
-        td, ta = by_id[cid]
-        if tq not in qt or td not in huff_dc or ta not in huff_ac:
-            raise ValueError("JPEG scan missing quant/Huffman tables")
-        bw, bh = mcux * hi, mcuy * vi
-        arr = np.zeros((bh * bw, 64), dtype=np.int32)
-        coefs.append(arr)
-        plans.append((hi, vi, qt[tq], huff_dc[td], huff_ac[ta], arr, bw))
+        ci = by_id[cs]
+        dctab = actab = None
+        if ss == 0:
+            dctab = huff_dc.get(td)
+            if dctab is None and ah == 0:
+                raise ValueError("JPEG scan missing DC Huffman table")
+        if se > 0 and (not progressive or ss > 0):
+            actab = huff_ac.get(ta)
+            if actab is None:
+                raise ValueError("JPEG scan missing AC Huffman table")
+        members.append((ci, dctab, actab))
 
     br = _BitReader(b, pos)
-    pred = [0] * len(comps)
-    mcu_index = 0
-    total_mcus = mcux * mcuy
-    read_bits = br.read_bits
-    while mcu_index < total_mcus:
-        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+    pred = [0] * len(members)
+    eobrun = 0
+
+    def check_restart(unit_index: int) -> None:
+        nonlocal pred, eobrun
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
             m = br.byte_align_to_marker()
             if m is None or not (0xD0 <= m <= 0xD7):
                 raise ValueError("JPEG restart marker missing at interval")
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu_index, mcux)
-        for ci, (hi, vi, _q, dctab, actab, arr, bw) in enumerate(plans):
-            for vy in range(vi):
-                for vx in range(hi):
-                    row = arr[(my * vi + vy) * bw + (mx * hi + vx)]
-                    t = dctab.decode(br)
-                    diff = _extend(read_bits(t), t)
-                    pred[ci] += diff
-                    row[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = actab.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index out of range")
-                        row[k] = _extend(read_bits(s), s)
-                        k += 1
-        mcu_index += 1
+            pred = [0] * len(members)
+            eobrun = 0
 
-    # dequantize + un-zigzag + IDCT, vectorized per component
+    if len(members) > 1 or (ss == 0 and not progressive):
+        # interleaved MCU traversal (baseline scans; progressive DC)
+        mcux, mcuy = geo["mcux"], geo["mcuy"]
+        for mcu in range(mcux * mcuy):
+            check_restart(mcu)
+            my, mx = divmod(mcu, mcux)
+            for mi, (ci, dctab, actab) in enumerate(members):
+                _cid, hi, vi, _tq = comps[ci]
+                bw = geo["bw"][ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        row = coefs[ci][(my * vi + vy) * bw + (mx * hi + vx)]
+                        if not progressive:
+                            pred[mi] = _decode_block_baseline(
+                                br, row, dctab, actab, pred[mi]
+                            )
+                        elif ah == 0:
+                            pred[mi] = _decode_dc_first(
+                                br, row, dctab, pred[mi], al
+                            )
+                        else:
+                            _decode_dc_refine(br, row, al)
+    else:
+        # non-interleaved: the component's own block grid
+        ci, dctab, actab = members[0]
+        nbw, nbh = geo["nbw"][ci], geo["nbh"][ci]
+        bw = geo["bw"][ci]
+        for blk in range(nbw * nbh):
+            check_restart(blk)
+            by, bx = divmod(blk, nbw)
+            row = coefs[ci][by * bw + bx]
+            if not progressive:
+                pred[0] = _decode_block_baseline(br, row, dctab, actab, pred[0])
+            elif ss == 0:
+                if ah == 0:
+                    pred[0] = _decode_dc_first(br, row, dctab, pred[0], al)
+                else:
+                    _decode_dc_refine(br, row, al)
+            elif ah == 0:
+                eobrun = _decode_ac_first(br, row, actab, ss, se, al, eobrun)
+            else:
+                eobrun = _decode_ac_refine(br, row, actab, ss, se, al, eobrun)
+    return _next_marker(b, br.pos)
+
+
+def _decode_block_baseline(br, row, dctab, actab, pred: int) -> int:
+    t = dctab.decode(br)
+    pred += _extend(br.read_bits(t), t)
+    row[0] = pred
+    k = 1
+    while k < 64:
+        rs = actab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index out of range")
+        row[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _decode_dc_first(br, row, dctab, pred: int, al: int) -> int:
+    t = dctab.decode(br)
+    pred += _extend(br.read_bits(t), t)
+    row[0] = pred << al
+    return pred
+
+
+def _decode_dc_refine(br, row, al: int) -> None:
+    if br.read_bit():
+        row[0] |= 1 << al
+
+
+def _decode_ac_first(br, row, actab, ss, se, al, eobrun: int) -> int:
+    """Progressive AC first scan (T.81 G.1.2.2): band coefficients with
+    EOB-run coding; values arrive point-transformed (<< al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = actab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index out of range")
+        row[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br, row, actab, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction bit
+    per already-nonzero coefficient, new coefficients inserted at +-2^al
+    with run lengths counting only zero-history positions.  An EOBn
+    symbol still corrects the REMAINDER of the current block before the
+    run covers the following n-1 whole blocks."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        while k <= se:
+            c = row[k]
+            if c != 0 and br.read_bit() and (c & p1) == 0:
+                row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+
+    if eobrun > 0:
+        correct(ss)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = actab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:  # EOBn: finish this block's corrections, then run
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                correct(k)
+                return eobrun
+            # r == 15 (ZRL): skip 16 zero-history coefficients
+        elif s == 1:
+            val = p1 if br.read_bit() else m1
+        else:
+            raise ValueError("JPEG AC refinement magnitude must be 1")
+        while k <= se:
+            c = row[k]
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            else:
+                if r == 0:
+                    if s:
+                        row[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _reconstruct(frame, geo, coefs, qt: dict[int, np.ndarray]) -> dict:
+    """Dequantize + un-zigzag + vectorized IDCT + upsample + color
+    convert the accumulated coefficient grids (shared by baseline and
+    progressive — baseline is the one-scan case)."""
+    w, h, comps, _prog = frame
+    hmax, vmax = geo["hmax"], geo["vmax"]
     planes = []
-    for hi, vi, qtbl, _d, _a, arr, bw in plans:
-        dq = arr.astype(np.float64) * qtbl[np.newaxis, :]
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("JPEG frame missing quantization table")
+        arr = coefs[ci]
+        bw = geo["bw"][ci]
+        dq = arr.astype(np.float64) * qt[tq][np.newaxis, :]
         blocks = np.zeros((arr.shape[0], 64), dtype=np.float64)
         blocks[:, ZIGZAG] = dq
         blocks = blocks.reshape(-1, 8, 8)
@@ -369,7 +579,6 @@ def _decode_scan(
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
-        # upsample to full MCU-grid resolution then crop to w x h
         if hi < hmax or vi < vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
@@ -740,5 +949,330 @@ def jpeg_encode_baseline(
 
     bwr.pad_align()
     out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (fixture generation for the progressive decoder)
+# --------------------------------------------------------------------------
+
+# Flat canonical table covering ALL 256 RS symbols (Annex K AC tables
+# omit the EOBn run symbols progressive scans need): 255 nine-bit codes
+# plus one ten-bit, Kraft-incomplete so padding 1-bits never alias.
+P_AC_COUNTS = bytes([0] * 8 + [255, 1] + [0] * 6)
+P_AC_SYMBOLS = bytes(list(range(255)) + [255])
+
+
+def _toward_zero(v: int, al: int) -> int:
+    """T.81 AC point transform: divide by 2^al truncating toward zero."""
+    a = abs(v) >> al
+    return a if v >= 0 else -a
+
+
+def _emit_dc_first(bw, zz_list, order, al, dc_code_list):
+    """order: list of (scan_member_index, block_row) pairs in MCU
+    traversal order; one DC predictor per scan member."""
+    preds = [0] * (max(m for m, _ in order) + 1)
+    for m, row in order:
+        d = int(row[0]) >> al  # arithmetic shift per G.1.2.1
+        t, bits = _mag_bits(d - preds[m])
+        preds[m] = d
+        c, ln = dc_code_list[m][t]
+        bw.write(c, ln)
+        if t:
+            bw.write(bits, t)
+
+
+def _emit_dc_refine(bw, order, al):
+    for _m, row in order:
+        bw.write((int(row[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, zz, block_indices, ss, se, al, ac_codes):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for bi in block_indices:
+        row = zz[bi]
+        tvals = [_toward_zero(int(row[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for j, t in enumerate(tvals):
+            if t:
+                last = j
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for j in range(last + 1):
+            t = tvals[j]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                r -= 16
+            s, bits = _mag_bits(t)
+            c, ln = ac_codes[(r << 4) | s]
+            bw.write(c, ln)
+            bw.write(bits, s)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+    flush()
+
+
+def _emit_ac_refine(bw, zz, block_indices, ss, se, al, ac_codes):
+    """T.81 G.1.2.3 encoder, mirroring the decoder's read order exactly:
+    newly-nonzero coefficients (magnitude 1 at this precision) carry run
+    lengths counting zero-history positions only; correction bits for
+    already-nonzero positions are emitted in positional order after the
+    symbol whose advance crosses them (a ZRL window carries only the
+    bits up to its 16th zero); EOB runs buffer bits across blocks."""
+    ah = al + 1
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in eob_bits:
+            bw.write(bit, 1)
+        eob_bits.clear()
+
+    for bi in block_indices:
+        row = zz[bi]
+        band = [int(row[k]) for k in range(ss, se + 1)]
+        t_lo = [_toward_zero(v, al) for v in band]
+        t_hi = [_toward_zero(v, ah) for v in band]
+        newly = [j for j in range(len(band)) if t_hi[j] == 0 and t_lo[j] != 0]
+        if not newly:
+            eobrun += 1
+            eob_bits.extend(abs(t_lo[j]) & 1 for j in range(len(band))
+                            if t_hi[j] != 0)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        last = newly[-1]
+        # pending events since the previous symbol, in positional order:
+        # 'z' = zero-history zero, ('b', bit) = correction bit
+        pending: list = []
+        for j in range(last + 1):
+            if t_hi[j] != 0:
+                pending.append(("b", abs(t_lo[j]) & 1))
+            elif t_lo[j] == 0:
+                pending.append("z")
+            else:  # newly nonzero, |t_lo| == 1
+                while sum(1 for e in pending if e == "z") > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    z = 0
+                    while z < 16:  # bits inside the 16-zero window only
+                        ev = pending.pop(0)
+                        if ev == "z":
+                            z += 1
+                        else:
+                            bw.write(ev[1], 1)
+                r = sum(1 for e in pending if e == "z")
+                c, ln = ac_codes[(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if band[j] > 0 else 0, 1)
+                for ev in pending:  # remaining corrections, in order
+                    if ev != "z":
+                        bw.write(ev[1], 1)
+                pending = []
+        if last < len(band) - 1:
+            eobrun += 1
+            eob_bits.extend(abs(t_lo[j]) & 1 for j in range(last + 1, len(band))
+                            if t_hi[j] != 0)
+    flush_eobrun()
+
+
+def jpeg_encode_progressive(
+    rgb: bytes | np.ndarray,
+    width: int,
+    height: int,
+    quant_scale: float = 1.0,
+    subsample: bool = False,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode a spec-correct PROGRESSIVE (SOF2) JPEG exercising all four
+    scan types the decoder must handle: interleaved DC first (Al=1),
+    per-component AC first over two spectral bands (Al=1), DC refinement
+    (Ah=1), and AC refinement (Ah=1) — i.e. full successive
+    approximation, the scan shape libjpeg's default progressive script
+    produces. Coefficient recovery is exact, so decoding this stream
+    must yield bit-identical pixels to the baseline encoding of the same
+    image with the same quantization tables (the round-trip test)."""
+    if grayscale:
+        arr = np.frombuffer(rgb, dtype=np.uint8) if isinstance(
+            rgb, (bytes, bytearray)
+        ) else np.asarray(rgb, dtype=np.uint8)
+        planes = [arr.reshape(height, width).astype(np.float64)]
+    else:
+        arr = np.frombuffer(rgb, dtype=np.uint8) if isinstance(
+            rgb, (bytes, bytearray)
+        ) else np.asarray(rgb, dtype=np.uint8)
+        img = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, bch = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bch,
+            -0.168736 * r - 0.331264 * g + 0.5 * bch + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * bch + 128,
+        ]
+    lq = np.clip(np.round(K_LUMA_QT * quant_scale), 1, 255).astype(np.int32)
+    cq = np.clip(np.round(K_CHROMA_QT * quant_scale), 1, 255).astype(np.int32)
+
+    ncomp = len(planes)
+    if grayscale:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    zz = []
+    bws = []
+    nbws, nbhs = [], []
+    for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+        comp_w = (width * hi + hmax - 1) // hmax
+        comp_h = (height * vi + vmax - 1) // vmax
+        pw, ph = mcux * hi * 8, mcuy * vi * 8
+        if ci > 0 and subsample:
+            # chroma: box-mean the edge-padded full-res plane (identical
+            # sample prep to jpeg_encode_baseline so the round-trip test
+            # can demand bit-equal pixels); result is already (ph, pw)
+            full = _pad_edge(plane, 16)[: mcuy * vmax * 8,
+                                        : mcux * hmax * 8]
+            padded = full.reshape(
+                full.shape[0] // 2, 2, full.shape[1] // 2, 2
+            ).mean(axis=(1, 3))[:ph, :pw]
+        else:
+            padded = np.pad(
+                plane[:comp_h, :comp_w],
+                ((0, ph - min(comp_h, ph)), (0, pw - min(comp_w, pw))),
+                mode="edge",
+            )[:ph, :pw]
+        zz.append(_fdct_quant(padded, lq if ci == 0 else cq))
+        bws.append(pw // 8)
+        nbws.append((comp_w + 7) // 8)
+        nbhs.append((comp_h + 7) // 8)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00])
+    out += bytes(int(lq[z]) for z in ZIGZAG)
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01])
+        out += bytes(int(cq[z]) for z in ZIGZAG)
+    # SOF2
+    comps_hdr = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+        for ci in range(ncomp)
+    )
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    ) + comps_hdr
+    # DHT: Annex K DC tables + the flat AC table as id 0
+    for tid, (counts, syms) in (
+        (0x00, K_DC_LUMA),
+        *(() if ncomp == 1 else ((0x01, K_DC_CHROMA),)),
+        (0x10, (P_AC_COUNTS, P_AC_SYMBOLS)),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 2 + 1 + 16 + len(syms)
+        ) + bytes([tid]) + counts + syms
+    dc_l = _huff_codes(*K_DC_LUMA)
+    dc_c = _huff_codes(*K_DC_CHROMA)
+    ac_flat = _huff_codes(P_AC_COUNTS, P_AC_SYMBOLS)
+
+    def sos(members, ss, se, ah, al):
+        seg = bytes([len(members)])
+        for cid, td, ta in members:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def mcu_order():
+        order = []
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        order.append(
+                            (ci, zz[ci][(my * vi + vy) * bws[ci] + mx * hi + vx])
+                        )
+        return order
+
+    dc_code_list = [dc_l] + [dc_c] * (ncomp - 1)
+    members_all = [
+        (ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)
+    ]
+    order = mcu_order()
+
+    # scan 1: DC first, Al=1, interleaved
+    out += sos(members_all, 0, 0, 0, 1)
+    bw = _BitWriter()
+    _emit_dc_first(bw, zz, order, 1, dc_code_list)
+    bw.pad_align()
+    out += bw.out
+    # scans 2..: AC first per component, two spectral bands, Al=1
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            idxs = [
+                by * bws[ci] + bx
+                for by in range(nbhs[ci])
+                for bx in range(nbws[ci])
+            ]
+            out += sos([(ci + 1, 0, 0)], ss_, se_, 0, 1)
+            bw = _BitWriter()
+            _emit_ac_first(bw, zz[ci], idxs, ss_, se_, 1, ac_flat)
+            bw.pad_align()
+            out += bw.out
+    # DC refinement, Ah=1 -> Al=0
+    out += sos(members_all, 0, 0, 1, 0)
+    bw = _BitWriter()
+    _emit_dc_refine(bw, order, 0)
+    bw.pad_align()
+    out += bw.out
+    # AC refinement per component, full band, Ah=1 -> Al=0
+    for ci in range(ncomp):
+        idxs = [
+            by * bws[ci] + bx
+            for by in range(nbhs[ci])
+            for bx in range(nbws[ci])
+        ]
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _emit_ac_refine(bw, zz[ci], idxs, 1, 63, 0, ac_flat)
+        bw.pad_align()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

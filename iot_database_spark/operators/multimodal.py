@@ -1270,11 +1270,12 @@ def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def _emit_jpeg_frame(emit, mid, idx, fb: bytes) -> None:
-    """Emit one split JPEG frame: REAL entropy decode to rgb24 when the
-    frame is baseline (operators/jpeg_codec.py — numpy Huffman + IDCT,
-    no codec library); non-baseline (progressive/12-bit) or damaged
-    frames keep their complete encoded bytes, honestly tagged
-    pixel_format='jpeg' so nothing encoded passes as pixels."""
+    """Emit one split JPEG frame: REAL entropy decode to rgb24 for both
+    baseline and progressive frames (operators/jpeg_codec.py — numpy
+    Huffman + IDCT, no codec library); undecodable frames (arithmetic-
+    coded, 12-bit, damaged scans) keep their complete encoded bytes,
+    honestly tagged pixel_format='jpeg' so nothing encoded passes as
+    pixels."""
     try:
         from .jpeg_codec import jpeg_decode_pixels  # noqa: PLC0415
 

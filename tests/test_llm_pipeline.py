@@ -1290,11 +1290,11 @@ def test_jpeg_baseline_roundtrip_and_rejections():
     out = np.frombuffer(d["rgb"], dtype=np.uint8).reshape(h, w, 3)
     assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 1], g)
 
-    # progressive (SOF2) rejects loudly
+    # arithmetic-coded (SOF9) rejects loudly
     blob = bytearray(jpeg_encode_baseline(img.tobytes(), w, h))
     idx = bytes(blob).find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_decode_pixels(bytes(blob))
 
 
@@ -1524,3 +1524,60 @@ def test_audio_resample_real_pcm(spark):
     assert abs(crossings - 2 * freq * secs) <= 4
     # amplitude preserved within interpolation loss
     assert 0.30 <= f["rms"] <= 0.36  # sine rms = 0.5/sqrt(2) ~ 0.354
+
+
+def test_jpeg_progressive_decode_bit_exact(spark):
+    """Progressive (SOF2) JPEG decodes for REAL — spectral selection AND
+    successive approximation. The progressive encoding of an image must
+    decode to BIT-IDENTICAL pixels as its baseline encoding with the
+    same quantization tables (coefficient recovery through DC/AC
+    first+refinement scans is exact), across 4:4:4, 4:2:0, and
+    grayscale; and a progressive frame inside an MJPEG stream decodes
+    to rgb24 through the Spark frame path."""
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import (
+        jpeg_decode_pixels,
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w = 29, 43  # non-multiples of 8/16: partial MCUs on both axes
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.round(
+            np.stack([xx * 255 / w, yy * 255 / h, (xx + yy) * 120 / (w + h)],
+                     axis=2)
+            + rng.normal(0, 8, (h, w, 3))
+        ), 0, 255,
+    ).astype(np.uint8)
+    for kw in (dict(), dict(subsample=True), dict(quant_scale=3.0)):
+        base = jpeg_decode_pixels(jpeg_encode_baseline(img.tobytes(), w, h, **kw))
+        prog = jpeg_decode_pixels(jpeg_encode_progressive(img.tobytes(), w, h, **kw))
+        assert base["rgb"] == prog["rgb"], f"progressive != baseline for {kw}"
+    g = img[:, :, 0]
+    base = jpeg_decode_pixels(
+        jpeg_encode_baseline(g.tobytes(), w, h, grayscale=True)
+    )
+    prog = jpeg_decode_pixels(
+        jpeg_encode_progressive(g.tobytes(), w, h, grayscale=True)
+    )
+    assert base["rgb"] == prog["rgb"]
+
+    # MJPEG stream mixing baseline and progressive frames: both decode
+    # to rgb24 through frame_sample(pixels=True)
+    f0 = jpeg_encode_baseline(img.tobytes(), w, h, quant_scale=0.02)
+    f1 = jpeg_encode_progressive(img.tobytes(), w, h, quant_scale=0.02)
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(f0 + f1), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=1, pixels=True).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0]["pixel_format"] == "rgb24"
+    assert rows[1]["pixel_format"] == "rgb24"
+    got = np.frombuffer(bytes(rows[1]["rgb"]), dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
