@@ -848,11 +848,12 @@ def jpeg_encode_baseline(
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01])
         out += bytes(int(cq[z]) for z in ZIGZAG)
     # SOF0
+    sub = {False: None, True: (2, 2), "420": (2, 2), "422": (2, 1)}[subsample]
     if grayscale:
         comps = bytes([1, 0x11, 0])
         ncomp = 1
     else:
-        hv = 0x22 if subsample else 0x11
+        hv = (sub[0] << 4) | sub[1] if sub else 0x11
         comps = bytes([1, hv, 0, 2, 0x11, 1, 3, 0x11, 1])
         ncomp = 3
     out += b"\xff\xc0" + struct.pack(
@@ -880,7 +881,7 @@ def jpeg_encode_baseline(
     dc_c = _huff_codes(*K_DC_CHROMA)
     ac_c = _huff_codes(*K_AC_CHROMA)
 
-    if grayscale or not subsample:
+    if grayscale or sub is None:
         mult = 8
         padded = [_pad_edge(p, mult) for p in planes]
         zz = [
@@ -909,20 +910,32 @@ def jpeg_encode_baseline(
                     bwr, pred[ci],
                 )
     else:
-        # 4:2:0 — luma 16x16 per MCU (4 blocks), chroma 8x8 box-averaged
-        y = _pad_edge(planes[0], 16)
+        # subsampled: luma 8*sh x 8*sv per MCU, chroma box-averaged
+        sh, sv = sub  # horizontal, vertical luma sampling factors
+        mw, mh = 8 * sh, 8 * sv  # MCU pixel dims
+        y = planes[0]
+        ph = -(-y.shape[0] // mh) * mh
+        pw = -(-y.shape[1] // mw) * mw
+        y = np.pad(y, ((0, ph - y.shape[0]), (0, pw - y.shape[1])),
+                   mode="edge")
         hh, ww = y.shape
-        cbf = planes[1]
-        crf = planes[2]
-        cb = _pad_edge(cbf, 16)[:hh, :ww]
-        cr = _pad_edge(crf, 16)[:hh, :ww]
-        cb = cb.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        chroma = []
+        for plane in planes[1:]:
+            c = np.pad(
+                plane,
+                ((0, hh - plane.shape[0]), (0, ww - plane.shape[1])),
+                mode="edge",
+            )
+            chroma.append(
+                c.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+            )
+        cb, cr = chroma
         zz_y = _fdct_quant(y, lq)
         zz_cb = _fdct_quant(cb, cq)
         zz_cr = _fdct_quant(cr, cq)
-        mcux, mcuy = ww // 16, hh // 16
+        mcux, mcuy = ww // mw, hh // mh
         ybw = ww // 8
+        cbw = ww // (8 * sh)
         bwr = _BitWriter()
         pred = [0, 0, 0]
         rst = 0
@@ -934,12 +947,12 @@ def jpeg_encode_baseline(
                 pred = [0, 0, 0]
             my, mx = divmod(m, mcux)
             idx = [
-                (my * 2 + vy) * ybw + (mx * 2 + vx)
-                for vy in range(2)
-                for vx in range(2)
+                (my * sv + vy) * ybw + (mx * sh + vx)
+                for vy in range(sv)
+                for vx in range(sh)
             ]
             pred[0] = _encode_blocks(zz_y[idx], dc_l, ac_l, bwr, pred[0])
-            ci = my * mcux + mx
+            ci = my * cbw + mx
             pred[1] = _encode_blocks(
                 zz_cb[ci : ci + 1], dc_c, ac_c, bwr, pred[1]
             )
@@ -1144,10 +1157,11 @@ def jpeg_encode_progressive(
     cq = np.clip(np.round(K_CHROMA_QT * quant_scale), 1, 255).astype(np.int32)
 
     ncomp = len(planes)
+    sub = {False: None, True: (2, 2), "420": (2, 2), "422": (2, 1)}[subsample]
     if grayscale:
         samp = [(1, 1)]
-    elif subsample:
-        samp = [(2, 2), (1, 1), (1, 1)]
+    elif sub:
+        samp = [sub, (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * 3
     hmax = max(s[0] for s in samp)
@@ -1162,14 +1176,18 @@ def jpeg_encode_progressive(
         comp_w = (width * hi + hmax - 1) // hmax
         comp_h = (height * vi + vmax - 1) // vmax
         pw, ph = mcux * hi * 8, mcuy * vi * 8
-        if ci > 0 and subsample:
+        if ci > 0 and sub:
             # chroma: box-mean the edge-padded full-res plane (identical
             # sample prep to jpeg_encode_baseline so the round-trip test
             # can demand bit-equal pixels); result is already (ph, pw)
-            full = _pad_edge(plane, 16)[: mcuy * vmax * 8,
-                                        : mcux * hmax * 8]
+            fh, fw = mcuy * vmax * 8, mcux * hmax * 8
+            full = np.pad(
+                plane,
+                ((0, fh - plane.shape[0]), (0, fw - plane.shape[1])),
+                mode="edge",
+            )[:fh, :fw]
             padded = full.reshape(
-                full.shape[0] // 2, 2, full.shape[1] // 2, 2
+                fh // vmax, vmax, fw // hmax, hmax
             ).mean(axis=(1, 3))[:ph, :pw]
         else:
             padded = np.pad(

@@ -1552,7 +1552,10 @@ def test_jpeg_progressive_decode_bit_exact(spark):
             + rng.normal(0, 8, (h, w, 3))
         ), 0, 255,
     ).astype(np.uint8)
-    for kw in (dict(), dict(subsample=True), dict(quant_scale=3.0)):
+    for kw in (
+        dict(), dict(subsample=True), dict(subsample="422"),
+        dict(quant_scale=3.0),
+    ):
         base = jpeg_decode_pixels(jpeg_encode_baseline(img.tobytes(), w, h, **kw))
         prog = jpeg_decode_pixels(jpeg_encode_progressive(img.tobytes(), w, h, **kw))
         assert base["rgb"] == prog["rgb"], f"progressive != baseline for {kw}"
