@@ -258,13 +258,16 @@ def _parse_bmp(b: bytes) -> dict | None:
     return {"codec": "bmp", "width": w, "height": abs(h)}
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, nch: int):
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bytes_per_sample: int = 1):
     """Reverse PNG scanline filtering for one (sub-)image of h lines of
-    w pixels: returns an (h, w*nch) uint8-valued int32 array. `raw` must
-    hold exactly h*(w*nch+1) bytes (filter byte + line, per RFC 2083)."""
+    w pixels: returns an (h, stride) uint8-valued int32 array. PNG
+    filtering is byte-wise at every bit depth (RFC 2083: the `bpp`
+    distance is rounded up to whole bytes), so 16-bit images reuse this
+    path with bytes_per_sample=2. `raw` must hold exactly h*(stride+1)
+    bytes (filter byte + line)."""
     import numpy as np
 
-    stride = w * nch
+    stride = w * nch * bytes_per_sample
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     arr = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
@@ -273,7 +276,7 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int):
     filters = arr[:, 0]
     lines = arr[:, 1:].astype(np.int32)
     recon = np.zeros((h, stride), dtype=np.int32)
-    bpp = nch
+    bpp = nch * bytes_per_sample
     for y in range(h):
         f = filters[y]
         line = lines[y]
@@ -315,13 +318,13 @@ _ADAM7 = (
 def png_decode_pixels(b: bytes) -> dict:
     """REAL PNG pixel decode — stdlib zlib only.
 
-    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), all five scanline filters, and both
-    non-interlaced and Adam7-interlaced layouts (each of the seven
-    passes unfilters as its own sub-image, then scatters into place).
-    Alpha is dropped (not composited) so every image lands in the one
-    rgb24 frame schema. 16-bit depth and sub-byte depths raise
-    NotImplementedError with the feature named.
+    Supports 8-bit and 16-bit depth (16-bit reduces to 8 by high
+    byte), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), all five scanline filters, and both non-interlaced and
+    Adam7-interlaced layouts (each of the seven passes unfilters as its
+    own sub-image, then scatters into place). Alpha is dropped (not
+    composited) so every image lands in the one rgb24 frame schema.
+    Sub-byte depths raise NotImplementedError with the feature named.
     Returns {"width", "height", "rgb"}.
     """
     import zlib
@@ -342,15 +345,15 @@ def png_decode_pixels(b: bytes) -> dict:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(
-                    f"PNG bit depth {depth} unsupported (8-bit only)"
+                    f"PNG bit depth {depth} unsupported (8/16-bit only)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace} invalid")
             if color not in (0, 2, 3, 4, 6):
                 raise ValueError(f"PNG color type {color} invalid")
-            ihdr = (w, h, color, interlace)
+            ihdr = (w, h, color, depth, interlace)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -360,12 +363,19 @@ def png_decode_pixels(b: bytes) -> dict:
         pos += 12 + clen  # len + type + data + crc
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    w, h, color, interlace = ihdr
+    w, h, color, depth, interlace = ihdr
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bps = depth // 8
     raw = zlib.decompress(bytes(idat))
+
+    def to_samples(recon, pw, ph):
+        # 16-bit samples are big-endian; keep the high byte (the
+        # standard 16->8 reduction)
+        a = recon.astype(np.uint8).reshape(ph, pw, nch * bps)
+        return a[:, :, ::2] if bps == 2 else a
+
     if not interlace:
-        recon = _png_unfilter(raw, w, h, nch)
-        px = recon.astype(np.uint8).reshape(h, w, nch)
+        px = to_samples(_png_unfilter(raw, w, h, nch, bps), w, h)
     else:
         px = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
@@ -374,12 +384,10 @@ def png_decode_pixels(b: bytes) -> dict:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * nch + 1)
-            sub = _png_unfilter(raw[off : off + need], pw, ph, nch)
+            need = ph * (pw * nch * bps + 1)
+            sub = _png_unfilter(raw[off : off + need], pw, ph, nch, bps)
             off += need
-            px[y0::dy, x0::dx] = (
-                sub.astype(np.uint8).reshape(ph, pw, nch)
-            )
+            px[y0::dy, x0::dx] = to_samples(sub, pw, ph)
     if color == 0:
         rgb = np.repeat(px, 3, axis=2)
     elif color == 2:

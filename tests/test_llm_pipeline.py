@@ -1238,12 +1238,40 @@ def test_png_real_pixel_decode_all_filters_and_color_types():
     assert np.array_equal(
         np.frombuffer(d["rgb"], dtype=np.uint8).reshape(1, 2, 3), tpix
     )
-    # 16-bit depth still rejects loudly
-    bad = bytearray(_make_png(4, 4, 2, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
-    bad[24] = 16  # IHDR bit-depth byte
+    # 16-bit depth decodes (high-byte reduction); PNG filtering is
+    # byte-wise at every depth so the same unfilter path serves it
     import zlib as _z
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    p16 = rng.integers(0, 65536, (3, 4, 3), dtype=np.uint16)
+    arr16 = np.frombuffer(
+        p16.astype(">u2").tobytes(), dtype=np.uint8
+    ).reshape(3, 24)
+    raw16 = bytearray()
+    for y in range(3):
+        raw16.append(0)
+        raw16 += bytes(arr16[y])
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bytes(raw16)))
+        + chunk(b"IEND", b"")
+    )
+    d16 = mm.png_decode_pixels(png16)
+    assert np.array_equal(
+        np.frombuffer(d16["rgb"], dtype=np.uint8).reshape(3, 4, 3),
+        (p16 >> 8).astype(np.uint8),
+    )
+    # sub-byte depth still rejects loudly
+    bad = bytearray(_make_png(4, 4, 2, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    bad[24] = 4  # IHDR bit-depth byte
     bad[29:33] = struct.pack(">I", _z.crc32(bytes(bad[12:29])) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="16"):
+    with pytest.raises(NotImplementedError, match="depth 4"):
         mm.png_decode_pixels(bytes(bad))
 
 
