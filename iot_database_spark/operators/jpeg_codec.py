@@ -439,7 +439,11 @@ def _decode_scan_into(
             elif ah == 0:
                 eobrun = _decode_ac_first(br, row, actab, ss, se, al, eobrun)
             else:
-                eobrun = _decode_ac_refine(br, row, actab, ss, se, al, eobrun)
+                # refinement touches every band coefficient: plain-list
+                # access is ~10x numpy scalar indexing in this loop
+                lrow = row.tolist()
+                eobrun = _decode_ac_refine(br, lrow, actab, ss, se, al, eobrun)
+                row[:] = lrow
     return _next_marker(b, br.pos)
 
 
