@@ -1612,3 +1612,47 @@ def test_jpeg_progressive_decode_bit_exact(spark):
     assert rows[1]["pixel_format"] == "rgb24"
     got = np.frombuffer(bytes(rows[1]["rgb"]), dtype=np.uint8).reshape(h, w, 3)
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_bpe_tokenizer_end_to_end(spark, sf_dir):
+    """REAL BPE: distributed word counts feed the driver-side
+    vocabulary-sized merge loop (deterministic tie-breaks), and encoding
+    runs once per DISTINCT word then broadcast-joins back — so Python
+    work is O(vocab), not O(corpus). Checks: classic merge behavior,
+    lossless reconstruction over the parquet corpus, count/tokenize
+    agreement, determinism, and the broadcast plan shape."""
+    from iot_database_spark.operators import bpe
+
+    # classic corpus (Sennrich et al. example shape): 'est' emerges
+    merges = bpe.train_bpe(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        num_merges=10,
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.encode_word("lowest", ranks) == ["low", "est"]
+    assert bpe.encode_word("xyz", ranks) == ["x", "y", "z"]  # OOV chars
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    wc = bpe.word_counts(docs, "text")
+    m1 = bpe.train_bpe(wc, num_merges=50)
+    m2 = bpe.train_bpe(wc, num_merges=50)
+    assert m1 == m2 and len(m1) == 50  # deterministic training
+
+    toks = bpe.bpe_tokenize(docs, m1, "text", "doc_id")
+    counts = bpe.bpe_token_count(docs, m1, "text", "doc_id")
+    got_t = {r["doc_id"]: r["tokens"] for r in toks.collect()}
+    got_c = {r["doc_id"]: r["bpe_tokens"] for r in counts.collect()}
+    assert set(got_t) == set(got_c)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import re
+
+    for did, tokens in got_t.items():
+        # lossless: concatenated subwords == concatenated words
+        words = [w for w in re.split(r"\s+", rows[did].lower()) if w]
+        assert "".join(tokens) == "".join(words)
+        assert got_c[did] == len(tokens)
+        # merges actually compress below character-level
+        assert len(tokens) < sum(len(w) for w in words)
+
+    plan = toks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # distinct-word encode joins back
