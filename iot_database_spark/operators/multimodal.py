@@ -1,6 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with the Spark-side plumbing (schema, partitioning, Arrow batch
-shape) real and the byte-level decoding stubbed.
+shape) real AND the byte-level decoding real for every container the
+environment can honestly support without codec libraries: PNG (incl.
+Adam7 + 16-bit), JPEG (baseline + progressive — operators/jpeg_codec),
+GIF, BMP, WAV PCM, Y4M raw video, and MJPEG(-in-AVI/-in-MP4) frames;
+only true inter-frame codecs (H.264 etc.) remain loud stubs.
 
 The reference stores media as chunked binary files (LiteStorage —
 LiteDB/Client/Storage/LiteStorage.cs; RTSP frames — Video/

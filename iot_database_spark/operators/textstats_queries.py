@@ -599,3 +599,24 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(tx.strip_html(F.col("html"))).alias("clean_digest"),
     )
+
+
+@register("text_bpe_token_count")  # trained tokenizer: rows-only driver check
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword token counts: train 100 BPE merges on the corpus's
+    own distributed word counts (deterministic tie-breaks — same data,
+    same merges, same counts every run), then count subwords per doc
+    via the O(vocab) distinct-word broadcast-encode plan. No SQL oracle
+    — DuckDB cannot run a BPE trainer — so this is a rows-only driver
+    check; lossless reconstruction and determinism are pinned by
+    `test_llm_pipeline.py::test_bpe_tokenizer_end_to_end`."""
+    from iot_database_spark.operators import bpe
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = bpe.train_bpe(bpe.word_counts(docs, "text"), num_merges=100)
+    return bpe.bpe_token_count(docs, merges, "text", "doc_id").orderBy(
+        "doc_id"
+    )
