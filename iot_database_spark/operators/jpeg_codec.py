@@ -398,8 +398,10 @@ def _decode_scan_into(
             pred = [0] * len(members)
             eobrun = 0
 
-    if len(members) > 1 or (ss == 0 and not progressive):
-        # interleaved MCU traversal (baseline scans; progressive DC)
+    if len(members) > 1:
+        # interleaved MCU traversal (multi-component scans only — a scan
+        # with Ns=1 is ALWAYS non-interleaved per T.81 A.2, traversing
+        # the component's own block grid, baseline included)
         mcux, mcuy = geo["mcux"], geo["mcuy"]
         for mcu in range(mcux * mcuy):
             check_restart(mcu)

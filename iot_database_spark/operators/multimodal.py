@@ -262,16 +262,15 @@ def _parse_bmp(b: bytes) -> dict | None:
     return {"codec": "bmp", "width": w, "height": abs(h)}
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bytes_per_sample: int = 1):
+def _png_unfilter(raw: bytes, stride: int, h: int, bpp: int):
     """Reverse PNG scanline filtering for one (sub-)image of h lines of
-    w pixels: returns an (h, stride) uint8-valued int32 array. PNG
-    filtering is byte-wise at every bit depth (RFC 2083: the `bpp`
-    distance is rounded up to whole bytes), so 16-bit images reuse this
-    path with bytes_per_sample=2. `raw` must hold exactly h*(stride+1)
+    `stride` bytes each: returns an (h, stride) uint8-valued int32
+    array. PNG filtering is byte-wise at every bit depth (RFC 2083: the
+    `bpp` pixel distance is rounded up to whole bytes — 1 for sub-byte
+    depths, nch*2 for 16-bit). `raw` must hold exactly h*(stride+1)
     bytes (filter byte + line)."""
     import numpy as np
 
-    stride = w * nch * bytes_per_sample
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     arr = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
@@ -280,7 +279,6 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bytes_per_sample: int = 
     filters = arr[:, 0]
     lines = arr[:, 1:].astype(np.int32)
     recon = np.zeros((h, stride), dtype=np.int32)
-    bpp = nch * bytes_per_sample
     for y in range(h):
         f = filters[y]
         line = lines[y]
@@ -322,13 +320,14 @@ _ADAM7 = (
 def png_decode_pixels(b: bytes) -> dict:
     """REAL PNG pixel decode — stdlib zlib only.
 
-    Supports 8-bit and 16-bit depth (16-bit reduces to 8 by high
-    byte), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA), all five scanline filters, and both non-interlaced and
-    Adam7-interlaced layouts (each of the seven passes unfilters as its
-    own sub-image, then scatters into place). Alpha is dropped (not
-    composited) so every image lands in the one rgb24 frame schema.
-    Sub-byte depths raise NotImplementedError with the feature named.
+    Supports every legal PNG bit depth — 1/2/4-bit (gray and palette;
+    MSB-first packed samples, unpacked vectorized), 8-bit, and 16-bit
+    (reduced to 8 by high byte) — color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters, and
+    both non-interlaced and Adam7-interlaced layouts (each of the seven
+    passes unfilters as its own sub-image, then scatters into place).
+    Alpha is dropped (not composited) so every image lands in the one
+    rgb24 frame schema.
     Returns {"width", "height", "rgb"}.
     """
     import zlib
@@ -349,10 +348,8 @@ def png_decode_pixels(b: bytes) -> dict:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth not in (8, 16):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} unsupported (8/16-bit only)"
-                )
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"PNG bit depth {depth} invalid")
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace} invalid")
             if color not in (0, 2, 3, 4, 6):
@@ -369,17 +366,34 @@ def png_decode_pixels(b: bytes) -> dict:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, color, depth, interlace = ihdr
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bps = depth // 8
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"PNG depth {depth} invalid for color type {color}")
     raw = zlib.decompress(bytes(idat))
 
+    def line_stride(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
+    bpp = max(1, nch * depth // 8)  # filter distance, whole bytes
+
     def to_samples(recon, pw, ph):
-        # 16-bit samples are big-endian; keep the high byte (the
-        # standard 16->8 reduction)
-        a = recon.astype(np.uint8).reshape(ph, pw, nch * bps)
-        return a[:, :, ::2] if bps == 2 else a
+        if depth == 16:
+            # big-endian samples; keep the high byte (16->8 reduction)
+            a = recon.astype(np.uint8).reshape(ph, pw, nch * 2)
+            return a[:, :, ::2]
+        if depth == 8:
+            return recon.astype(np.uint8).reshape(ph, pw, nch)
+        # sub-byte: MSB-first packed samples, unpack vectorized
+        bits = np.unpackbits(
+            recon.astype(np.uint8), axis=1
+        )[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        if color == 0:  # gray: scale to full 8-bit range (exact: 255/(2^d-1))
+            vals = vals * (255 // ((1 << depth) - 1))
+        return vals.astype(np.uint8)[:, :, np.newaxis]
 
     if not interlace:
-        px = to_samples(_png_unfilter(raw, w, h, nch, bps), w, h)
+        px = to_samples(_png_unfilter(raw, line_stride(w), h, bpp), w, h)
     else:
         px = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
@@ -388,8 +402,9 @@ def png_decode_pixels(b: bytes) -> dict:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * nch * bps + 1)
-            sub = _png_unfilter(raw[off : off + need], pw, ph, nch, bps)
+            st = line_stride(pw)
+            need = ph * (st + 1)
+            sub = _png_unfilter(raw[off : off + need], st, ph, bpp)
             off += need
             px[y0::dy, x0::dx] = to_samples(sub, pw, ph)
     if color == 0:

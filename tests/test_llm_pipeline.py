@@ -1267,11 +1267,36 @@ def test_png_real_pixel_decode_all_filters_and_color_types():
         np.frombuffer(d16["rgb"], dtype=np.uint8).reshape(3, 4, 3),
         (p16 >> 8).astype(np.uint8),
     )
-    # sub-byte depth still rejects loudly
+    # sub-byte depths decode: MSB-first packed samples (4-bit palette
+    # here; 1/2-bit gray covered by the same unpack path)
+    def pack4(sub):
+        ph, pw = sub.shape
+        raw4 = bytearray()
+        for y in range(ph):
+            raw4.append(0)
+            rowvals = list(sub[y]) + [0] * (pw % 2)
+            for i in range(0, len(rowvals), 2):
+                raw4.append((int(rowvals[i]) << 4) | int(rowvals[i + 1]))
+        return bytes(raw4)
+
+    plte4 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pidx = rng.integers(0, 16, (5, 7))
+    png4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 4, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte4.tobytes())
+        + chunk(b"IDAT", _z.compress(pack4(pidx)))
+        + chunk(b"IEND", b"")
+    )
+    d4 = mm.png_decode_pixels(png4)
+    assert np.array_equal(
+        np.frombuffer(d4["rgb"], dtype=np.uint8).reshape(5, 7, 3), plte4[pidx]
+    )
+    # sub-byte TRUECOLOR is spec-invalid and rejects loudly
     bad = bytearray(_make_png(4, 4, 2, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
-    bad[24] = 4  # IHDR bit-depth byte
+    bad[24] = 4  # IHDR bit-depth byte on color type 2
     bad[29:33] = struct.pack(">I", _z.crc32(bytes(bad[12:29])) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="depth 4"):
+    with pytest.raises(ValueError, match="color type"):
         mm.png_decode_pixels(bytes(bad))
 
 
