@@ -107,6 +107,7 @@ HEADLINE = [
     "approx_sketch_accuracy",
     "text_trigram_coverage",
     "stream_threshold_alerts",
+    "text_bpe_token_count",
 ]
 
 
