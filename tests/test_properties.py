@@ -285,3 +285,90 @@ def test_ewma_is_convex_combination_of_window(spark, vals, window_rows):
         for x in window[1:]:
             acc = 0.3 * x + 0.7 * acc
         assert g == acc  # bit-identical to the reference left fold
+
+
+# --- codec properties (round-5): PNG lossless, JPEG progressive==baseline --
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    color=st.sampled_from([0, 2, 3, 4, 6]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_lossless(w, h, color, interlace, seed):
+    """png_decode_pixels inverts the spec-side fixture encoder exactly
+    for every color type, random per-line filters, and both layouts."""
+    import numpy as np
+
+    from iot_database_spark.operators import multimodal as mm
+    from tests.test_llm_pipeline import _make_png
+
+    rng = np.random.default_rng(seed)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    hi = 16 if color == 3 else 256
+    pix = rng.integers(0, hi, (h, w, nch), dtype=np.uint8)
+    plte = (
+        rng.integers(0, 256, (16, 3), dtype=np.uint8) if color == 3 else None
+    )
+    filters = [int(f) for f in rng.integers(0, 5, h)]
+    png = _make_png(w, h, color, pix, plte=plte,
+                    filters=None if interlace else filters,
+                    interlace=interlace)
+    d = mm.png_decode_pixels(png)
+    got = np.frombuffer(d["rgb"], dtype=np.uint8).reshape(h, w, 3)
+    if color == 0:
+        expect = np.repeat(pix, 3, axis=2)
+    elif color == 2:
+        expect = pix
+    elif color == 3:
+        expect = plte[pix[:, :, 0]]
+    elif color == 4:
+        expect = np.repeat(pix[:, :, :1], 3, axis=2)
+    else:
+        expect = pix[:, :, :3]
+    assert np.array_equal(got, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 32),
+    sub=st.sampled_from([False, "420", "422"]),
+    gray=st.booleans(),
+    qscale=st.sampled_from([0.02, 1.0, 3.0]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline(w, h, sub, gray, qscale, seed):
+    """The progressive encoding of ANY image decodes bit-identically to
+    its baseline encoding with the same quantization tables: exact
+    coefficient recovery through DC/AC first+refinement scans, across
+    subsampling modes, partial MCUs, and quant scales."""
+    import numpy as np
+
+    from iot_database_spark.operators.jpeg_codec import (
+        jpeg_decode_pixels,
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        np.round(
+            np.stack([xx * 255 / w, yy * 255 / h, (xx + yy) * 120 / (w + h)],
+                     axis=2)
+            + rng.normal(0, 8, (h, w, 3))
+        ), 0, 255,
+    ).astype(np.uint8)
+    kw = dict(grayscale=True) if gray else dict(subsample=sub)
+    data = img[:, :, 0].tobytes() if gray else img.tobytes()
+    base = jpeg_decode_pixels(
+        jpeg_encode_baseline(data, w, h, quant_scale=qscale, **kw)
+    )
+    prog = jpeg_decode_pixels(
+        jpeg_encode_progressive(data, w, h, quant_scale=qscale, **kw)
+    )
+    assert base["rgb"] == prog["rgb"]
