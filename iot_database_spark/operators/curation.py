@@ -333,19 +333,31 @@ def trigram_coverage(
     exact-arithmetic cousin of LM-perplexity quality filtering (see
     `text_trigram_coverage` for the oracle-gated query + scale notes:
     one explode, one df groupBy, TakeOrderedAndProject top-k that
-    broadcasts into a left-semi join)."""
+    broadcasts into a left-semi join).
+
+    Extraction is a single regex pass: the zero-width lookahead
+    `(?=(...))` captures every OVERLAPPING 3-char window in one
+    compiled-automaton scan, where a `transform(sequence(...),
+    i -> substring(_t, i, 3))` lambda pays an interpreted per-element
+    call plus an O(position) UTF-8 seek per window — measured ~4x
+    slower per scan at sf0.1. `(?s)` keeps line terminators inside
+    trigrams (substring semantics). The corpus is extracted exactly
+    TWICE — once to build the top-k model, once to score — and the
+    trigram ARRAY is never carried through a join: n_tri and n_hit
+    fold into ONE aggregation over the scoring scan (the broadcast
+    model joins as a left marker, so present-and-absent trigrams
+    count in the same pass), and docs with no trigrams re-enter via a
+    column-pruned id-only scan; only bare ids and counts shuffle."""
     from pyspark.sql import functions as F
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text)).alias("_t"))
-    tris_expr = F.when(
-        F.length("_t") >= 3,
-        F.expr(
-            "array_distinct(transform(sequence(1, length(_t) - 2),"
-            " i -> substring(_t, i, 3)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tl = d.select("doc_id", tris_expr.alias("tris"))
-    dt = tl.select("doc_id", F.explode("tris").alias("tri"))
+    # empty/short/NULL text all resolve to an empty array (the regex
+    # simply has no match window when length < 3)
+    tris_expr = F.coalesce(
+        F.expr("array_distinct(regexp_extract_all(_t, '(?s)(?=(...))', 1))"),
+        F.array().cast("array<string>"),
+    )
+    dt = d.select("doc_id", F.explode(tris_expr).alias("tri"))
     topk = (
         dt.groupBy("tri")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -353,17 +365,20 @@ def trigram_coverage(
         .limit(k)
         .select("tri")
     )
-    hit = (
-        dt.join(F.broadcast(topk), "tri", "left_semi")
+    cnt = (
+        dt.join(F.broadcast(topk.withColumn("_hit", F.lit(1))), "tri", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+            F.count("_hit").cast("bigint").alias("n_hit"),
+        )
     )
-    return tl.join(hit, "doc_id", "left").select(
+    return d.select("doc_id").join(cnt, "doc_id", "left").select(
         "doc_id",
-        F.size("tris").cast("bigint").alias("n_tri"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
         (
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.greatest(F.size("tris"), F.lit(1))
+            / F.greatest(F.coalesce(F.col("n_tri"), F.lit(0)), F.lit(1))
         ).alias("coverage"),
     )
