@@ -173,7 +173,7 @@ def bpe_tokenize(
     ).filter(F.col("word") != "")
     distinct = words.select("word").distinct()
     encoded = _encoded_words(distinct, merges)
-    return (
+    toks = (
         words.join(F.broadcast(encoded), "word")
         .groupBy(id_col)
         .agg(
@@ -186,6 +186,15 @@ def bpe_tokenize(
                 )
             ).alias("tokens")
         )
+    )
+    # wordless docs (empty/NULL/whitespace-only text) dropped out at the
+    # explode; re-admit them with an empty token array via a
+    # column-pruned id-only scan so every input doc appears exactly once
+    return df.select(id_col).join(toks, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ).alias("tokens"),
     )
 
 
@@ -205,8 +214,15 @@ def bpe_token_count(
     encoded = _encoded_words(words.select("word").distinct(), merges).select(
         "word", F.size("tokens").alias("n_tokens")
     )
-    return (
+    cnt = (
         words.join(F.broadcast(encoded), "word")
         .groupBy(id_col)
         .agg(F.sum("n_tokens").cast("bigint").alias("bpe_tokens"))
+    )
+    # wordless docs count 0, not vanish (same re-admit as bpe_tokenize)
+    return df.select(id_col).join(cnt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("bpe_tokens"), F.lit(0)).cast("bigint").alias(
+            "bpe_tokens"
+        ),
     )

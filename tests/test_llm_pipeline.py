@@ -1681,3 +1681,18 @@ def test_bpe_tokenizer_end_to_end(spark, sf_dir):
 
     plan = toks._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # distinct-word encode joins back
+
+    # wordless docs (empty/NULL/whitespace-only) stay in the output with
+    # an empty token list / zero count instead of silently vanishing
+    edge = spark.createDataFrame(
+        [(1, "hello hello"), (2, ""), (3, None), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    et = {r["doc_id"]: r["tokens"] for r in
+          bpe.bpe_tokenize(edge, m1, "text", "doc_id").collect()}
+    ec = {r["doc_id"]: r["bpe_tokens"] for r in
+          bpe.bpe_token_count(edge, m1, "text", "doc_id").collect()}
+    assert set(et) == set(ec) == {1, 2, 3, 4}
+    assert "".join(et[1]) == "hellohello" and ec[1] == len(et[1]) > 0
+    for did in (2, 3, 4):
+        assert et[did] == [] and ec[did] == 0
