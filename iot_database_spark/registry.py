@@ -59,6 +59,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Queries whose code changes THIS round (e.g. the dedup_ngram_jaccard
 # perf rework) are deliberately NOT re-inserted here — that would break
 # disjointness; they are re-proved by the local oracle-parity suite.
+#
+# ROUND-6 ROTATION PREP (computed at end of round 5 from the union of
+# CORRECTNESS_r01..r04 plus this window): after r5 grades, 18 queries
+# registered during round 5 have NEVER had a driver row (local
+# oracle-parity green only) — approx_sketch_accuracy,
+# cagg_incremental_refresh, ts_range_join, ts_ewma_smooth,
+# ts_anomaly_mad, ts_threshold_alerts, dedup_ngram_jaccard_capped,
+# text_strip_html, text_bpe_token_count (rows-only, no oracle),
+# zorder_key_events, text_trigram_coverage, stream_rollup_to_table,
+# stream_threshold_alerts, timetravel_asof_digest,
+# evolution_nullfill_digest, txn_atomicity_digest, fk_cascade_digest,
+# plus nl_find_include_nested (deliberate rows-only) — and 5 are
+# r3-vintage (set_intersect, set_except, cube_agg, grouping_sets_agg,
+# pivot_status_by_segment). The r6 window should lead with those 23 and
+# fill the remaining 27 slots from the r4-graded set (then oldest-r5),
+# keeping every query's newest green row at most two rounds old.
 _PRIORITY: tuple[str, ...] = (
     # r2-vintage greens (oldest driver evidence)
     "scan_filter_project",
