@@ -14,9 +14,12 @@ tokenizer. The scale split follows how production BPE trainers
     the standard trainer cap), NOT corpus size, so it fits on the
     driver at any corpus scale;
   * encoding is distributed but runs once per DISTINCT word: distinct
-    words -> Arrow-batched pandas encode -> broadcast join back to the
-    exploded corpus. A 100 TB corpus with a 1M-word vocabulary encodes
-    1M words, not 10^12 occurrences.
+    words -> Arrow-batched pandas encode -> join back to the exploded
+    corpus, broadcast only when the measured vocabulary is small
+    (`_encoded_vocab`; shuffle join otherwise — a web-scale corpus has
+    hundreds of millions of distinct "words", past any broadcast
+    limit). A 100 TB corpus with a 1M-word vocabulary encodes 1M
+    words, not 10^12 occurrences.
 
 Merge selection is deterministic: highest pair count, ties broken by
 lexicographically smallest pair — so a retrained tokenizer on the same
@@ -152,29 +155,69 @@ def _encoded_words(
     return df_words.mapInPandas(run, schema="word string, tokens array<string>")
 
 
+# Broadcast the encoded vocabulary back onto the corpus only while it is
+# provably small. A web-scale corpus has hundreds of millions of distinct
+# "words" (URLs, typos, hashes) — far past any broadcast limit — so an
+# unconditional hint is an OOM at the 100 TB design point (r5 verdict).
+# 1M rows of (word, tokens) is tens of MB serialized: safely under the
+# 64 MB session threshold, and the win (skipping the corpus-side shuffle
+# of one row per word OCCURRENCE) is largest exactly when it applies.
+_BROADCAST_MAX_WORDS = 1_000_000
+
+
+def _encoded_vocab(
+    occurrences: DataFrame,
+    merges: list[tuple[str, str]],
+    broadcast_max_words: int,
+) -> DataFrame:
+    """Distinct-word table -> encoded vocab, broadcast-hinted only when
+    its measured row count is within broadcast_max_words.
+
+    The distinct vocab is persisted (MEMORY_AND_DISK) before counting so
+    the corpus scan + distinct shuffle run ONCE and the count that
+    justifies the hint reads the persisted result — the size check is
+    free at any corpus scale because the persisted frame is
+    vocabulary-sized, not corpus-sized. With broadcast_max_words <= 0
+    the count is skipped entirely and join strategy is left to
+    Catalyst/AQE (which can still convert to broadcast from runtime
+    stats): that is the plan shape asserted for the at-scale path in
+    tests/test_plans.py.
+    """
+    distinct = occurrences.select("word").distinct()
+    if broadcast_max_words <= 0:
+        return _encoded_words(distinct, merges)
+    from pyspark import StorageLevel
+
+    distinct = distinct.persist(StorageLevel.MEMORY_AND_DISK)
+    n_words = distinct.count()
+    encoded = _encoded_words(distinct, merges)
+    return F.broadcast(encoded) if n_words <= broadcast_max_words else encoded
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_words: int = _BROADCAST_MAX_WORDS,
 ) -> DataFrame:
     """Per-document subword tokens: (id_col, tokens array<string>).
 
     Plan shape for scale: explode to (doc, pos, word); the DISTINCT
-    words (vocabulary-sized) encode via pandas once each and broadcast-
-    join back onto the exploded corpus, so Python work is O(|vocab|)
-    while the corpus-sized path stays JVM-side; order restored by
-    position before flattening."""
+    words (vocabulary-sized) encode via pandas once each and join back
+    onto the exploded corpus — broadcast only while the measured vocab
+    is small (_encoded_vocab), shuffle join otherwise — so Python work
+    is O(|vocab|) while the corpus-sized path stays JVM-side; order
+    restored by position before flattening."""
     words = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text)), _SPLIT)).alias(
             "pos", "word"
         ),
     ).filter(F.col("word") != "")
-    distinct = words.select("word").distinct()
-    encoded = _encoded_words(distinct, merges)
+    encoded = _encoded_vocab(words, merges, broadcast_max_words)
     toks = (
-        words.join(F.broadcast(encoded), "word")
+        words.join(encoded, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -203,19 +246,20 @@ def bpe_token_count(
     merges: list[tuple[str, str]],
     text: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_words: int = _BROADCAST_MAX_WORDS,
 ) -> DataFrame:
     """Per-document subword token count — the aggregate most pipelines
-    actually need (sequence-length budgeting); same distinct-word
-    broadcast plan, counts summed JVM-side."""
+    actually need (sequence-length budgeting); same size-gated
+    distinct-word join plan as bpe_tokenize, counts summed JVM-side."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text)), _SPLIT)).alias("word"),
     ).filter(F.col("word") != "")
-    encoded = _encoded_words(words.select("word").distinct(), merges).select(
+    encoded = _encoded_vocab(words, merges, broadcast_max_words).select(
         "word", F.size("tokens").alias("n_tokens")
     )
     cnt = (
-        words.join(F.broadcast(encoded), "word")
+        words.join(encoded, "word")
         .groupBy(id_col)
         .agg(F.sum("n_tokens").cast("bigint").alias("bpe_tokens"))
     )

@@ -259,8 +259,9 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_df: int = 1000,
-    max_df_frac: float | None = None,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.001,
+    broadcast_sizes_max_docs: int = 2_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -268,16 +269,29 @@ def jaccard_pairs(
     the self-join — the skew guard that keeps the join linear in the
     number of truly-shared rare shingles.
 
-    max_df_frac is the SCALE-CORRECT form of that guard: a shingle is
-    dropped when its document frequency exceeds max_df_frac * n_docs
-    (floored at 2). An absolute cap stops engaging exactly when it's
-    needed most — as the corpus grows, every shingle's df grows with it,
-    so pair generation is Θ(Σ df²) ~ quadratic in corpus size until df
-    crosses the fixed cap (measured: 10x docs -> 18.9x runtime on the
-    sf1 probe, SCALE_r05.md). A fractional cap keeps the per-shingle
-    pair budget proportional to corpus size (stop-shingle removal, the
-    same reason search engines df-prune), at the cost of one extra
-    count() scalar. When both are given the tighter bound wins.
+    max_df_frac is the SCALE-CORRECT form of that guard and the
+    DEFAULT (0.1% of docs, floored at 2): a shingle is dropped when
+    its document frequency exceeds max_df_frac * n_docs. An absolute
+    cap stops engaging exactly when it's needed most — as the corpus
+    grows, every shingle's df grows with it, so pair generation is
+    Θ(Σ df²) ~ quadratic in corpus size until df crosses the fixed cap
+    (measured: 10x docs -> 18.9x runtime on the sf1 probe,
+    SCALE_r05.md). A fractional cap keeps the per-shingle pair budget
+    proportional to corpus size (stop-shingle removal, the same reason
+    search engines df-prune), at the cost of one extra count() scalar.
+    When both are given the tighter bound wins; both None means no df
+    guard at all (explicit opt-out, quadratic on dup-heavy data).
+
+    broadcast_sizes_max_docs gates the broadcast hint on the per-doc
+    set-size frame: the frame is one row PER DOCUMENT, so an
+    unconditional hint would force-broadcast billions of rows at the
+    100 TB design point, past AQE's own size check (r5 verdict). The
+    hint is applied only when the corpus row count — already known when
+    the fractional guard is on — is at or below this bound (~2M rows,
+    tens of MB); above it (or when n_docs was never counted) the join
+    is left to Catalyst/AQE, which shuffle-joins and may still convert
+    to broadcast from runtime stats if the aggregated pairs side turns
+    out small.
     """
     from iot_database_spark.operators.hof import let
 
@@ -296,9 +310,10 @@ def jaccard_pairs(
     # - set sizes are NOT carried through the token explode / posting
     #   lists / pair generation: df is one row per document, so the
     #   sizes frame is a plain second projection of it (no exchange) and
-    #   joins back — broadcast — onto the AGGREGATED pairs. Carrying two
-    #   int fields per pair row made the pair shuffle the bottleneck:
-    #   dropping them measured 31.9 s -> 11.2 s at the sf1 scale step.
+    #   joins back — broadcast only while the corpus is provably small,
+    #   see broadcast_sizes_max_docs above — onto the AGGREGATED pairs.
+    #   Carrying two int fields per pair row made the pair shuffle the
+    #   bottleneck: dropping them measured 31.9 s -> 11.2 s at sf1.
     # - one groupBy(s) exchange co-locates each shingle's posting list;
     #   the df-cap filter and i<j pair generation are per-row compute on
     #   the grouped arrays — no self-join, no second token shuffle.
@@ -327,25 +342,37 @@ def jaccard_pairs(
             F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
         )
 
-    cap = max_df
+    n_docs: int | None = None
+    cap: int | None = max_df
     if max_df_frac is not None:
         n_docs = df.count()
-        cap = min(max_df, max(2, int(max_df_frac * n_docs)))
+        frac_cap = max(2, int(max_df_frac * n_docs))
+        cap = frac_cap if max_df is None else min(max_df, frac_cap)
+    member_count = F.size("m")
     postings = (
         toks.groupBy("s")
         .agg(F.collect_list("id").alias("m"))
-        .filter(F.size("m").between(2, cap))
+        .filter(
+            member_count >= 2 if cap is None else member_count.between(2, cap)
+        )
     )
     inter = (
         _explode_pairs(postings, "m", build)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    # broadcast only when the per-doc sizes frame is provably bounded
+    # (docstring: broadcast_sizes_max_docs) — at 100 TB it is not
+    hint = (
+        F.broadcast
+        if n_docs is not None and n_docs <= broadcast_sizes_max_docs
+        else (lambda side: side)
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(hint(sa), "id_a")
+        .join(hint(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common")

@@ -165,20 +165,62 @@ _JACCARD_ORACLE = f"""
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+_JACCARD_FRAC_ONLY_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    dsh AS (SELECT DISTINCT id, s FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM dsh GROUP BY id),
+    cap AS (SELECT GREATEST(2, CAST(FLOOR(
+                CAST(0.001 AS DOUBLE) * COUNT(*)) AS BIGINT)) AS c
+            FROM words),
+    dfreq AS (SELECT s, COUNT(DISTINCT id) AS df_count FROM dsh GROUP BY s),
+    rare AS (SELECT dsh.id, dsh.s FROM dsh JOIN dfreq ON dsh.s = dfreq.s
+             WHERE dfreq.df_count <= (SELECT c FROM cap)),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_common / CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE) >= 0.02
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_FRAC_ONLY_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs (threshold 0.02 on synthetic data),
-    with the document-frequency join guard."""
-    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.02, max_df=1000)
+    """Exact 3-gram Jaccard pairs (threshold 0.02 on synthetic data)
+    under the operator's DEFAULT fractional document-frequency guard
+    (df <= 0.1% of docs, floored at 2) — the scale-correct stop-shingle
+    form; r5's absolute-cap default went 18.9x for 10x data on the sf1
+    probe (SCALE_r05.md), so the headline now measures the plan we'd
+    actually run at 100 TB. The old absolute-cap behavior survives as
+    dedup_ngram_jaccard_absolute (compat)."""
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.02)
+
+
+@register("dedup_ngram_jaccard_absolute", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compat variant: the pre-r6 absolute max_df=1000 guard (kept so
+    the fixed-cap semantics stay driver-checkable; the headline
+    dedup_ngram_jaccard now defaults to the fractional guard). With
+    max_df_frac=None the corpus is never counted, so the set-size join
+    is deliberately left to AQE — no forced broadcast."""
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.02, max_df=1000, max_df_frac=None
+    )
 
 
 _JACCARD_FRAC_ORACLE = f"""
     WITH {_DUCK_SHINGLES},
     dsh AS (SELECT DISTINCT id, s FROM sh),
     sizes AS (SELECT id, COUNT(*) AS set_size FROM dsh GROUP BY id),
-    cap AS (SELECT LEAST(1000, GREATEST(2,
-                CAST(FLOOR(0.001 * COUNT(*)) AS BIGINT))) AS c
-            FROM documents),
+    cap AS (SELECT LEAST(1000, GREATEST(2, CAST(FLOOR(
+                CAST(0.001 AS DOUBLE) * COUNT(*)) AS BIGINT))) AS c
+            FROM words),
     dfreq AS (SELECT s, COUNT(DISTINCT id) AS df_count FROM dsh GROUP BY s),
     rare AS (SELECT dsh.id, dsh.s FROM dsh JOIN dfreq ON dsh.s = dfreq.s
              WHERE dfreq.df_count <= (SELECT c FROM cap)),

@@ -96,9 +96,15 @@ def test_simhash_close_for_neardups(corpus):
 
 
 def test_jaccard_pairs_ranks_neardups(corpus):
+    # explicit absolute cap, no fractional guard: on a 4-doc corpus the
+    # default 0.1% fractional cap floors at 2 and drops shingles the
+    # near-dup TRIPLE shares, which is the guard working as designed —
+    # this test checks raw jaccard arithmetic, so guards are disabled
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in dd.jaccard_pairs(corpus, threshold=0.01).collect()
+        for r in dd.jaccard_pairs(
+            corpus, threshold=0.01, max_df=1000, max_df_frac=None
+        ).collect()
     }
     assert pairs[(1, 2)] == 1.0
     assert 0.5 < pairs[(1, 3)] < 1.0
@@ -119,7 +125,9 @@ def test_jaccard_fractional_df_guard(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     uncapped = {
         (r["id_a"], r["id_b"]): r["n_common"]
-        for r in dd.jaccard_pairs(df, threshold=0.0, max_df=1000).collect()
+        for r in dd.jaccard_pairs(
+            df, threshold=0.0, max_df=1000, max_df_frac=None
+        ).collect()
     }
     # every doc pair shares the 'common common common' shingle
     assert len(uncapped) == 6
@@ -135,6 +143,13 @@ def test_jaccard_fractional_df_guard(spark):
     # tighter-bound-wins: an absolute cap of 1 beats the frac cap
     none = dd.jaccard_pairs(df, threshold=0.0, max_df=1, max_df_frac=0.5)
     assert none.count() == 0
+    # the DEFAULT is the fractional guard (0.1%, floored at 2): on this
+    # 4-doc corpus that is the same cap=2 as above — the all-docs stop
+    # shingle is dropped without any explicit argument
+    dflt = {
+        (r["id_a"], r["id_b"]) for r in dd.jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert dflt == {(1, 2)}
 
 
 def test_langid_and_quality(spark):

@@ -213,3 +213,42 @@ def test_round5_alerting_and_coverage_plan_shapes(spark, sf):
     cov = _Q["text_trigram_coverage"](spark, sf)
     assert audit.uses_broadcast_join(cov)
     assert audit.uses_take_ordered(cov)
+
+
+def test_round6_corpus_sized_broadcasts_are_size_gated(spark, sf):
+    """r5 verdict finding #1: the jaccard per-doc sizes frame and the
+    BPE encoded-vocab table are one row per document / per distinct
+    word — O(corpus) frames whose broadcast hint must be conditional on
+    a MEASURED size, or a 100 TB run force-broadcasts billions of rows
+    past AQE's checks. With the session broadcast threshold disabled,
+    any BroadcastHashJoin left in the plan can only come from a forced
+    hint — so the closed gate must plan a shuffle join and the open
+    gate must still hint."""
+    from iot_database_spark.operators import bpe
+    from iot_database_spark.operators import dedup as dd
+    from iot_database_spark.operators.dedup_queries import _docs
+
+    docs = _docs(spark, sf)
+    merges = [("t", "h"), ("th", "e")]
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        # gate closed (the at-scale path): shuffle join, no forced hint
+        big_j = dd.jaccard_pairs(
+            docs, threshold=0.02, broadcast_sizes_max_docs=0
+        )
+        assert not audit.uses_broadcast_join(big_j)
+        assert audit.uses_shuffle_join(big_j)
+        big_b = bpe.bpe_token_count(docs, merges, broadcast_max_words=0)
+        assert not audit.uses_broadcast_join(big_b)
+        assert audit.uses_shuffle_join(big_b)
+        # gate open (sizes/vocab measured small): the hint survives even
+        # with the session threshold off — it is the operator's own
+        # justified size check, not a static-stats guess
+        small_j = dd.jaccard_pairs(docs, threshold=0.02)
+        assert audit.uses_broadcast_join(small_j)
+        small_b = bpe.bpe_token_count(docs, merges)
+        assert audit.uses_broadcast_join(small_b)
+    finally:
+        spark.conf.set(key, old)
