@@ -620,3 +620,113 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_count(docs, merges, "text", "doc_id").orderBy(
         "doc_id"
     )
+
+
+# Pinned BPE merge list for the driver-hash-gated fixed-vocabulary
+# tokenizer query below: train_bpe(word_counts(sf0.001 documents),
+# num_merges=48) — training is fully deterministic (highest pair count,
+# lexicographic tie-break), and tests/test_llm_pipeline.py re-trains on
+# the same corpus and asserts equality, so this literal is provenance-
+# checked, not hand-maintained.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("q", "u"), ("qu", "ery"), ("c", "t"),
+    ("ct", "or"), ("e", "ctor"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB-side BPE encode as a recursive CTE over the pinned merge
+    table — the r5 verdict asked for exactly this so the BPE path gets a
+    VALUE hash gate, not a rows-only check.
+
+    Equivalence used: applying merges sequentially in training order,
+    each exhaustively left-to-right, equals the min-rank-first greedy
+    loop in bpe.encode_word — a merge's two symbols are always products
+    of strictly earlier merges, so a later merge can never create an
+    adjacency an earlier one still wants (property-tested on 3k random
+    words in test_llm_pipeline.py). Each word is held as a space-framed
+    token string (' t h e '); one merge step is a global regex replace
+    of ' a b ' with ' ab ' iterated to fixpoint — RE2's non-overlapping
+    leftmost scan consumes the shared frame space of back-to-back
+    occurrences, so repeated passes (idx advances only when the string
+    stops changing) complete the exhaustive application.
+    """
+    import re as _re
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(
+            i,
+            q(" " + _re.escape(a) + " " + _re.escape(b) + " "),
+            q(f" {a}{b} "),
+        )
+        for i, (a, b) in enumerate(_BPE_FIXED_MERGES)
+    )
+    n = len(_BPE_FIXED_MERGES)
+    return f"""
+    WITH RECURSIVE
+    merges(rank, pat, rep) AS (VALUES {rows}),
+    docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+    w AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+            FROM docs
+        ) WHERE word <> ''
+    ),
+    dw AS (SELECT DISTINCT word FROM w),
+    enc(word, s, idx) AS (
+        SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g'), 0
+        FROM dw
+        UNION ALL
+        SELECT word,
+               CASE WHEN ns <> s THEN ns ELSE s END,
+               CASE WHEN ns <> s THEN idx ELSE idx + 1 END
+        FROM (
+            SELECT e.word, e.s, e.idx,
+                   regexp_replace(e.s, m.pat, m.rep, 'g') AS ns
+            FROM enc e JOIN merges m ON m.rank = e.idx
+            WHERE e.idx < {n}
+        )
+    ),
+    final AS (
+        SELECT word, LEN(string_split(TRIM(s), ' ')) AS n_tokens
+        FROM enc WHERE idx = {n}
+    ),
+    counts AS (
+        SELECT w.doc_id, SUM(f.n_tokens) AS bpe_tokens
+        FROM w JOIN final f ON w.word = f.word
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+    FROM docs d LEFT JOIN counts c ON d.doc_id = c.doc_id
+    """
+
+
+@register("text_bpe_token_count_fixed", oracle=_bpe_fixed_oracle())
+def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counts under a FIXED pinned vocabulary (the
+    production shape: a tokenizer is trained once and shipped, then
+    applied to any corpus) — unlike text_bpe_token_count, which
+    re-trains on its input and therefore can only get a rows-only
+    driver check, this one is value-hash-gated against a DuckDB
+    recursive-CTE encoder over the same pinned merge table."""
+    from iot_database_spark.operators import bpe
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return bpe.bpe_token_count(docs, _BPE_FIXED_MERGES, "text", "doc_id")

@@ -1711,3 +1711,52 @@ def test_bpe_tokenizer_end_to_end(spark, sf_dir):
     assert "".join(et[1]) == "hellohello" and ec[1] == len(et[1]) > 0
     for did in (2, 3, 4):
         assert et[did] == [] and ec[did] == 0
+
+
+def test_bpe_fixed_merges_provenance_and_seq_equivalence(spark):
+    """The pinned merge list behind text_bpe_token_count_fixed must be
+    exactly what train_bpe produces on the sf0.001 corpus (determinism
+    makes the literal re-derivable, so it can never drift silently),
+    and the DuckDB oracle's encoding strategy — apply merges in
+    training order, each exhaustively left-to-right — must equal the
+    min-rank-first greedy loop in encode_word (see _bpe_fixed_oracle's
+    docstring for why that holds structurally)."""
+    import random
+
+    from iot_database_spark.operators import bpe
+    from iot_database_spark.operators.textstats_queries import (
+        _BPE_FIXED_MERGES,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    retrained = bpe.train_bpe(bpe.word_counts(docs, "text"), num_merges=48)
+    assert retrained == _BPE_FIXED_MERGES
+
+    def seq_apply(word: str, merges) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    ranks = {p: i for i, p in enumerate(_BPE_FIXED_MERGES)}
+    rng = random.Random(7)
+    alphabet = "abcdet h"  # biased toward merge-participating symbols
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 20)))
+        for _ in range(3000)
+    ]
+    corpus_words = [
+        w
+        for row in docs.select("text").collect()
+        for w in (row["text"] or "").lower().split()
+    ]
+    for w in set(corpus_words) | set(w.replace(" ", "") for w in fuzz if w.strip()):
+        assert bpe.encode_word(w, ranks) == seq_apply(w, _BPE_FIXED_MERGES), w
