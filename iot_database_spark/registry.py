@@ -42,92 +42,93 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # which queries get a driver row each round. Remaining queries follow in
 # registration order.
 #
-# Round-5 window (exactly 50 slots), per the r4 verdict: rotate to the
-# 55 oracle-backed queries NOT graded in round 4, oldest evidence first,
-# keeping the window fully DISJOINT from r4's 50 so every query's newest
-# green driver row is at most two rounds old.
+# Round-6 window (exactly 50 slots), executing the rotation plan written
+# at the end of round 5 and confirmed by the r5 verdict:
 #
-# 1. The 30 r2-vintage greens (their last driver evidence is round 2).
-# 2. 20 of the 25 r3-vintage greens. Five r3 queries are left to local
-#    verification (tests/test_oracle_parity.py runs the identical
-#    hash-compare): set_intersect / set_except (same code path as the
-#    r4-green set_union), cube_agg / grouping_sets_agg /
-#    pivot_status_by_segment (same grouping-analytics path as the
-#    r4-green rollup_agg) — the dropped five are exactly the ones whose
-#    r4-green siblings exercise the same operators.
+# 1. The 23 queries whose newest evidence is local-only or r3-vintage:
+#    18 registered during round 5 with no driver row yet (incl. the two
+#    deliberate rows-only checks text_bpe_token_count and
+#    nl_find_include_nested) plus the 5 r3-vintage greens that sat out
+#    rounds 4-5 (set_intersect, set_except, cube_agg, grouping_sets_agg,
+#    pivot_status_by_segment).
+# 2. The 3 queries whose semantics are new or changed THIS round and
+#    therefore need fresh driver proof: dedup_ngram_jaccard (now
+#    defaults to the fractional df guard), dedup_ngram_jaccard_absolute
+#    (the old absolute-cap semantics under a new name), and
+#    text_bpe_token_count_fixed (the new value-hash BPE gate).
+# 3. 24 of the 50 r4-graded queries (now the oldest driver evidence),
+#    preferring the ones whose code paths this round touched (the dedup
+#    family) and leaving out exactly the ones whose in-window siblings
+#    exercise the same operator (e.g. chain_append vs chain_verify,
+#    dedup_exact vs the minhash/cluster path).
 #
-# Queries whose code changes THIS round (e.g. the dedup_ngram_jaccard
-# perf rework) are deliberately NOT re-inserted here — that would break
-# disjointness; they are re-proved by the local oracle-parity suite.
-#
-# ROUND-6 ROTATION PREP (computed at end of round 5 from the union of
-# CORRECTNESS_r01..r04 plus this window): after r5 grades, 18 queries
-# registered during round 5 have NEVER had a driver row (local
-# oracle-parity green only) — approx_sketch_accuracy,
-# cagg_incremental_refresh, ts_range_join, ts_ewma_smooth,
-# ts_anomaly_mad, ts_threshold_alerts, dedup_ngram_jaccard_capped,
-# text_strip_html, text_bpe_token_count (rows-only, no oracle),
-# zorder_key_events, text_trigram_coverage, stream_rollup_to_table,
-# stream_threshold_alerts, timetravel_asof_digest,
-# evolution_nullfill_digest, txn_atomicity_digest, fk_cascade_digest,
-# plus nl_find_include_nested (deliberate rows-only) — and 5 are
-# r3-vintage (set_intersect, set_except, cube_agg, grouping_sets_agg,
-# pivot_status_by_segment). The r6 window should lead with those 23 and
-# fill the remaining 27 slots from the r4-graded set (then oldest-r5),
-# keeping every query's newest green row at most two rounds old.
+# After r6 grades: every query's newest green driver row is <= 2 rounds
+# old (the 26 r4-graded queries left out are exactly 2 rounds old; all
+# r5-graded are 1). ROUND-7 ROTATION PREP: lead with those 26 remaining
+# r4-vintage queries (chain_append, dedup_exact, text_fingerprint,
+# sql_include_digest, ts_locf_merge, ts_resample_interp, ts_asof_join,
+# ts_rollup_hourly, ts_detect_gaps, ts_rate_of_change,
+# stream_windowed_rollup, iot_effective_value, window_range_frame,
+# math_funcs, search_bm25_topk, search_hybrid_rrf, pipeline_clean_corpus,
+# pipeline_prepare_training_data, corpus_pack_sequences,
+# window_topk_per_group, window_running_sum, rollup_agg, set_union,
+# semi_join_exists, exact_percentiles) and fill the remaining 24 slots
+# from the oldest of r5's 50.
 _PRIORITY: tuple[str, ...] = (
-    # r2-vintage greens (oldest driver evidence)
-    "scan_filter_project",
-    "filter_in",
-    "sort_limit_offset",
-    "take_last",
-    "q01_pricing_summary",
-    "global_agg",
-    "groupby_having",
-    "string_funcs",
-    "date_funcs",
-    "json_extract",
-    "iot_write_gating",
-    "vector_cosine_topk",
-    "vector_l2_topk",
-    "vector_upsert_dedup",
-    "ann_ivf_cosine",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_quality_scores",
-    "text_token_count",
-    "text_langid",
-    "text_gopher_rules",
-    "text_scrub_pii",
-    "decontaminate_ngram_overlap",
-    "embedding_outliers",
-    "nl_find_filter_sort_limit",
-    "nl_find_dual_join",
-    "nl_find_dual_fk_inference",
-    "nl_find_triple_join",
-    "nl_find_include_digest",
-    "remote_serialized_find",
-    # r3-vintage greens
-    "filter_like",
-    "filter_between_not",
-    "multi_key_sort",
-    "distinct_op",
-    "count_exists_minmax",
-    "join2_orders_customer",
-    "join3_customer_nation_region",
-    "join4_revenue_by_nation",
-    "join6_local_supplier_revenue",
-    "include_children_agg",
-    "anti_join_not_exists",
-    "window_lag_delta",
-    "dbref_include_missing",
-    "any_all_quantifiers",
-    "q03_shipping_priority",
-    "correlated_scalar_subquery",
-    "window_rank_family",
-    "q06_revenue_forecast",
-    "event_funnel",
-    "event_cohort_retention",
+    # -- never driver-graded: registered in round 5 (local parity green)
+    "approx_sketch_accuracy",
+    "cagg_incremental_refresh",
+    "ts_range_join",
+    "ts_ewma_smooth",
+    "ts_anomaly_mad",
+    "ts_threshold_alerts",
+    "dedup_ngram_jaccard_capped",
+    "text_strip_html",
+    "text_bpe_token_count",
+    "zorder_key_events",
+    "text_trigram_coverage",
+    "stream_rollup_to_table",
+    "stream_threshold_alerts",
+    "timetravel_asof_digest",
+    "evolution_nullfill_digest",
+    "txn_atomicity_digest",
+    "fk_cascade_digest",
+    "nl_find_include_nested",
+    # -- r3-vintage greens that sat out rounds 4-5
+    "set_intersect",
+    "set_except",
+    "cube_agg",
+    "grouping_sets_agg",
+    "pivot_status_by_segment",
+    # -- new or semantics-changed in round 6
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_absolute",
+    "text_bpe_token_count_fixed",
+    # -- r4-graded refresh (oldest driver evidence)
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_repeated_ngrams",
+    "dedup_fuzzy_name_match",
+    "stream_exact_dedup",
+    "event_sessionization",
+    "skew_salted_agg",
+    "string_format_regex",
+    "conditional_cast",
+    "array_higher_order",
+    "try_cast_predicates",
+    "sha256_hash",
+    "map_functions",
+    "iot_password_hash",
+    "vector_l2_radius",
+    "text_chunk_windows",
+    "corpus_train_val_test_split",
+    "corpus_mixture_sample",
+    "heavy_hitter_ngrams",
+    "ann_lsh_cosine",
+    "text_quality_classifier",
+    "join_part_promo_monthly",
+    "chain_verify",
+    "unit_convert_bulk",
 )
 
 
