@@ -40,6 +40,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from iot_database_spark.operators import framestore
+
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, content binary, meta map<string,string>"
 )
@@ -895,6 +897,18 @@ def _parse_wav(b: bytes) -> dict | None:
         return None
 
 
+def _parse_framestore(b: bytes) -> dict | None:
+    """The reference's RTSP full/delta frame store (operators/
+    framestore.py) — no magic bytes, so detection is the structural walk
+    in framestore.sniff; n_frames is the record count."""
+    if not framestore.sniff(b):
+        return None
+    return {
+        "codec": "framestore",
+        "n_frames": sum(1 for _ in framestore.iter_records(b)),
+    }
+
+
 def parse_container(content: bytes) -> dict | None:
     """Best-effort real parse of the byte container. Returns typed
     metadata with a `codec` tag, or None if no known container matches."""
@@ -907,6 +921,7 @@ def parse_container(content: bytes) -> dict | None:
         _parse_mp4,
         _parse_y4m,
         _parse_wav,
+        _parse_framestore,
     ):
         meta = parse(content)
         if meta is not None:
@@ -1344,6 +1359,10 @@ def frame_sample(
       The same path serves MJPEG-in-AVI (RIFF chunk walk) and
       MJPEG-in-MP4 (stsz/stsc/stco sample resolution) — each container
       sample is a complete still JPEG.
+    - the reference's own RTSP frame store (full frames + sparse
+      byte-diff difference records, RtspClient.cs/VideoCollection.cs)
+      → records replay in-process (operators/framestore.py); JPEG
+      frames entropy-decode to 'rgb24', others emit as 'raw' bytes.
 
     True video codecs (H.264 in MP4/AVI etc.) raise NotImplementedError
     loudly — no media libraries in this environment; plug a real decoder
@@ -1409,6 +1428,19 @@ def frame_sample(
                         if i % every_n:
                             continue
                         _emit_jpeg_frame(emit, mid, i, fb)
+                elif framestore.sniff(blob):
+                    # the reference's own RTSP frame store: replay the
+                    # full/delta records (framestore.decode_frames);
+                    # frames that are themselves JPEGs continue into the
+                    # in-process entropy decoder, anything else is
+                    # emitted as honest raw bytes
+                    for i, fb in enumerate(framestore.decode_frames(blob)):
+                        if i % every_n:
+                            continue
+                        if fb[:2] == b"\xff\xd8":
+                            _emit_jpeg_frame(emit, mid, i, fb)
+                        else:
+                            emit(mid, i, 0, 0, 0, "raw", fb)
                 elif len(blob) >= 12 and blob[4:8] == b"ftyp":
                     # MP4: real stsz/stsc/stco sample resolution; JPEG
                     # codecs carry complete stills, true codecs raise

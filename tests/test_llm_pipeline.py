@@ -1760,3 +1760,137 @@ def test_bpe_fixed_merges_provenance_and_seq_equivalence(spark):
     ]
     for w in set(corpus_words) | set(w.replace(" ", "") for w in fuzz if w.strip()):
         assert bpe.encode_word(w, ranks) == seq_apply(w, _BPE_FIXED_MERGES), w
+
+
+def test_framestore_golden_and_roundtrip():
+    """The reference's RTSP full/delta frame store. The golden stream is
+    built BY HAND from the format spec (RtspClient.cs AddHeader /
+    GetFrameDifferences) so encode is checked against the wire layout
+    itself, not against this repo's own decoder."""
+    import struct
+
+    from iot_database_spark.operators import framestore as fs
+
+    f0 = bytes(range(16))
+    f1 = bytearray(f0)
+    f1[1], f1[3] = 99, 77  # 2 patches = 10-byte diff < 16-byte frame
+    f1 = bytes(f1)
+    f2 = f1  # identical -> zero-patch difference record
+    golden = (
+        struct.pack("<BI", 1, 16) + f0
+        + struct.pack("<BI", 0, 10)
+        + struct.pack("<IB", 1, 99) + struct.pack("<IB", 3, 77)
+        + struct.pack("<BI", 0, 0)
+    )
+    assert fs.encode_frames([f0, f1, f2]) == golden
+    assert fs.decode_frames(golden) == [f0, f1, f2]
+
+    # diff not smaller than the frame -> full frame, counter resets
+    g0 = bytes([1, 2, 3, 4])
+    g1 = bytes([9, 8, 7, 4])  # 3 changed bytes = 15-byte diff > 4
+    enc = fs.encode_frames([g0, g1])
+    assert enc == struct.pack("<BI", 1, 4) + g0 + struct.pack("<BI", 1, 4) + g1
+
+    # full frame every FULL_FRAME_INTERVAL difference frames: frame k
+    # differs from frame k-1 in one byte, so fulls land exactly where
+    # the reference's counter (incremented on deltas only) resets
+    frames = [bytes([i] + [0] * 63) for i in range(25)]
+    enc = fs.encode_frames(frames)
+    kinds = [is_full for is_full, _ in fs.iter_records(enc)]
+    assert kinds == [i % (fs.FULL_FRAME_INTERVAL + 1) == 0 for i in range(25)]
+    assert fs.decode_frames(enc) == frames
+
+    # size change forces a full frame (the reference differ would crash)
+    mixed = [bytes(8), bytes(12), bytes(12)]
+    enc = fs.encode_frames(mixed)
+    assert [k for k, _ in fs.iter_records(enc)] == [True, True, False]
+    assert fs.decode_frames(enc) == mixed
+
+    # random-ish round-trip, patch indices spanning >255 (4-byte LE)
+    import random
+
+    rng = random.Random(11)
+    seq = [bytes(rng.randrange(256) for _ in range(400))]
+    for _ in range(30):
+        nxt = bytearray(seq[-1])
+        for _ in range(rng.randrange(0, 12)):
+            nxt[rng.randrange(400)] = rng.randrange(256)
+        seq.append(bytes(nxt))
+    assert fs.decode_frames(fs.encode_frames(seq)) == seq
+
+
+def test_framestore_rejects_malformed_and_sniffs():
+    import struct
+
+    import pytest as _pytest
+
+    from iot_database_spark.operators import framestore as fs
+
+    ok = fs.encode_frames([b"abcd", b"abce"])
+    assert fs.sniff(ok)
+    # other containers must not sniff as framestore
+    for other in (b"GIF89a\x00\x00", b"\xff\xd8\xff\xe0junk",
+                  b"RIFF\x00\x00\x00\x00AVI ", b"YUV4MPEG2 ", b""):
+        assert not fs.sniff(other)
+    # truncated payload / truncated header / delta-first all raise
+    with _pytest.raises(ValueError):
+        fs.decode_frames(ok[:-1])
+    with _pytest.raises(ValueError):
+        fs.decode_frames(ok + b"\x01")
+    with _pytest.raises(ValueError):
+        fs.decode_frames(struct.pack("<BI", 0, 0))
+    # patch index outside the previous frame
+    bad = struct.pack("<BI", 1, 2) + b"ab" + struct.pack("<BI", 0, 5) + struct.pack("<IB", 9, 1)
+    with _pytest.raises(ValueError):
+        fs.decode_frames(bad)
+    assert not fs.sniff(ok[:-1])
+
+
+def test_framestore_frame_sample_integration(spark):
+    """frame_sample must recognize a frame-store capture structurally
+    and replay it in-process: JPEG payload frames entropy-decode to
+    rgb24 (the RTSP camera shape), arbitrary payloads emit as raw; the
+    metadata path counts records as n_frames."""
+    import numpy as np
+
+    from iot_database_spark.operators import framestore as fs
+    from iot_database_spark.operators import multimodal as mm
+    from iot_database_spark.operators.jpeg_codec import jpeg_encode_baseline
+
+    w, h = 16, 16
+    rng = np.random.default_rng(3)
+    img0 = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    img1 = img0.copy()
+    img1[::2] //= 2
+    jf = [
+        jpeg_encode_baseline(im.tobytes(), w, h, quant_scale=0.02)
+        for im in (img0, img1)
+    ]
+    blob = fs.encode_frames(jf)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.frame_sample(media, every_n=1, pixels=True).collect()
+    }
+    assert set(rows) == {0, 1}
+    for i, im in enumerate((img0, img1)):
+        assert rows[i]["pixel_format"] == "rgb24"
+        got = np.frombuffer(bytes(rows[i]["rgb"]), dtype=np.uint8).reshape(h, w, 3)
+        assert np.abs(got.astype(int) - im.astype(int)).max() <= 10
+
+    # non-JPEG payloads stay honest raw bytes
+    raw = fs.encode_frames([b"\x05" * 32, b"\x05" * 31 + b"\x06"])
+    media2 = spark.createDataFrame(
+        [(2, "video", bytearray(raw), {})], mm.MEDIA_SCHEMA
+    )
+    got2 = mm.frame_sample(media2, every_n=1, pixels=True).collect()
+    assert [r["pixel_format"] for r in got2] == ["raw", "raw"]
+    assert bytes(got2[1]["rgb"]) == b"\x05" * 31 + b"\x06"
+
+    # metadata path: parse_container tags codec and counts frames
+    meta = mm.parse_container(blob)
+    assert meta == {"codec": "framestore", "n_frames": 2}
+    dec = mm.decode_media(media).collect()[0]
+    assert dec["codec"] == "framestore" and dec["n_frames"] == 2
