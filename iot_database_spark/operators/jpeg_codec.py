@@ -328,6 +328,14 @@ def _frame_geometry(frame) -> dict:
     geo = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
            "bw": [], "bh": [], "nbw": [], "nbh": []}
     for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            # legal per T.81 but _reconstruct's integer np.repeat
+            # upsampling cannot express e.g. 3:2 — fail by NAME here
+            # instead of with an opaque numpy shape error later
+            raise NotImplementedError(
+                f"JPEG non-integer chroma sampling ratio "
+                f"{hmax}:{hi} x {vmax}:{vi} unsupported"
+            )
         comp_w = (w * hi + hmax - 1) // hmax
         comp_h = (h * vi + vmax - 1) // vmax
         geo["bw"].append(mcux * hi)
@@ -369,6 +377,12 @@ def _decode_scan_into(
     if not progressive:
         ss, se, ah, al = 0, 63, 0, 0
     by_id = {c[0]: ci for ci, c in enumerate(comps)}
+    if progressive and ss > 0 and len(scan) > 1:
+        # T.81 B.2.3: progressive AC scans are single-component; a
+        # malformed multi-component AC scan would otherwise reach
+        # _decode_dc_first with dctab=None and die with an opaque
+        # AttributeError instead of a named stream error (r5 advice)
+        raise ValueError("JPEG progressive AC scan with multiple components")
     members = []  # (ci, dctab|None, actab|None)
     for cs, td, ta in scan:
         if cs not in by_id:

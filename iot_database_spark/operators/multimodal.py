@@ -1109,6 +1109,18 @@ def audio_resample(media: DataFrame, out_rate: int) -> DataFrame:
             out.writeframes(pcm16.reshape(-1).tobytes())
         return buf.getvalue()
 
+    def fresh_meta(meta) -> dict:
+        # the content is rewritten to 16-bit PCM at out_rate, so any
+        # caller-provided rate/width/duration entries describe the OLD
+        # bytes — refresh the rate-dependent keys instead of passing
+        # stale values through (r5 advice)
+        out = dict(meta) if meta is not None else {}
+        if out:
+            out.pop("duration_ms", None)
+        out["sample_rate"] = str(out_rate)
+        out["sample_width"] = "2"
+        return out
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -1116,7 +1128,7 @@ def audio_resample(media: DataFrame, out_rate: int) -> DataFrame:
                     "media_id": pdf["media_id"].values,
                     "kind": pdf["kind"].values,
                     "content": [one(bytes(b)) for b in pdf["content"]],
-                    "meta": pdf["meta"].values,
+                    "meta": [fresh_meta(m) for m in pdf["meta"]],
                 }
             )
 
@@ -1323,7 +1335,12 @@ def _emit_jpeg_frame(emit, mid, idx, fb: bytes) -> None:
 
         d = jpeg_decode_pixels(fb)
         emit(mid, idx, d["width"], d["height"], 0, "rgb24", d["rgb"])
-    except (ValueError, NotImplementedError, struct.error, IndexError):
+    except Exception:
+        # ANY decode failure keeps the encoded bytes (r5 advice: corrupt
+        # frames can surface as AttributeError/KeyError/numpy errors,
+        # not just the codec's own ValueError/NotImplementedError —
+        # one damaged frame must degrade to pixel_format='jpeg', not
+        # fail the whole Spark task as the docstring promises)
         meta = _parse_jpeg(fb) or {}
         emit(mid, idx, int(meta.get("width", 0)),
              int(meta.get("height", 0)), 0, "jpeg", fb)

@@ -1894,3 +1894,65 @@ def test_framestore_frame_sample_integration(spark):
     assert meta == {"codec": "framestore", "n_frames": 2}
     dec = mm.decode_media(media).collect()[0]
     assert dec["codec"] == "framestore" and dec["n_frames"] == 2
+
+
+def test_r5_advice_fixes(spark, monkeypatch):
+    """Three r5-advice hardening items: (1) _emit_jpeg_frame degrades to
+    encoded bytes on ANY decode exception, (2) audio_resample refreshes
+    rate-dependent meta keys, (3) jpeg_codec names its unsupported
+    cases (non-integer sampling ratio, multi-component progressive AC
+    scan) instead of dying with opaque numpy/attribute errors."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from iot_database_spark.operators import jpeg_codec as jc
+    from iot_database_spark.operators import multimodal as mm
+
+    # (1) arbitrary exception classes from the decoder must not escape
+    for exc in (AttributeError("boom"), KeyError("boom"), TypeError("boom")):
+        def bad_decode(_fb, _exc=exc):
+            raise _exc
+
+        monkeypatch.setattr(jc, "jpeg_decode_pixels", bad_decode)
+        got = []
+        mm._emit_jpeg_frame(
+            lambda *a: got.append(a), 1, 0, b"\xff\xd8\xff\xd9"
+        )
+        assert got and got[0][5] == "jpeg" and got[0][6] == b"\xff\xd8\xff\xd9"
+    monkeypatch.undo()
+
+    # (2) audio_resample must not pass stale rate meta through
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 800)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()),
+          {"sample_rate": "8000", "sample_width": "2",
+           "duration_ms": "100", "source": "mic3"})],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.audio_resample(media, 16000).collect()[0]
+    assert out["meta"]["sample_rate"] == "16000"
+    assert out["meta"]["sample_width"] == "2"
+    assert out["meta"]["source"] == "mic3"  # unrelated keys survive
+    assert "duration_ms" not in out["meta"]
+    with wave.open(io.BytesIO(bytes(out["content"]))) as w:
+        assert w.getframerate() == 16000
+
+    # (3a) non-integer chroma sampling ratio raises by NAME
+    with _pytest.raises(NotImplementedError, match="sampling ratio"):
+        jc._frame_geometry((16, 16, [(1, 3, 1, 0), (2, 2, 1, 1)], False))
+
+    # (3b) multi-component progressive AC scan raises a named ValueError
+    frame = (16, 16, [(1, 1, 1, 0), (2, 1, 1, 1)], True)
+    geo = jc._frame_geometry(frame)
+    with _pytest.raises(ValueError, match="progressive AC scan"):
+        jc._decode_scan_into(
+            b"\x00\x00", 0, frame, geo, [], [(1, 0, 0), (2, 0, 0)],
+            (1, 5, 0, 0), {}, {}, 0,
+        )
