@@ -132,6 +132,12 @@ def main() -> None:
     spark = get_spark("iot_database_spark_bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    # scale probes re-run focused subsets at big sf (SCALE_r06.md):
+    # comma-separated headline names, unknown names ignored
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in keep]
 
     # warm-up pass: JVM startup, parquet footers, and whole-stage-codegen
     # compilation (cached per generated source) are one-time costs a
