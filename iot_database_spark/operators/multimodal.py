@@ -1486,3 +1486,38 @@ def frame_sample(
     return media.filter("kind = 'video'").select("media_id", "content").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+def frame_pack(
+    frames: DataFrame,
+    frame_col: str = "rgb",
+    full_interval: int = framestore.FULL_FRAME_INTERVAL,
+) -> DataFrame:
+    """Inverse of the frame-store replay path: pack per-frame byte rows
+    back into the reference's full/delta frame-store format — (media_id,
+    content) with content = framestore.encode_frames over the video's
+    frames in frame_idx order (RtspClient.cs recording policy: full
+    frame every `full_interval` deltas or when the byte-diff is not
+    smaller).
+
+    One applyInPandas group per media_id, so a video's frames are
+    encoded together on one executor (the same per-video locality
+    frame_sample's decode direction uses) and nothing video-sized
+    reaches the driver. decode(frame_sample) → transform → frame_pack
+    round-trips a capture through Spark and back into bytes the
+    reference's own ReconstructVideo can replay."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        blob = framestore.encode_frames(
+            [bytes(b) for b in pdf[frame_col]], full_interval=full_interval
+        )
+        return pd.DataFrame(
+            {"media_id": [pdf["media_id"].iloc[0]], "content": [blob]}
+        )
+
+    return (
+        frames.select("media_id", "frame_idx", frame_col)
+        .groupBy("media_id")
+        .applyInPandas(pack, schema="media_id bigint, content binary")
+    )
