@@ -180,28 +180,37 @@ def main() -> None:
     }
     full_path = Path(__file__).resolve().parent / "BENCH_full_local.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
+    print(compact_line(full, full_path.name))
+
+
+STDOUT_BUDGET = 1900  # < the driver's 2000-char stdout tail window
+
+
+def compact_line(full: dict, queries_file: str) -> str:
+    """The <=STDOUT_BUDGET-byte stdout form of a full bench record:
+    totals + digest + artifact pointer + the slowest per-query entries
+    that fit (tested in tests/test_bench_output.py)."""
     import hashlib
 
     digest = hashlib.md5(
         json.dumps(full, sort_keys=True).encode()
     ).hexdigest()[:12]
     compact = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "sf": sf_val,
-        "n_queries": len(timings),
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "n_queries": full["n_queries"],
         "digest": digest,
-        "queries_file": full_path.name,
+        "queries_file": queries_file,
         "queries": {},
     }
-    budget = 1900
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+    for name, t in sorted(full["queries"].items(), key=lambda kv: -kv[1]):
         compact["queries"][name] = round(t, 2)
-        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+        if len(json.dumps(compact, separators=(",", ":"))) > STDOUT_BUDGET:
             del compact["queries"][name]
             break
-    print(json.dumps(compact, separators=(",", ":")))
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

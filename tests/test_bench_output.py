@@ -1,0 +1,53 @@
+"""The bench stdout contract: the driver records only the LAST 2000
+characters of stdout (observed in BENCH_r05.json, where a 2204-byte
+line lost its head and parsed as null), so the one line bench.py prints
+must stay under bench.STDOUT_BUDGET no matter how many headline queries
+exist, while remaining valid JSON with the spec's metric/value/unit/
+queries/sf keys."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _full(n_queries: int) -> dict:
+    qs = {f"some_operator_family_query_{i:03d}": 0.1234 + i for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(qs.values()), 4),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+        "n_queries": n_queries,
+    }
+
+
+def test_compact_line_fits_driver_window_at_any_size():
+    for n in (0, 1, 64, len(bench.HEADLINE), 500):
+        line = bench.compact_line(_full(n), "BENCH_full_local.json")
+        assert len(line) <= bench.STDOUT_BUDGET
+        d = json.loads(line)
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in d
+        assert d["n_queries"] == n
+        # slowest queries are the ones that make the line
+        if n:
+            slowest = max(_full(n)["queries"], key=_full(n)["queries"].get)
+            assert slowest in d["queries"]
+
+
+def test_compact_line_includes_everything_when_small():
+    d = json.loads(bench.compact_line(_full(10), "f.json"))
+    assert len(d["queries"]) == 10
+
+
+def test_headline_names_resolve():
+    """Every headline name must exist in the registry — a typo here
+    would silently drop a query from the official bench."""
+    from iot_database_spark import registry
+
+    qs = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
