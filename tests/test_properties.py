@@ -372,3 +372,70 @@ def test_jpeg_progressive_equals_baseline(w, h, sub, gray, qscale, seed):
         jpeg_encode_progressive(data, w, h, quant_scale=qscale, **kw)
     )
     assert base["rgb"] == prog["rgb"]
+
+
+# -- round-6 codecs ----------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(
+        st.binary(min_size=0, max_size=120), min_size=0, max_size=30
+    ),
+    interval=st.integers(min_value=1, max_value=12),
+)
+def test_framestore_roundtrip_property(frames, interval):
+    """encode->decode is the identity for ANY frame sequence (empty
+    frames, size changes, duplicates, arbitrary bytes) at any full-
+    frame interval, and the stream always starts with a full frame."""
+    from iot_database_spark.operators import framestore as fs
+
+    blob = fs.encode_frames(frames, full_interval=interval)
+    assert fs.decode_frames(blob) == [bytes(f) for f in frames]
+    if frames:
+        assert blob[0] == 1
+        assert fs.sniff(blob)
+        # no delta run longer than the interval
+        run = 0
+        for is_full, _ in fs.iter_records(blob):
+            run = 0 if is_full else run + 1
+            assert run <= interval
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=10),
+        min_size=1,
+        max_size=30,
+    ),
+    fuzz=st.text(alphabet="abcdefgh", min_size=1, max_size=24),
+)
+def test_bpe_sequential_equals_greedy_property(words, fuzz):
+    """The equivalence the DuckDB BPE oracle rests on, under arbitrary
+    trained merge lists (not just the pinned one): applying merges in
+    training order, each exhaustively left-to-right, equals the
+    min-rank greedy encode loop."""
+    from iot_database_spark.operators import bpe
+
+    merges = bpe.train_bpe(
+        [(w, 1 + i) for i, w in enumerate(words)], num_merges=30, min_freq=1
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def seq_apply(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in set(words) | {fuzz}:
+        assert bpe.encode_word(w, ranks) == seq_apply(w)
