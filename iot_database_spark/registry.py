@@ -40,7 +40,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The driver evaluates registered queries in dict-iteration order and
 # caps evaluation at the first 50, so this explicit priority list decides
 # which queries get a driver row each round. Remaining queries follow in
-# registration order.
+# registration order. `python scripts/plan_rotation.py` derives the next
+# round's ordering from the recorded CORRECTNESS_r*.json artifacts
+# (reds first, then never-graded, then oldest-green-first).
 #
 # Round-6 window (exactly 50 slots), executing the rotation plan written
 # at the end of round 5 and confirmed by the r5 verdict:
