@@ -95,7 +95,12 @@ HEADLINE = [
     # round 5 additions
     "dedup_ngram_jaccard_capped",
     # round 6 additions
-    "dedup_ngram_jaccard_absolute",
+    # (dedup_ngram_jaccard_absolute is deliberately NOT here: it is the
+    # known-quadratic fixed-cap compat variant — kept registered with
+    # its oracle gate for parity proof, but a plan we would never run
+    # at scale has no place in the headline total. The scale-correct
+    # fractional-df default `dedup_ngram_jaccard` and the capped
+    # variant remain measured above.)
     "text_bpe_token_count_fixed",
     "stream_rollup_to_table",
     "zorder_key_events",
@@ -112,7 +117,6 @@ HEADLINE = [
     "approx_sketch_accuracy",
     "text_trigram_coverage",
     "stream_threshold_alerts",
-    "text_bpe_token_count",
 ]
 
 
@@ -178,7 +182,11 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
     }
-    full_path = Path(__file__).resolve().parent / "BENCH_full_local.json"
+    # A focused SPARK_GRAFT_ONLY scale probe must not clobber the
+    # committed full-run record (r6 advice): partial subsets go to a
+    # separate artifact.
+    fname = "BENCH_subset_local.json" if only else "BENCH_full_local.json"
+    full_path = Path(__file__).resolve().parent / fname
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
 

@@ -164,6 +164,26 @@ def _encoded_words(
 # of one row per word OCCURRENCE) is largest exactly when it applies.
 _BROADCAST_MAX_WORDS = 1_000_000
 
+# The persisted distinct-vocab frame must outlive _encoded_vocab (the
+# returned plan references it lazily and the CALLER materializes it), so
+# it cannot be unpersisted here. Without cleanup every bpe_tokenize /
+# bpe_token_count call would leak one cached frame for the session
+# lifetime (r6 advice). Track the live handle and release the previous
+# one when the next call persists a fresh vocab — by then the previous
+# job has been materialized (calls are sequential per session) — so at
+# most ONE vocabulary-sized frame (tens of MB) stays cached.
+_LAST_PERSISTED: list = []
+
+
+def release_vocab_cache() -> None:
+    """Explicitly unpersist the most recent encoded-vocab cache (safe to
+    call any time after the returned DataFrame has been materialized)."""
+    while _LAST_PERSISTED:
+        try:
+            _LAST_PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def _encoded_vocab(
     occurrences: DataFrame,
@@ -188,7 +208,9 @@ def _encoded_vocab(
         return _encoded_words(distinct, merges)
     from pyspark import StorageLevel
 
+    release_vocab_cache()  # previous call's frame is materialized by now
     distinct = distinct.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_PERSISTED.append(distinct)
     n_words = distinct.count()
     encoded = _encoded_words(distinct, merges)
     return F.broadcast(encoded) if n_words <= broadcast_max_words else encoded

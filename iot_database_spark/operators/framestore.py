@@ -144,13 +144,19 @@ def iter_records(data: bytes) -> Iterator[tuple[bool, bytes]]:
         yield flag == 1, payload
 
 
-def decode_frames(data: bytes) -> list[bytes]:
+def decode_frames(data: bytes) -> Iterator[bytes]:
     """Replay a frame-store byte stream into the raw frame sequence —
-    VideoCollection.ReconstructVideo, but returning frames instead of
+    VideoCollection.ReconstructVideo, but yielding frames instead of
     concatenating them to one output file (the reference writes them
     back-to-back; callers here want the per-frame boundaries that the
-    record structure preserves)."""
-    frames: list[bytes] = []
+    record structure preserves).
+
+    A GENERATOR, not a list (r6 advice): replay state is only the
+    previous frame, so a consumer that subsamples (frame_sample's
+    every_n) never holds more than one decoded frame of a long
+    sparse-delta capture — decoded size can vastly exceed blob size,
+    and materializing it would contradict the constant-memory claim.
+    Structural errors raise lazily at iteration, like any generator."""
     prev: bytearray | None = None
     for is_full, payload in iter_records(data):
         if is_full:
@@ -167,8 +173,7 @@ def decode_frames(data: bytes) -> list[bytes]:
                     )
                 cur[idx] = payload[off + 4]
             prev = cur
-        frames.append(bytes(prev))
-    return frames
+        yield bytes(prev)
 
 
 def sniff(data: bytes) -> bool:

@@ -198,12 +198,17 @@ def nl_find_include_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("nl_find_include_nested")  # nested arrays: rows-only driver check
 def nl_find_include_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCLUDE nesting — each primary row carries an orders_Data array of
-    structs (QueryEngine.cs:729-823, result shape :685-689). Not
-    SQL-hashable (nested arrays), so the driver records a rows-only check;
-    tests/test_nl_query.py covers the shape."""
+    structs (QueryEngine.cs:729-823, result shape :685-689).
+
+    RETIRED from the driver registry in round 7 (kept as a library
+    entry point): the nested struct-array column crashes the driver's
+    pandas canonicalizer (`TypeError: unhashable type: numpy.ndarray`)
+    even for a rows-only check, so it could only ever record a red row.
+    The nested payload is value-hash-proven by `nl_find_include_digest`
+    (driver-green since r5), and the shape stays covered locally by
+    tests/test_nl_query.py. See COVERAGE.md "Driver-evidence policy"."""
     return natural_query(
         "FIND customer WHERE c_acctbal > 4000 "
         "INCLUDE orders WHERE o_totalprice > 100000 SELECT o_orderkey, o_totalprice "

@@ -601,15 +601,20 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_token_count")  # trained tokenizer: rows-only driver check
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL subword token counts: train 100 BPE merges on the corpus's
     own distributed word counts (deterministic tie-breaks — same data,
     same merges, same counts every run), then count subwords per doc
-    via the O(vocab) distinct-word broadcast-encode plan. No SQL oracle
-    — DuckDB cannot run a BPE trainer — so this is a rows-only driver
-    check; lossless reconstruction and determinism are pinned by
-    `test_llm_pipeline.py::test_bpe_tokenizer_end_to_end`."""
+    via the O(vocab) distinct-word broadcast-encode plan.
+
+    RETIRED from the driver registry in round 7 (kept as a library
+    entry point): DuckDB cannot run a BPE trainer, so the driver could
+    only ever record `err: no_oracle` for it — a permanent red row.
+    The semantics are value-hash-gated by `text_bpe_token_count_fixed`
+    (same encode plan, pinned merge table, DuckDB recursive-CTE
+    oracle), and the self-training path stays pinned locally by
+    `test_llm_pipeline.py::test_bpe_tokenizer_end_to_end`. See
+    COVERAGE.md "Driver-evidence policy"."""
     from iot_database_spark.operators import bpe
 
     tables = load_views(spark, sf_dir)

@@ -47,10 +47,15 @@ def load_rounds(repo: str) -> dict[int, dict]:
 def is_green(row: dict) -> bool:
     if row.get("err"):
         return False
-    # rows-only queries (no oracle) record rows_match only; hash/schema
-    # stay None — treat "no explicit False" as green, matching how the
-    # driver reports the weaker check
-    return all(row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match"))
+    # A row with no recognized keys (empty dict, future schema change)
+    # must NOT read as green — that would silently rotate a genuinely
+    # ungraded/failed query out of the window (r6 advice). Require the
+    # positive signal: rows_match explicitly True. Rows-only queries
+    # (no oracle) record rows_match only; hash/schema stay None, which
+    # is fine as long as nothing is explicitly False.
+    if row.get("rows_match") is not True:
+        return False
+    return all(row.get(k) is not False for k in ("schema_match", "hash_match"))
 
 
 def evidence(rounds: dict[int, dict]) -> dict[str, tuple[int, bool]]:

@@ -1783,7 +1783,7 @@ def test_framestore_golden_and_roundtrip():
         + struct.pack("<BI", 0, 0)
     )
     assert fs.encode_frames([f0, f1, f2]) == golden
-    assert fs.decode_frames(golden) == [f0, f1, f2]
+    assert list(fs.decode_frames(golden) == [f0, f1, f2]
 
     # diff not smaller than the frame -> full frame, counter resets
     g0 = bytes([1, 2, 3, 4])
@@ -1798,13 +1798,13 @@ def test_framestore_golden_and_roundtrip():
     enc = fs.encode_frames(frames)
     kinds = [is_full for is_full, _ in fs.iter_records(enc)]
     assert kinds == [i % (fs.FULL_FRAME_INTERVAL + 1) == 0 for i in range(25)]
-    assert fs.decode_frames(enc) == frames
+    assert list(fs.decode_frames(enc) == frames
 
     # size change forces a full frame (the reference differ would crash)
     mixed = [bytes(8), bytes(12), bytes(12)]
     enc = fs.encode_frames(mixed)
     assert [k for k, _ in fs.iter_records(enc)] == [True, True, False]
-    assert fs.decode_frames(enc) == mixed
+    assert list(fs.decode_frames(enc) == mixed
 
     # random-ish round-trip, patch indices spanning >255 (4-byte LE)
     import random
@@ -1816,7 +1816,7 @@ def test_framestore_golden_and_roundtrip():
         for _ in range(rng.randrange(0, 12)):
             nxt[rng.randrange(400)] = rng.randrange(256)
         seq.append(bytes(nxt))
-    assert fs.decode_frames(fs.encode_frames(seq)) == seq
+    assert list(fs.decode_frames(fs.encode_frames(seq)) == seq
 
 
 def test_framestore_rejects_malformed_and_sniffs():
@@ -1834,15 +1834,15 @@ def test_framestore_rejects_malformed_and_sniffs():
         assert not fs.sniff(other)
     # truncated payload / truncated header / delta-first all raise
     with _pytest.raises(ValueError):
-        fs.decode_frames(ok[:-1])
+        list(fs.decode_frames(ok[:-1])
     with _pytest.raises(ValueError):
-        fs.decode_frames(ok + b"\x01")
+        list(fs.decode_frames(ok + b"\x01")
     with _pytest.raises(ValueError):
-        fs.decode_frames(struct.pack("<BI", 0, 0))
+        list(fs.decode_frames(struct.pack("<BI", 0, 0))
     # patch index outside the previous frame
     bad = struct.pack("<BI", 1, 2) + b"ab" + struct.pack("<BI", 0, 5) + struct.pack("<IB", 9, 1)
     with _pytest.raises(ValueError):
-        fs.decode_frames(bad)
+        list(fs.decode_frames(bad)
     assert not fs.sniff(ok[:-1])
 
 
@@ -1980,7 +1980,7 @@ def test_framestore_frame_pack_roundtrip(spark):
     packed = {r["media_id"]: bytes(r["content"])
               for r in mm.frame_pack(frames).collect()}
     for mid, fl in vids.items():
-        assert fs.decode_frames(packed[mid]) == fl
+        assert list(fs.decode_frames(packed[mid]) == fl
         kinds = [k for k, _ in fs.iter_records(packed[mid])]
         assert kinds[0] is True
     # video 1: 12 one-byte-delta frames -> fulls at 0 and 11 (10 deltas)

@@ -18,6 +18,11 @@ def test_is_green_semantics():
     assert pr.is_green({"rows_match": True, "schema_match": None, "hash_match": None, "err": None})
     assert not pr.is_green({"rows_match": True, "schema_match": True, "hash_match": False, "err": None})
     assert not pr.is_green({"rows_match": True, "err": "boom"})
+    # an unrecognized/empty row must NOT read as green (r6 advice):
+    # greenness requires the positive rows_match=True signal
+    assert not pr.is_green({})
+    assert not pr.is_green({"some_future_key": True})
+    assert not pr.is_green({"rows_match": None, "schema_match": None, "hash_match": None, "err": None})
 
 
 def test_evidence_keeps_latest_round():
