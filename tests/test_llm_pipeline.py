@@ -1783,7 +1783,7 @@ def test_framestore_golden_and_roundtrip():
         + struct.pack("<BI", 0, 0)
     )
     assert fs.encode_frames([f0, f1, f2]) == golden
-    assert list(fs.decode_frames(golden) == [f0, f1, f2]
+    assert list(fs.decode_frames(golden)) == [f0, f1, f2]
 
     # diff not smaller than the frame -> full frame, counter resets
     g0 = bytes([1, 2, 3, 4])
@@ -1798,13 +1798,13 @@ def test_framestore_golden_and_roundtrip():
     enc = fs.encode_frames(frames)
     kinds = [is_full for is_full, _ in fs.iter_records(enc)]
     assert kinds == [i % (fs.FULL_FRAME_INTERVAL + 1) == 0 for i in range(25)]
-    assert list(fs.decode_frames(enc) == frames
+    assert list(fs.decode_frames(enc)) == frames
 
     # size change forces a full frame (the reference differ would crash)
     mixed = [bytes(8), bytes(12), bytes(12)]
     enc = fs.encode_frames(mixed)
     assert [k for k, _ in fs.iter_records(enc)] == [True, True, False]
-    assert list(fs.decode_frames(enc) == mixed
+    assert list(fs.decode_frames(enc)) == mixed
 
     # random-ish round-trip, patch indices spanning >255 (4-byte LE)
     import random
@@ -1816,7 +1816,7 @@ def test_framestore_golden_and_roundtrip():
         for _ in range(rng.randrange(0, 12)):
             nxt[rng.randrange(400)] = rng.randrange(256)
         seq.append(bytes(nxt))
-    assert list(fs.decode_frames(fs.encode_frames(seq)) == seq
+    assert list(fs.decode_frames(fs.encode_frames(seq))) == seq
 
 
 def test_framestore_rejects_malformed_and_sniffs():
@@ -1834,16 +1834,234 @@ def test_framestore_rejects_malformed_and_sniffs():
         assert not fs.sniff(other)
     # truncated payload / truncated header / delta-first all raise
     with _pytest.raises(ValueError):
-        list(fs.decode_frames(ok[:-1])
+        list(fs.decode_frames(ok[:-1]))
     with _pytest.raises(ValueError):
-        list(fs.decode_frames(ok + b"\x01")
+        list(fs.decode_frames(ok + b"\x01"))
     with _pytest.raises(ValueError):
-        list(fs.decode_frames(struct.pack("<BI", 0, 0))
+        list(fs.decode_frames(struct.pack("<BI", 0, 0)))
     # patch index outside the previous frame
     bad = struct.pack("<BI", 1, 2) + b"ab" + struct.pack("<BI", 0, 5) + struct.pack("<IB", 9, 1)
     with _pytest.raises(ValueError):
-        list(fs.decode_frames(bad)
+        list(fs.decode_frames(bad))
     assert not fs.sniff(ok[:-1])
+
+
+def test_framestore_decode_is_lazy_generator():
+    """Pin the r6-advice laziness contract: decode_frames returns a
+    generator, the CALL never raises, the valid prefix of a blob with a
+    corrupt tail is fully consumable, and the structural error surfaces
+    exactly when iteration reaches the bad record — so list(...) is what
+    triggers validation in the pytest.raises tests above."""
+    import types
+
+    import pytest as _pytest
+
+    from iot_database_spark.operators import framestore as fs
+
+    frames = [bytes([i] + [0] * 15) for i in range(5)]
+    blob = fs.encode_frames(frames)
+
+    gen = fs.decode_frames(blob + b"\x01")  # corrupt tail: short header
+    assert isinstance(gen, types.GeneratorType)
+    assert [next(gen) for _ in range(5)] == frames
+    with _pytest.raises(ValueError):
+        next(gen)
+
+
+def test_frame_sample_framestore_consumption_is_constant_memory(monkeypatch):
+    """frame_sample's framestore branch (_framestore_sample) must pull
+    decode_frames one frame at a time: with every_n > 1 a long
+    sparse-delta capture never materializes the decoded list. Spy:
+    yield a bytes subclass that counts simultaneously-alive instances —
+    a regression to list(decode_frames(...)) drives the peak to the
+    frame count, while lazy consumption keeps it O(1)."""
+    from iot_database_spark.operators import framestore as fs
+    from iot_database_spark.operators import multimodal as mm
+
+    n_frames = 200
+
+    class TrackedBytes(bytes):
+        alive = 0
+        peak = 0
+
+        def __new__(cls, b):
+            obj = super().__new__(cls, b)
+            TrackedBytes.alive += 1
+            TrackedBytes.peak = max(TrackedBytes.peak, TrackedBytes.alive)
+            return obj
+
+        def __del__(self):
+            TrackedBytes.alive -= 1
+
+    frames = [bytes([i % 251] + [0] * 63) for i in range(n_frames)]
+    blob = fs.encode_frames(frames)
+    real_decode = fs.decode_frames
+
+    def tracked_decode(data):
+        for f in real_decode(data):
+            yield TrackedBytes(f)
+
+    monkeypatch.setattr(fs, "decode_frames", tracked_decode)
+
+    emitted = []
+
+    def emit(mid, idx, w, h, delay, fmt, data):
+        emitted.append((mid, idx, fmt, len(data)))  # keep no frame refs
+
+    mm._framestore_sample(emit, "cam0", blob, every_n=50)
+
+    assert [e[1] for e in emitted] == [0, 50, 100, 150]
+    assert all(e[2] == "raw" and e[3] == 64 for e in emitted)
+    # lazy: one live frame plus the in-flight next yield; a materialized
+    # list would have peaked at n_frames
+    assert TrackedBytes.peak <= 3, TrackedBytes.peak
+
+
+def _eg(v: int) -> str:
+    """ue(v) Exp-Golomb bit string (H.264 §9.1)."""
+    code = bin(v + 1)[2:]
+    return "0" * (len(code) - 1) + code
+
+
+def _rbsp_bytes(bits: str) -> bytes:
+    """Bit string → RBSP bytes with the trailing stop bit + pad."""
+    bits += "1"
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def _ep_escape(rbsp: bytes) -> bytes:
+    """RBSP → NAL payload body: emulation-prevention escaping
+    (00 00 {00,01,02,03} → 00 00 03 xx, H.264 §7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3, four: bool = True) -> bytes:
+    start = b"\x00\x00\x00\x01" if four else b"\x00\x00\x01"
+    return start + bytes([(ref_idc << 5) | nal_type]) + _ep_escape(rbsp)
+
+
+def _sps_baseline_rbsp(pw_mbs: int, ph_units: int) -> str:
+    """Baseline-profile SPS bit string through the cropping window."""
+    return (
+        f"{66:08b}" + "00000000" + f"{30:08b}"  # profile/constraints/level
+        + _eg(0)  # seq_parameter_set_id
+        + _eg(0)  # log2_max_frame_num_minus4
+        + _eg(2)  # pic_order_cnt_type = 2 (no extra fields)
+        + _eg(1)  # max_num_ref_frames
+        + "0"     # gaps_in_frame_num_value_allowed_flag
+        + _eg(pw_mbs - 1) + _eg(ph_units - 1)
+        + "1"     # frame_mbs_only_flag
+        + "1"     # direct_8x8_inference_flag
+        + "0"     # frame_cropping_flag
+        + "0"     # vui_parameters_present_flag
+    )
+
+
+def _h264_stream() -> bytes:
+    """SPS + PPS + IDR + 3 non-IDR slices; the third slice continues the
+    previous picture (first_mb_in_slice=1), so 3 coded frames total.
+    Mixed 3- and 4-byte start codes exercise both delimiters."""
+    sps = _rbsp_bytes(_sps_baseline_rbsp(4, 3))  # 64 x 48
+    pps = _rbsp_bytes(_eg(0) + _eg(0) + "1" + "0" * 8)
+    first_mb0 = bytes([0x88, 0x55, 0xAA])        # ue(first_mb)=0: MSB set
+    first_mb1 = bytes([0x50, 0x55, 0xAA])        # ue=1 ('010'): same picture
+    return (
+        _nal(7, sps)
+        + _nal(8, pps)
+        + _nal(5, first_mb0, four=False)          # IDR, picture 1
+        + _nal(1, first_mb0, ref_idc=2)           # picture 2
+        + _nal(1, first_mb1, ref_idc=2, four=False)  # continuation slice
+        + _nal(1, first_mb0, ref_idc=2)           # picture 3
+    )
+
+
+def test_annexb_nal_walk_types_and_frames():
+    """The Annex-B structural walk yields every NAL with its type, and
+    _parse_annexb counts coded pictures (first_mb_in_slice==0 slices),
+    reads SPS dimensions, and censuses NAL types — no codec library."""
+    import pytest
+
+    from iot_database_spark.operators import multimodal as mm
+
+    blob = _h264_stream()
+    nals = list(mm.annexb_iter_nals(blob))
+    assert [t for _, t, _ in nals] == [7, 8, 5, 1, 1, 1]
+    assert [o for o, _, _ in nals] == sorted(o for o, _, _ in nals)
+
+    meta = mm._parse_annexb(blob)
+    assert meta is not None
+    assert meta["codec"] == "h264-annexb"
+    assert meta["n_frames"] == 3
+    assert (meta["width"], meta["height"]) == (64, 48)
+    assert meta["nal_counts"] == {"sps": 1, "pps": 1, "idr": 1, "slice": 3}
+
+    # container dispatch: auto_decoder surfaces the same metadata
+    auto = mm.auto_decoder(blob)
+    assert auto["codec"] == "h264-annexb" and auto["n_frames"] == 3
+
+    # strictness: a start code with no SPS/slice walk is NOT video
+    assert mm._parse_annexb(b"\x00\x00\x01\x09\x10") is None
+    assert mm.auto_decoder(b"\x00\x00\x01\x09\x10")["codec"] == "fake"
+    # forbidden_zero_bit fails loudly in the walk itself
+    with pytest.raises(ValueError, match="forbidden"):
+        list(mm.annexb_iter_nals(b"\x00\x00\x01\xe5\x88"))
+    with pytest.raises(ValueError, match="start code"):
+        list(mm.annexb_iter_nals(b"\x01\x00\x00\x01\x65"))
+
+
+def test_annexb_sps_high_profile_cropping():
+    """High-profile SPS (chroma/bit-depth fields + cropping window):
+    120x68 macroblocks cropped by 8 luma rows = 1920x1080."""
+    from iot_database_spark.operators import multimodal as mm
+
+    bits = (
+        f"{100:08b}" + "00000000" + f"{40:08b}"
+        + _eg(0)          # sps_id
+        + _eg(1)          # chroma_format_idc = 4:2:0
+        + _eg(0) + _eg(0) # bit depths
+        + "0"             # qpprime
+        + "0"             # seq_scaling_matrix_present
+        + _eg(0)          # log2_max_frame_num_minus4
+        + _eg(0) + _eg(0) # poc_type=0, log2_max_poc_lsb
+        + _eg(1)          # max_num_ref_frames
+        + "0"             # gaps
+        + _eg(119) + _eg(67)
+        + "1" + "1"       # frame_mbs_only, direct_8x8
+        + "1"             # frame_cropping_flag
+        + _eg(0) + _eg(0) + _eg(0) + _eg(4)  # crop bottom 4*2=8 rows
+        + "0"             # vui
+    )
+    assert mm._parse_sps_dims(_rbsp_bytes(bits)) == (1920, 1080)
+
+
+def test_annexb_frame_sample_counts_not_decodes(spark):
+    """frame_sample on a true-codec H.264 capture: the metadata path
+    (pixels=False) samples frame indices from the structural NAL count;
+    pixels=True refuses loudly — counting works, decode never lies."""
+    import pytest
+
+    from iot_database_spark.operators import multimodal as mm
+
+    blob = _h264_stream()
+    media = spark.createDataFrame(
+        [(31, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    idx = sorted(
+        r["frame_idx"]
+        for r in mm.frame_sample(media, every_n=2, pixels=False).collect()
+    )
+    assert idx == [0, 2]
+    with pytest.raises(Exception, match="Annex-B"):
+        mm.frame_sample(media, every_n=1, pixels=True).collect()
 
 
 def test_framestore_frame_sample_integration(spark):
@@ -1980,7 +2198,7 @@ def test_framestore_frame_pack_roundtrip(spark):
     packed = {r["media_id"]: bytes(r["content"])
               for r in mm.frame_pack(frames).collect()}
     for mid, fl in vids.items():
-        assert list(fs.decode_frames(packed[mid]) == fl
+        assert list(fs.decode_frames(packed[mid])) == fl
         kinds = [k for k, _ in fs.iter_records(packed[mid])]
         assert kinds[0] is True
     # video 1: 12 one-byte-delta frames -> fulls at 0 and 11 (10 deltas)

@@ -391,7 +391,7 @@ def test_framestore_roundtrip_property(frames, interval):
     from iot_database_spark.operators import framestore as fs
 
     blob = fs.encode_frames(frames, full_interval=interval)
-    assert list(fs.decode_frames(blob) == [bytes(f) for f in frames]
+    assert list(fs.decode_frames(blob)) == [bytes(f) for f in frames]
     if frames:
         assert blob[0] == 1
         assert fs.sniff(blob)
