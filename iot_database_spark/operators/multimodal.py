@@ -664,6 +664,83 @@ def _mp4_video_stbl(b: bytes):
     return None
 
 
+def _mp4_avcc(b: bytes) -> dict | None:
+    """AVCDecoderConfigurationRecord from the first video sample entry
+    (ISO/IEC 14496-15 §5.2.4.1): the avc1/avc3 entry carries an 'avcC'
+    child box holding the stream's SPS/PPS NALs and the length-prefix
+    size used by every mdat sample. Returns {'nal_length_size', 'sps',
+    'pps', 'profile_idc', 'level_idc'} or None."""
+    vt = _mp4_video_stbl(b)
+    if vt is None:
+        return None
+    s, e, _codec, _tkhd = vt
+    stsd = _mp4_find(b, s, e, b"stsd")
+    if stsd is None:
+        return None
+    entry = _mp4_find(b, stsd[0] + 8, stsd[1], b"avc1") or _mp4_find(
+        b, stsd[0] + 8, stsd[1], b"avc3"
+    )
+    if entry is None:
+        return None
+    # children follow the 78-byte VisualSampleEntry field block; scan
+    # from there, falling back to the start for non-conformant writers
+    avcc = _mp4_find(b, min(entry[0] + 78, entry[1]), entry[1], b"avcC") or _mp4_find(
+        b, entry[0], entry[1], b"avcC"
+    )
+    if avcc is None or avcc[1] - avcc[0] < 7:
+        return None
+    p = avcc[0]
+    profile, level = b[p + 1], b[p + 3]
+    nal_len = (b[p + 4] & 0x03) + 1
+    sps_list: list[bytes] = []
+    pps_list: list[bytes] = []
+    q = p + 6
+    try:
+        for _ in range(b[p + 5] & 0x1F):
+            (ln,) = struct.unpack(">H", b[q : q + 2])
+            sps_list.append(b[q + 2 : q + 2 + ln])
+            q += 2 + ln
+        n_pps = b[q]
+        q += 1
+        for _ in range(n_pps):
+            (ln,) = struct.unpack(">H", b[q : q + 2])
+            pps_list.append(b[q + 2 : q + 2 + ln])
+            q += 2 + ln
+    except (IndexError, struct.error):
+        return None
+    if q > avcc[1]:
+        return None
+    return {
+        "nal_length_size": nal_len,
+        "sps": sps_list,
+        "pps": pps_list,
+        "profile_idc": profile,
+        "level_idc": level,
+    }
+
+
+def avcc_iter_nals(sample: bytes, nal_length_size: int = 4):
+    """Walk the length-prefixed NAL units of one MP4/AVC sample
+    (ISO/IEC 14496-15 §5.3.4.2: each NAL is preceded by a big-endian
+    length of avcC's configured size — no start codes inside mdat).
+    Yields (offset, nal_type, payload); truncated prefixes or lengths
+    overrunning the sample raise ValueError, like the Annex-B walk."""
+    n = len(sample)
+    i = 0
+    while i < n:
+        if i + nal_length_size > n:
+            raise ValueError("avcc: truncated NAL length prefix")
+        ln = int.from_bytes(sample[i : i + nal_length_size], "big")
+        i += nal_length_size
+        if ln == 0 or i + ln > n:
+            raise ValueError("avcc: NAL length overruns sample")
+        payload = sample[i : i + ln]
+        if payload[0] & 0x80:
+            raise ValueError("avcc: forbidden_zero_bit set in NAL header")
+        yield i, payload[0] & 0x1F, payload
+        i += ln
+
+
 def _parse_mp4(b: bytes) -> dict | None:
     """MP4/ISO-BMFF metadata — REAL structural box walk, pure stdlib.
 
@@ -699,6 +776,20 @@ def _parse_mp4(b: bytes) -> dict | None:
         if stsz is not None:
             (count,) = struct.unpack(">I", b[stsz[0] + 8 : stsz[0] + 12])
             meta["n_frames"] = count
+        if codec in (b"avc1", b"avc3"):
+            # AVC track: the avcC record's SPS gives the CODED luma
+            # dimensions (authoritative over tkhd's 16.16 presentation
+            # size, which composition matrices can scale) — parsed by
+            # the same structural SPS walk the Annex-B path uses
+            avcc = _mp4_avcc(b)
+            if avcc:
+                meta["avc_profile_idc"] = avcc["profile_idc"]
+                meta["nal_length_size"] = avcc["nal_length_size"]
+                for sps in avcc["sps"]:
+                    dims = _parse_sps_dims(_annexb_rbsp(sps))
+                    if dims is not None:
+                        meta["width"], meta["height"] = dims
+                        break
     return meta
 
 
@@ -1658,11 +1749,33 @@ def frame_sample(
                     codec = str(meta.get("codec", "mp4"))
                     fbs = mp4_split_samples(blob)
                     if not fbs or codec not in ("mp4/jpeg", "mp4/mjpa", "mp4/mjpb"):
+                        extra = ""
+                        if codec in ("mp4/avc1", "mp4/avc3"):
+                            # honest structural detail: walk the length-
+                            # prefixed NALs so the refusal names exactly
+                            # what the capture holds (pixels=False counts
+                            # and samples these frames fine)
+                            avcc = _mp4_avcc(blob)
+                            if avcc:
+                                census: dict[str, int] = {}
+                                try:
+                                    for smp in fbs:
+                                        for _o, t, _p in avcc_iter_nals(
+                                            smp, avcc["nal_length_size"]
+                                        ):
+                                            k = _NAL_NAMES.get(t, f"nal{t}")
+                                            census[k] = census.get(k, 0) + 1
+                                    extra = (
+                                        f" ({len(fbs)} AVC samples, NAL "
+                                        f"census {census})"
+                                    )
+                                except ValueError:
+                                    extra = f" ({len(fbs)} AVC samples)"
                         raise NotImplementedError(
                             f"frame_sample(pixels=True): MP4 codec "
                             f"{codec!r} needs a media library — only GIF "
                             "decodes, and MJPEG(-in-AVI/-in-MP4) splits, "
-                            "in-process"
+                            f"in-process{extra}"
                         )
                     for i, fb in enumerate(fbs):
                         if i % every_n:

@@ -825,6 +825,7 @@ def _mp4(
     timescale: int = 1000,
     duration: int = 120,
     chunks: list[int] | None = None,
+    entry: bytes | None = None,
 ) -> bytes:
     """Minimal ISO-BMFF MP4 with one 'vide' track: ftyp + mdat(samples,
     laid out per `chunks` sample counts) + moov(mvhd + trak(tkhd +
@@ -858,7 +859,9 @@ def _mp4(
     hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(13))
     stsd = box(
         b"stsd",
-        struct.pack(">II", 0, 1) + struct.pack(">I", 16) + codec + bytes(8),
+        struct.pack(">II", 0, 1)
+        + (entry if entry is not None
+           else struct.pack(">I", 16) + codec + bytes(8)),
     )
     stsz = box(
         b"stsz",
@@ -2061,6 +2064,81 @@ def test_annexb_frame_sample_counts_not_decodes(spark):
     )
     assert idx == [0, 2]
     with pytest.raises(Exception, match="Annex-B"):
+        mm.frame_sample(media, every_n=1, pixels=True).collect()
+
+
+def _avc1_entry(sps_nal: bytes, pps_nal: bytes) -> bytes:
+    """Full VisualSampleEntry (78-byte field block) for codec avc1 with
+    an avcC child carrying one SPS + one PPS and 4-byte NAL lengths."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+    fields = bytes(78)  # reserved/dref/dims/resolution — unused by the walk
+    payload = fields + box(b"avcC", avcc)
+    return struct.pack(">I", len(payload) + 8) + b"avc1" + payload
+
+
+def _avc_sample(*nals: bytes) -> bytes:
+    import struct
+
+    return b"".join(struct.pack(">I", len(n)) + n for n in nals)
+
+
+def test_mp4_avcc_sps_dims_and_nal_walk(spark):
+    """MP4/avc1: the avcC record parses (SPS/PPS, NAL length size), the
+    SPS supplies CODED dimensions (overriding tkhd presentation size),
+    n_frames comes from stsz, the length-prefixed per-sample NAL walk
+    yields types and fails loudly on truncation — and frame_sample
+    counts frames metadata-only while pixels=True refuses with the NAL
+    census named."""
+    import pytest
+
+    from iot_database_spark.operators import multimodal as mm
+
+    sps_nal = b"\x67" + _ep_escape(_rbsp_bytes(_sps_baseline_rbsp(4, 3)))
+    pps_nal = b"\x68" + _ep_escape(_rbsp_bytes(_eg(0) + _eg(0) + "1"))
+    idr = bytes([0x65, 0x88, 0x55, 0xAA])
+    p_slice = bytes([0x41, 0x88, 0x12, 0x34])
+    samples = [
+        _avc_sample(sps_nal, pps_nal, idr),
+        _avc_sample(p_slice),
+        _avc_sample(p_slice),
+    ]
+    blob = _mp4(samples, w=999, h=999, entry=_avc1_entry(sps_nal, pps_nal))
+
+    avcc = mm._mp4_avcc(blob)
+    assert avcc is not None
+    assert avcc["nal_length_size"] == 4
+    assert avcc["profile_idc"] == 66
+    assert avcc["sps"] == [sps_nal] and avcc["pps"] == [pps_nal]
+
+    meta = mm._parse_mp4(blob)
+    assert meta["codec"] == "mp4/avc1"
+    assert (meta["width"], meta["height"]) == (64, 48)  # SPS, not tkhd 999
+    assert meta["n_frames"] == 3
+    assert meta["nal_length_size"] == 4
+
+    assert [t for _, t, _ in mm.avcc_iter_nals(samples[0])] == [7, 8, 5]
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        list(mm.avcc_iter_nals(samples[0][:-2]))
+
+    media = spark.createDataFrame(
+        [(32, "video", bytearray(blob), {})], mm.MEDIA_SCHEMA
+    )
+    idx = sorted(
+        r["frame_idx"]
+        for r in mm.frame_sample(media, every_n=1, pixels=False).collect()
+    )
+    assert idx == [0, 1, 2]
+    with pytest.raises(Exception, match="NAL census"):
         mm.frame_sample(media, every_n=1, pixels=True).collect()
 
 
