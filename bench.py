@@ -117,6 +117,9 @@ HEADLINE = [
     "approx_sketch_accuracy",
     "text_trigram_coverage",
     "stream_threshold_alerts",
+    # round 8 additions
+    "stream_sessionization",
+    "text_ngram_lm_score",
 ]
 
 

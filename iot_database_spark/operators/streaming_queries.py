@@ -235,3 +235,84 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+@register(
+    "stream_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT) ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows computed BY A RUNNING STREAM:
+    readStream file source -> watermark -> F.session_window (native
+    state-store session merging, the 100-TB shape: state is per OPEN
+    session per user, never the history) -> memory sink. Must
+    hash-match the batch gap-split sessionization. Gap convention,
+    pinned empirically (test_streaming_stateful.py gap-boundary test):
+    Spark MERGES an event landing exactly gap after the previous one
+    (windows [t, t+gap] touch), so a new session needs gap STRICTLY
+    GREATER than 30 min — the same strict-> convention the batch
+    `event_sessionization` twin uses, and what the oracle encodes.
+
+    Session identity (user_id, session_no) aggregates to the same
+    (n_events, first_event, last_event) multiset the stream emits per
+    merged window, so the graded projection drops the window struct and
+    session_no. Output mode is COMPLETE (Spark supports session windows
+    in append/complete only, and append would hold back every session
+    whose window end is past the final watermark — with availableNow
+    there is no later batch to flush them); the memory sink is the test
+    harness, not the scale path — at scale this plan lands in a table
+    via foreachBatch exactly like stream_rollup_to_table."""
+    load_views(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.session_window("ts", "30 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select("user_id", "n_events", "first_event", "last_event")
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)

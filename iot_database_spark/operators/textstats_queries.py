@@ -735,3 +735,59 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     return bpe.bpe_token_count(docs, _BPE_FIXED_MERGES, "text", "doc_id")
+
+
+@register(
+    "text_ngram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT unnest(ws) AS w1 FROM toks
+        ) GROUP BY w1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (
+        SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c2 FROM (
+            SELECT unnest([[ws[i], ws[i + 1]] for i in range(1, len(ws))]) AS bg
+            FROM toks WHERE len(ws) >= 2
+        ) GROUP BY bg[1], bg[2]
+    ),
+    partials AS (
+        -- IEEE op order mirrored by the Spark plan: ONE division, ONE
+        -- ln, floor-scale to 1e-6 units, BIGINT (operators/lm.py)
+        SELECT w1, w2,
+               CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS lp_micro
+        FROM bi JOIN uni USING (w1) CROSS JOIN vocab
+    ),
+    doc_bi AS (
+        SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest([[ws[i], ws[i + 1]] for i in range(1, len(ws))]) AS bg
+            FROM toks WHERE len(ws) >= 2
+        )
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS lm_logprob_micro
+    FROM doc_bi JOIN partials USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality proxy: per-document summed bigram
+    log-probability under an add-one-smoothed LM trained on the corpus
+    itself (operators/lm.py — two vocabulary-sized aggregations, one
+    per-distinct-bigram partial table, integer-exact per-doc sums)."""
+    from iot_database_spark.operators import lm
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return lm.ngram_lm_score(docs)

@@ -2295,3 +2295,27 @@ def test_framestore_frame_pack_roundtrip(spark):
     for mid, fl in vids.items():
         for i, fb in enumerate(fl):
             assert got[(mid, i)] == fb
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Pin the LM semantics (not just cross-engine agreement): add-one
+    smoothed bigram log-probs on a corpus small enough to verify by
+    hand, floor-scaled per bigram BEFORE the per-doc integer sum."""
+    import math
+
+    from iot_database_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_logprob_micro)
+        for r in lm.ngram_lm_score(docs).collect()
+    }
+    # unigrams: a:3 b:2 solo:1 -> V=3; bigrams: (a,b):2 (b,a):1
+    lp_ab = math.floor(math.log((2 + 1.0) / (3 + 3.0)) * 1e6)
+    lp_ba = math.floor(math.log((1 + 1.0) / (2 + 3.0)) * 1e6)
+    assert got == {
+        1: (2, lp_ab + lp_ba),  # "a b a" -> (a,b), (b,a)
+        2: (1, lp_ab),
+    }  # doc 3 has one token -> no bigrams -> not scored

@@ -252,3 +252,13 @@ def test_round6_corpus_sized_broadcasts_are_size_gated(spark, sf):
         assert audit.uses_broadcast_join(small_b)
     finally:
         spark.conf.set(key, old)
+
+
+def test_ngram_lm_score_stays_jvm(spark, sf):
+    """The LM scorer's corpus-sized path must be pure Column exprs —
+    counts, zip_with bigrams, one ln per distinct bigram — with no
+    Python evaluation anywhere in the plan."""
+    df = _Q["text_ngram_lm_score"](spark, sf)
+    text = audit.explain_str(df)
+    assert "PythonUDF" not in text and "BatchEvalPython" not in text
+    assert "ArrowEvalPython" not in text

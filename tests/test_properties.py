@@ -439,3 +439,112 @@ def test_bpe_sequential_equals_greedy_property(words, fuzz):
 
     for w in set(words) | {fuzz}:
         assert bpe.encode_word(w, ranks) == seq_apply(w)
+
+
+def _ue_bits(v: int) -> str:
+    code = bin(v + 1)[2:]
+    return "0" * (len(code) - 1) + code
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=st.lists(st.integers(min_value=0, max_value=2**24), min_size=1, max_size=20))
+def test_expgolomb_reader_roundtrip_property(values):
+    """The H.264 bit reader decodes ANY hand-encoded ue(v) sequence back
+    to the source integers (Exp-Golomb §9.1: write side is independent
+    of the reader under test), including values spanning many bytes."""
+    from iot_database_spark.operators import multimodal as mm
+
+    bits = "".join(_ue_bits(v) for v in values) + "1"
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    r = mm._BitReader(data)
+    assert [r.ue() for _ in values] == values
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pw_mbs=st.integers(min_value=1, max_value=256),
+    ph_units=st.integers(min_value=1, max_value=256),
+    crop=st.tuples(*[st.integers(min_value=0, max_value=3)] * 4),
+    high_profile=st.booleans(),
+)
+def test_sps_dims_property(pw_mbs, ph_units, crop, high_profile):
+    """SPS dimension parse matches the spec formula for arbitrary
+    macroblock geometry and 4:2:0 cropping, on both the baseline and
+    the high-profile (chroma/bit-depth fields) header layouts."""
+    from iot_database_spark.operators import multimodal as mm
+
+    cl, cr, ct, cb = crop
+    bits = (
+        (f"{100:08b}" if high_profile else f"{66:08b}")
+        + "00000000" + f"{30:08b}"
+        + _ue_bits(0)  # sps_id
+    )
+    if high_profile:
+        bits += _ue_bits(1) + _ue_bits(0) + _ue_bits(0) + "0" + "0"
+    bits += (
+        _ue_bits(0)      # log2_max_frame_num_minus4
+        + _ue_bits(2)    # pic_order_cnt_type
+        + _ue_bits(1)    # max_num_ref_frames
+        + "0"            # gaps flag
+        + _ue_bits(pw_mbs - 1) + _ue_bits(ph_units - 1)
+        + "1" + "1"      # frame_mbs_only, direct_8x8
+    )
+    has_crop = any(crop)
+    bits += "1" + "".join(_ue_bits(c) for c in crop) if has_crop else "0"
+    bits += "0"  # vui
+    bits += "1"
+    bits += "0" * (-len(bits) % 8)
+    rbsp = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    want_w = 16 * pw_mbs - 2 * (cl + cr)   # 4:2:0 -> CropUnitX=2
+    want_h = 16 * ph_units - 2 * (ct + cb)  # frame_mbs_only -> CropUnitY=2
+    got = mm._parse_sps_dims(rbsp)
+    if want_w <= 0 or want_h <= 0:
+        assert got is None
+    else:
+        assert got == (want_w, want_h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=23),
+            st.binary(min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    four=st.booleans(),
+)
+def test_annexb_walk_roundtrip_property(nals, four):
+    """The Annex-B walk recovers every NAL's type and payload from a
+    hand-assembled stream with emulation-prevention escaping and either
+    start-code length — write side independent of the reader."""
+    from iot_database_spark.operators import multimodal as mm
+
+    def escape(rbsp: bytes) -> bytes:
+        out, zeros = bytearray(), 0
+        for byte in rbsp:
+            if zeros >= 2 and byte <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(byte)
+            zeros = zeros + 1 if byte == 0 else 0
+        return bytes(out)
+
+    start = b"\x00\x00\x00\x01" if four else b"\x00\x00\x01"
+    blob = b"".join(
+        start + bytes([(3 << 5) | t]) + escape(body) for t, body in nals
+    )
+    walked = list(mm.annexb_iter_nals(blob))
+    assert [t for _, t, _ in walked] == [t for t, _ in nals]
+    # payload survives: header byte + escaped body, trailing zeros of
+    # the body may be absorbed by the next start code / stream tail
+    for (_, _, payload), (t, body) in zip(walked, nals):
+        esc = escape(body)
+        assert payload == bytes([(3 << 5) | t]) + esc or (
+            esc.endswith(b"\x00")
+            and payload == (bytes([(3 << 5) | t]) + esc).rstrip(b"\x00")
+        )

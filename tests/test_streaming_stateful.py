@@ -347,3 +347,43 @@ def test_streaming_alerts_carry_state_across_batches(spark, tmp_path):
         (250.0, "raise"),
         (50.0, "clear"),
     ]
+
+
+def test_stream_sessionization_gap_boundary(spark, tmp_path):
+    """Pin the session-split convention the oracle encodes: Spark's
+    session_window starts a NEW session when the inter-event gap is
+    >= the gap duration (window = [t, t+gap)), so an exactly-30-minute
+    gap splits while 30min-1us merges. Crafted single-file events table
+    (the registered query reads a file named events.parquet, matching
+    the driver layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_database_spark.registry import queries
+
+    base = 1_700_000_000_000_000  # us epoch
+    gap = 1_800_000_000  # 30 min in us
+    rows = {
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pa.array(
+            [base,
+             base + gap,                    # EXACTLY gap later: merges
+             base + 2 * gap + 1,            # gap + 1us after e2: splits
+             base + 10 * gap,               # far later: new session
+             base + 10 * gap + 5],          # same session as e4
+            type=pa.timestamp("us"),
+        ),
+        "user_id": [7, 7, 7, 7, 7],
+        "event_type": ["a"] * 5,
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    out = queries()["stream_sessionization"](spark, str(tmp_path))
+    got = sorted(
+        (r.n_events, r.first_event, r.last_event) for r in out.collect()
+    )
+    # e2 exactly `gap` after e1 -> MERGED (strict-> convention);
+    # e3 gap+1us after e2 -> new session
+    assert got == [(1, 3, 3), (2, 1, 2), (2, 4, 5)]
