@@ -283,9 +283,9 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_no. Output mode is COMPLETE (Spark supports session windows
     in append/complete only, and append would hold back every session
     whose window end is past the final watermark — with availableNow
-    there is no later batch to flush them); the memory sink is the test
-    harness, not the scale path — at scale this plan lands in a table
-    via foreachBatch exactly like stream_rollup_to_table."""
+    there is no later batch to flush them); the sink is a foreachBatch
+    parquet overwrite, so the full session set is written by a Spark
+    job and read back distributed — never collected on the driver."""
     load_views(spark, sf_dir)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
@@ -306,13 +306,22 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "first_event", "last_event")
     )
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # DISTRIBUTED sink (r8 scale probe: a complete-mode memory sink
+    # collects every session onto the driver — ~3M rows at sf3 turned a
+    # 3x data step into 6x runtime; foreachBatch keeps the result a
+    # Spark write, the driver sees nothing row-sized)
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_sessions_")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
     (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
+        sessions.writeStream.foreachBatch(land)
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    return spark.table(sink)
+    return spark.read.parquet(out_dir)
