@@ -140,13 +140,15 @@ def stream_rollup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup computed BY A RUNNING STREAM: readStream file source
-    -> dropDuplicates on the content hash -> memory sink. The graded
-    output is the distinct hash set (which row of a duplicate group a
-    stream keeps is arrival-order-dependent, so only the key set is
-    deterministic). At scale the state store holds one 16-byte key per
-    distinct document; a real deployment bounds it with a watermark on
-    ingest time — with availableNow over one file there is a single
-    micro-batch and no state expiry question."""
+    -> dropDuplicates on the content hash -> foreachBatch parquet
+    append (corpus-sized output must never sit on the driver — same r8
+    scale finding as stream_sessionization). The graded output is the
+    distinct hash set (which row of a duplicate group a stream keeps is
+    arrival-order-dependent, so only the key set is deterministic). At
+    scale the state store holds one 16-byte key per distinct document;
+    a real deployment bounds it with a watermark on ingest time — with
+    availableNow over one file there is a single micro-batch and no
+    state expiry question."""
     load_views(spark, sf_dir)
     docs_schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -158,16 +160,21 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("content_hash"))
         .dropDuplicates(["content_hash"])
     )
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
     (
-        stream.writeStream.format("memory")
-        .queryName(sink)
+        stream.writeStream.foreachBatch(land)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    return spark.table(sink)
+    return spark.read.parquet(out_dir)
 
 
 @register(
@@ -225,16 +232,24 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     alerts = streaming_threshold_alerts(stream, high=200.0, low=100.0)
-    sink = f"stream_alerts_{uuid.uuid4().hex[:8]}"
+    # foreachBatch parquet append, not a memory sink: the alert stream
+    # is bounded by transitions, but nothing guarantees transitions are
+    # driver-sized on adversarial data — keep the sink distributed
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_alerts_")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
     (
-        alerts.writeStream.format("memory")
-        .queryName(sink)
+        alerts.writeStream.foreachBatch(land)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    return spark.table(sink)
+    return spark.read.parquet(out_dir)
 
 
 @register(
