@@ -237,7 +237,17 @@ def _encoded_vocab(
         prev = _LAST_PERSISTED[-1] if _LAST_PERSISTED else None
     if prev is not None:
         try:
-            if prev.sameSemantics(distinct):
+            # reuse only a handle OWNED by this session: the registry is
+            # process-global, and building a plan on another session's
+            # cached frame would fail at materialization if that session
+            # stops (or hand out its cache lifetime). Plan-level cache
+            # semantics apply as with any Spark cache: rewriting the
+            # underlying files between identical-plan calls serves the
+            # cached (stale) vocab until release_vocab_cache().
+            if (
+                prev.sparkSession is distinct.sparkSession
+                and prev.sameSemantics(distinct)
+            ):
                 n_words = prev.count()
                 encoded = _encoded_words(prev, merges)
                 return (

@@ -98,7 +98,15 @@ def ngram_lm_score(
     — left to the caller so the graded columns stay integer-exact.
 
     Documents with fewer than two tokens have no bigrams and are not
-    scored (mirror any fluency filter: nothing to judge)."""
+    scored (mirror any fluency filter: nothing to judge).
+
+    With an external `train_df`, bigrams the reference corpus never saw
+    still score: the smoothed fallback is ln((0+1)/(c1+V)) when the
+    context word is known and ln(1/(0+V)) when it is not — the same
+    add-one formula with c2 (and, for unknown contexts, c1) at zero, so
+    no document is dropped and OOV text is penalized, not ignored. On
+    the default self-trained path every bigram is in the counts table
+    and the fallback never fires (the DuckDB oracle relies on that)."""
     uni, bi, vocab = ngram_lm_counts(train_df if train_df is not None else df, text)
     # per-DISTINCT-bigram partial: vocabulary-sized join (c1 side is
     # |vocab| rows), one division -> one ln -> floor-scale; mirrored
@@ -136,8 +144,24 @@ def ngram_lm_score(
         )
         .select(id_col, "bg.w1", "bg.w2")
     )
+    # left joins + smoothed fallback so external-LM OOV bigrams score
+    # instead of vanishing; self-trained corpora never take the
+    # fallback branch (every bigram is in `partials`)
+    oov_lp = (
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v").cast("double"))
+            )
+            * F.lit(_MICRO)
+        )
+        .cast("bigint")
+    )
     return (
-        doc_bi.join(partials, ["w1", "w2"])
+        doc_bi.join(partials, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, F.coalesce("lp_micro", oov_lp).alias("lp_micro"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -664,13 +664,15 @@ def _mp4_video_stbl(b: bytes):
     return None
 
 
-def _mp4_avcc(b: bytes) -> dict | None:
+def _mp4_avcc(b: bytes, vt: tuple | None = None) -> dict | None:
     """AVCDecoderConfigurationRecord from the first video sample entry
     (ISO/IEC 14496-15 §5.2.4.1): the avc1/avc3 entry carries an 'avcC'
     child box holding the stream's SPS/PPS NALs and the length-prefix
     size used by every mdat sample. Returns {'nal_length_size', 'sps',
-    'pps', 'profile_idc', 'level_idc'} or None."""
-    vt = _mp4_video_stbl(b)
+    'pps', 'profile_idc', 'level_idc'} or None. Pass the caller's
+    `_mp4_video_stbl` result as `vt` to skip the repeat box walk."""
+    if vt is None:
+        vt = _mp4_video_stbl(b)
     if vt is None:
         return None
     s, e, _codec, _tkhd = vt
@@ -781,7 +783,7 @@ def _parse_mp4(b: bytes) -> dict | None:
             # dimensions (authoritative over tkhd's 16.16 presentation
             # size, which composition matrices can scale) — parsed by
             # the same structural SPS walk the Annex-B path uses
-            avcc = _mp4_avcc(b)
+            avcc = _mp4_avcc(b, vt)
             if avcc:
                 meta["avc_profile_idc"] = avcc["profile_idc"]
                 meta["nal_length_size"] = avcc["nal_length_size"]
@@ -1683,7 +1685,11 @@ def frame_sample(
 
     if not pixels:
         decoded = decode_media(media.filter("kind = 'video'"), decoder)
-        return decoded.select(
+        # n_frames can legitimately be 0 (e.g. an Annex-B stream whose
+        # slices are all picture continuations): F.sequence(0, -1)
+        # throws at execution and would kill every row in the batch, so
+        # frameless media simply contributes no rows
+        return decoded.filter(F.col("n_frames") >= 1).select(
             "media_id",
             F.explode(
                 F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))

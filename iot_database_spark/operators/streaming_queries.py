@@ -35,6 +35,39 @@ _STREAM_SCHEMA = (
 )
 
 
+def _land_to_parquet(
+    stream_df: DataFrame, output_mode: str, write_mode: str, prefix: str
+) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) landing each
+    micro-batch as a foreachBatch parquet write, and return the landed
+    result as a DISTRIBUTED read — the driver never holds a row (the r8
+    scale probe caught a complete-mode memory sink collecting ~3M
+    session rows: 3x data cost 6x runtime).
+
+    The sink directory lives under spark.sql.warehouse.dir — shared
+    storage on a real cluster (a driver-local /tmp path would silently
+    scatter executor writes across hosts) — namespaced under
+    _stream_sinks/ so test/bench sessions can reclaim the space in one
+    sweep. The directory must outlive the returned DataFrame (it reads
+    the files lazily), so cleanup belongs to the session owner, not this
+    helper."""
+    spark = stream_df.sparkSession
+    base = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
+    out_dir = f"{base}/_stream_sinks/{prefix}{uuid.uuid4().hex[:8]}"
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(land)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "stream_windowed_rollup",
     oracle="""
@@ -160,21 +193,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("content_hash"))
         .dropDuplicates(["content_hash"])
     )
-    import tempfile
-
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_")
-
-    def land(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
-    (
-        stream.writeStream.foreachBatch(land)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.read.parquet(out_dir)
+    return _land_to_parquet(stream, "append", "append", "stream_dedup_")
 
 
 @register(
@@ -210,7 +229,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hysteresis alerting computed BY A RUNNING STREAM: readStream file
     source -> applyInPandasWithState (one int of state per series,
-    persisted across micro-batches) -> append memory sink. Must
+    persisted across micro-batches) -> foreachBatch parquet append. Must
     hash-match the batch LOCF+lag window plan (`ts_threshold_alerts`'s
     oracle) — the streaming==batch equivalence that lets the alarm rule
     run incrementally instead of the reference's timer-driven full
@@ -235,21 +254,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # foreachBatch parquet append, not a memory sink: the alert stream
     # is bounded by transitions, but nothing guarantees transitions are
     # driver-sized on adversarial data — keep the sink distributed
-    import tempfile
-
-    out_dir = tempfile.mkdtemp(prefix="stream_alerts_")
-
-    def land(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
-    (
-        alerts.writeStream.foreachBatch(land)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.read.parquet(out_dir)
+    return _land_to_parquet(alerts, "append", "append", "stream_alerts_")
 
 
 @register(
@@ -284,7 +289,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows computed BY A RUNNING STREAM:
     readStream file source -> watermark -> F.session_window (native
     state-store session merging, the 100-TB shape: state is per OPEN
-    session per user, never the history) -> memory sink. Must
+    session per user, never the history) -> foreachBatch parquet. Must
     hash-match the batch gap-split sessionization. Gap convention,
     pinned empirically (test_streaming_stateful.py gap-boundary test):
     Spark MERGES an event landing exactly gap after the previous one
@@ -321,22 +326,6 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "first_event", "last_event")
     )
-    # DISTRIBUTED sink (r8 scale probe: a complete-mode memory sink
-    # collects every session onto the driver — ~3M rows at sf3 turned a
-    # 3x data step into 6x runtime; foreachBatch keeps the result a
-    # Spark write, the driver sees nothing row-sized)
-    import tempfile
-
-    out_dir = tempfile.mkdtemp(prefix="stream_sessions_")
-
-    def land(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    (
-        sessions.writeStream.foreachBatch(land)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    return _land_to_parquet(
+        sessions, "complete", "overwrite", "stream_sessions_"
     )
-    return spark.read.parquet(out_dir)

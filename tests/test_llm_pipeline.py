@@ -2319,3 +2319,55 @@ def test_ngram_lm_score_hand_computed(spark):
         1: (2, lp_ab + lp_ba),  # "a b a" -> (a,b), (b,a)
         2: (1, lp_ab),
     }  # doc 3 has one token -> no bigrams -> not scored
+
+
+def test_ngram_lm_score_external_train_oov(spark):
+    """With an external reference LM, OOV bigrams must score via the
+    smoothed fallback (ln(1/(c1+V)) for known context, ln(1/V) for
+    unknown) instead of being dropped by the join — no document
+    disappears and n_bigrams counts every bigram."""
+    import math
+
+    from iot_database_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a")], "doc_id bigint, text string"
+    )  # unigrams a:2 b:1 -> V=2; bigrams (a,b):1 (b,a):1
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "a z"), (12, "q r")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_logprob_micro)
+        for r in lm.ngram_lm_score(score, train_df=train).collect()
+    }
+    lp_ab = math.floor(math.log((1 + 1.0) / (2 + 2.0)) * 1e6)
+    lp_az = math.floor(math.log(1.0 / (2 + 2.0)) * 1e6)  # known ctx 'a'
+    lp_qr = math.floor(math.log(1.0 / (0 + 2.0)) * 1e6)  # unknown ctx
+    assert got == {10: (1, lp_ab), 11: (1, lp_az), 12: (1, lp_qr)}
+
+
+def test_annexb_zero_frames_does_not_kill_batch(spark):
+    """An Annex-B stream whose slices are all picture CONTINUATIONS
+    (first_mb_in_slice > 0) parses with n_frames == 0; frame_sample's
+    metadata path must skip it (no F.sequence(0, -1) job kill) while
+    other videos in the same DataFrame still sample."""
+    from iot_database_spark.operators import multimodal as mm
+
+    sps = _rbsp_bytes(_sps_baseline_rbsp(4, 3))
+    cont = bytes([0x50, 0x55, 0xAA])  # ue(first_mb)=1 -> continuation
+    degenerate = _nal(7, sps) + _nal(1, cont, ref_idc=2) + _nal(1, cont, ref_idc=2)
+    meta = mm._parse_annexb(degenerate)
+    assert meta is not None and meta["n_frames"] == 0
+
+    good = _h264_stream()  # 3 coded frames
+    media = spark.createDataFrame(
+        [(41, "video", bytearray(degenerate), {}),
+         (42, "video", bytearray(good), {})],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx)
+        for r in mm.frame_sample(media, every_n=1, pixels=False).collect()
+    )
+    assert rows == [(42, 0), (42, 1), (42, 2)]

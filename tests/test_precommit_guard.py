@@ -2,6 +2,7 @@
 failure class that shipped in round 7: a test file that no longer
 parses, which kills pytest collection for the whole suite."""
 
+import importlib.util
 import subprocess
 import sys
 from pathlib import Path
@@ -9,24 +10,28 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_precommit_compile_check_catches_syntax_error(tmp_path):
-    """check_compile on a tree containing the r7-style unclosed-paren
-    edit must fail; on the fixed form it must pass."""
-    sys.path.insert(0, str(REPO / "scripts"))
-    try:
-        import compileall
+def _load_precommit():
+    spec = importlib.util.spec_from_file_location(
+        "precommit", REPO / "scripts" / "precommit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
-        bad = tmp_path / "test_broken.py"
-        bad.write_text("assert list(decode(golden) == [1, 2, 3]\n")
-        assert not compileall.compile_dir(
-            str(tmp_path), quiet=1, force=True, workers=0
-        )
-        bad.write_text("assert list([1, 2, 3]) == [1, 2, 3]\n")
-        assert compileall.compile_dir(
-            str(tmp_path), quiet=1, force=True, workers=0
-        )
-    finally:
-        sys.path.remove(str(REPO / "scripts"))
+
+def test_precommit_compile_check_catches_syntax_error(tmp_path, monkeypatch):
+    """The guard's OWN check_compile (not a re-implementation) must fail
+    on a tree containing the r7-style unclosed-paren edit and pass once
+    it is fixed — exercised against a scratch REPO root so a future
+    change to its compile arguments is covered here."""
+    pc = _load_precommit()
+    monkeypatch.setattr(pc, "REPO", tmp_path)
+    (tmp_path / "pkg").mkdir()
+    bad = tmp_path / "pkg" / "test_broken.py"
+    bad.write_text("assert list(decode(golden) == [1, 2, 3]\n")
+    assert not pc.check_compile(["pkg"])
+    bad.write_text("assert list([1, 2, 3]) == [1, 2, 3]\n")
+    assert pc.check_compile(["pkg"])
 
 
 def test_precommit_script_passes_on_current_tree():

@@ -350,12 +350,12 @@ def test_streaming_alerts_carry_state_across_batches(spark, tmp_path):
 
 
 def test_stream_sessionization_gap_boundary(spark, tmp_path):
-    """Pin the session-split convention the oracle encodes: Spark's
-    session_window starts a NEW session when the inter-event gap is
-    >= the gap duration (window = [t, t+gap)), so an exactly-30-minute
-    gap splits while 30min-1us merges. Crafted single-file events table
-    (the registered query reads a file named events.parquet, matching
-    the driver layout)."""
+    """Pin the session-split convention the oracle encodes: Spark
+    MERGES an event landing exactly `gap` after the previous one (the
+    windows [t, t+gap] touch), so a new session needs a STRICTLY
+    GREATER gap — exactly-30-minutes merges, 30min+1us splits. Crafted
+    single-file events table (the registered query reads a file named
+    events.parquet, matching the driver layout)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
