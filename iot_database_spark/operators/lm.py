@@ -9,27 +9,25 @@ dedup/bpe/search.
 
 Scale shape (the 100 TB contract):
 
-- LM TRAINING is two keyed aggregations over the corpus: unigram counts
-  (one explode + groupBy word, map-side combine) and bigram counts (one
-  zip_with-slice explode + groupBy pair). Both outputs are
-  vocabulary-sized, not corpus-sized.
-- SCORING computes each DISTINCT bigram's smoothed log-probability
-  exactly once (the bigram table already holds c2, the unigram join is
-  vocabulary-sized and broadcast-gated), then joins those partials back
-  onto the exploded document stream and integer-sums per document —
-  Python never touches a row, and the corpus-sized exchange is the one
-  unavoidable (doc, bigram) shuffle.
+- LM TRAINING is two keyed aggregations over the corpus: context
+  counts ((n-1)-gram occurrences, one explode + groupBy) and n-gram
+  counts (one slice-transform explode + groupBy). Both outputs are
+  vocabulary-sized, not corpus-sized, at any order.
+- SCORING computes each DISTINCT n-gram's smoothed log-probability
+  exactly once, then joins those partials back onto the exploded
+  document stream and integer-sums per document — Python never touches
+  a row, and the corpus-sized exchange is the one unavoidable
+  (doc, gram) shuffle.
 - Cross-engine determinism follows operators/search.py's BM25 recipe:
-  the per-bigram partial is ONE IEEE division, ONE ln, one multiply,
+  the per-gram partial is ONE IEEE division, ONE ln, one multiply,
   floor-scaled to 1e-6 units (bigint); per-document totals are integer
   sums, which are partial-order-independent where double sums are not.
 
 Self-scoring note: the LM here is trained on the scored corpus itself
 (the standard bootstrap when no external reference corpus is wired in),
-so every bigram the scorer meets exists in the counts table and the
-smoothed probability is always defined; wiring an external reference
-corpus is the same plan with `train_df` pointed elsewhere plus an
-anti-join OOV fallback term.
+so every n-gram the scorer meets exists in the counts table; an
+external reference corpus (`train_df`) takes the smoothed OOV fallback
+for unseen grams instead of dropping them.
 """
 
 from __future__ import annotations
@@ -39,11 +37,15 @@ from pyspark.sql import functions as F
 
 __all__ = ["ngram_lm_counts", "ngram_lm_score"]
 
-# Add-one (Laplace) smoothing: p(w2|w1) = (c2 + 1) / (c1 + V). Simple,
-# zero-free, and exactly reproducible in ANSI SQL — Kneser-Ney would buy
-# a better proxy at the cost of a multi-pass discount estimation that
-# has no bit-exact SQL twin.
+# Add-one (Laplace) smoothing: p(w | ctx) = (c_gram + 1) / (c_ctx + V).
+# Simple, zero-free, and exactly reproducible in ANSI SQL — Kneser-Ney
+# would buy a better proxy at the cost of a multi-pass discount
+# estimation that has no bit-exact SQL twin.
 _MICRO = 1_000_000.0
+
+# Context words join under a separator no whitespace-split token can
+# contain, so a 2-word context never collides with a 1-word one.
+_SEP = "\x1f"
 
 
 def _tokens(text_col: str) -> F.Column:
@@ -51,37 +53,51 @@ def _tokens(text_col: str) -> F.Column:
 
 
 def ngram_lm_counts(
-    df: DataFrame, text: str = "text"
+    df: DataFrame, text: str = "text", n: int = 2
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(unigram_counts, bigram_counts, vocab_size) for the corpus.
+    """(ctx_counts, gram_counts, vocab_size) for an order-`n` LM.
 
-    unigram_counts: (w1, c1); bigram_counts: (w1, w2, c2); vocab_size:
-    one-row frame (v bigint). Each is a partial-aggregated scan —
-    nothing corpus-sized survives."""
+    ctx_counts: (ctx, c1) — occurrences of each (n-1)-gram (for n=2,
+    plain unigram counts); gram_counts: (ctx, w, c2); vocab_size:
+    one-row frame (v bigint) counting DISTINCT unigrams (the standard
+    smoothing denominator at every order). Each is a partial-aggregated
+    scan — nothing corpus-sized survives. Context counts are plain
+    (n-1)-gram occurrence counts (a document's trailing context never
+    precedes a word; add-one smoothing absorbs the off-by-one vs strict
+    prefix counts)."""
+    if n < 2:
+        raise ValueError(f"ngram LM needs order >= 2, got {n}")
     ws = df.select(_tokens(text).alias("ws"))
-    uni = (
-        ws.select(F.explode("ws").alias("w1"))
-        .groupBy("w1")
+    size = F.size("ws")
+    ctx_grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 2)),
+        lambda i: F.concat_ws(_SEP, F.slice("ws", i, n - 1)),
+    )
+    ctx = (
+        ws.filter(size >= n - 1)
+        .select(F.explode(ctx_grams).alias("ctx"))
+        .groupBy("ctx")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    n = F.size("ws")
-    bi = (
-        ws.filter(n >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice("ws", 1, n - 1),
-                    F.slice("ws", 2, n - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg")
-        )
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
+    full_grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.struct(
+            F.concat_ws(_SEP, F.slice("ws", i, n - 1)).alias("ctx"),
+            F.element_at(F.slice("ws", i, n), n).alias("w"),
+        ),
+    )
+    grams = (
+        ws.filter(size >= n)
+        .select(F.explode(full_grams).alias("g"))
+        .select("g.ctx", "g.w")
+        .groupBy("ctx", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    return uni, bi, vocab
+    vocab = (
+        ws.select(F.explode("ws").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    return ctx, grams, vocab
 
 
 def ngram_lm_score(
@@ -89,34 +105,36 @@ def ngram_lm_score(
     text: str = "text",
     id_col: str = "doc_id",
     train_df: DataFrame | None = None,
+    n: int = 2,
 ) -> DataFrame:
-    """Per-document bigram-LM log-probability:
-    (id_col, n_bigrams, lm_logprob_micro) — lm_logprob_micro is the sum
-    over the document's bigrams of floor(1e6 * ln((c2+1)/(c1+V))), an
-    exact BIGINT at any scale; mean per-bigram log-prob (the perplexity
-    proxy pipelines threshold on) is lm_logprob_micro / n_bigrams / 1e6
+    """Per-document n-gram-LM log-probability:
+    (id_col, n_ngrams, lm_logprob_micro) — lm_logprob_micro is the sum
+    over the document's n-grams of floor(1e6 * ln((c2+1)/(c1+V))), an
+    exact BIGINT at any scale; mean per-gram log-prob (the perplexity
+    proxy pipelines threshold on) is lm_logprob_micro / n_ngrams / 1e6
     — left to the caller so the graded columns stay integer-exact.
 
-    Documents with fewer than two tokens have no bigrams and are not
+    Documents with fewer than `n` tokens have no n-grams and are not
     scored (mirror any fluency filter: nothing to judge).
 
-    With an external `train_df`, bigrams the reference corpus never saw
+    With an external `train_df`, n-grams the reference corpus never saw
     still score: the smoothed fallback is ln((0+1)/(c1+V)) when the
-    context word is known and ln(1/(0+V)) when it is not — the same
-    add-one formula with c2 (and, for unknown contexts, c1) at zero, so
-    no document is dropped and OOV text is penalized, not ignored. On
-    the default self-trained path every bigram is in the counts table
-    and the fallback never fires (the DuckDB oracle relies on that)."""
-    uni, bi, vocab = ngram_lm_counts(train_df if train_df is not None else df, text)
-    # per-DISTINCT-bigram partial: vocabulary-sized join (c1 side is
-    # |vocab| rows), one division -> one ln -> floor-scale; mirrored
-    # operation-for-operation by the DuckDB oracle
+    context is known and ln(1/(0+V)) when it is not — the same add-one
+    formula with c2 (and, for unknown contexts, c1) at zero, so no
+    document is dropped and OOV text is penalized, not ignored. On the
+    default self-trained path every n-gram is in the counts table and
+    the fallback never fires (the DuckDB oracle relies on that)."""
+    ctx, grams, vocab = ngram_lm_counts(
+        train_df if train_df is not None else df, text, n
+    )
+    # per-DISTINCT-gram partial: one division -> one ln -> floor-scale;
+    # mirrored operation-for-operation by the DuckDB oracle
     partials = (
-        bi.join(uni, "w1")
+        grams.join(ctx, "ctx")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "w1",
-            "w2",
+            "ctx",
+            "w",
             F.floor(
                 F.log(
                     (F.col("c2") + F.lit(1.0))
@@ -128,25 +146,23 @@ def ngram_lm_score(
             .alias("lp_micro"),
         )
     )
-    n = F.size("ws")
-    doc_bi = (
-        df.select(F.col(id_col), _tokens(text).alias("ws"))
-        .filter(n >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.zip_with(
-                    F.slice("ws", 1, n - 1),
-                    F.slice("ws", 2, n - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg"),
-        )
-        .select(id_col, "bg.w1", "bg.w2")
+    size = F.size("ws")
+    doc_grams_col = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.struct(
+            F.concat_ws(_SEP, F.slice("ws", i, n - 1)).alias("ctx"),
+            F.element_at(F.slice("ws", i, n), n).alias("w"),
+        ),
     )
-    # left joins + smoothed fallback so external-LM OOV bigrams score
+    doc_grams = (
+        df.select(F.col(id_col), _tokens(text).alias("ws"))
+        .filter(size >= n)
+        .select(id_col, F.explode(doc_grams_col).alias("g"))
+        .select(id_col, "g.ctx", "g.w")
+    )
+    # left joins + smoothed fallback so external-LM OOV grams score
     # instead of vanishing; self-trained corpora never take the
-    # fallback branch (every bigram is in `partials`)
+    # fallback branch (every gram is in `partials`)
     oov_lp = (
         F.floor(
             F.log(
@@ -158,13 +174,13 @@ def ngram_lm_score(
         .cast("bigint")
     )
     return (
-        doc_bi.join(partials, ["w1", "w2"], "left")
-        .join(uni, "w1", "left")
+        doc_grams.join(partials, ["ctx", "w"], "left")
+        .join(ctx, "ctx", "left")
         .crossJoin(F.broadcast(vocab))
         .select(id_col, F.coalesce("lp_micro", oov_lp).alias("lp_micro"))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_ngrams"),
             F.sum("lp_micro").cast("bigint").alias("lm_logprob_micro"),
         )
     )

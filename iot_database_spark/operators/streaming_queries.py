@@ -68,6 +68,23 @@ def _land_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def cleanup_stream_sinks(spark: SparkSession) -> int:
+    """Sweep every landed sink under <warehouse>/_stream_sinks and
+    return how many were removed. Uses the Hadoop FileSystem API so the
+    same call works on local paths and cluster storage (hdfs/s3). Only
+    call when no DataFrame returned by this session's streaming queries
+    is still in use — they read the landed files lazily."""
+    base = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{base}/_stream_sinks")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    n = len(fs.listStatus(root))
+    fs.delete(root, True)
+    return n
+
+
 @register(
     "stream_windowed_rollup",
     oracle="""

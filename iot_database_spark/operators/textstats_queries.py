@@ -773,7 +773,7 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT doc_id,
-           COUNT(*) AS n_bigrams,
+           COUNT(*) AS n_ngrams,
            CAST(SUM(lp_micro) AS BIGINT) AS lm_logprob_micro
     FROM doc_bi JOIN partials USING (w1, w2)
     GROUP BY doc_id

@@ -2309,7 +2309,7 @@ def test_ngram_lm_score_hand_computed(spark):
         [(1, "a b a"), (2, "a b"), (3, "solo")], "doc_id bigint, text string"
     )
     got = {
-        r.doc_id: (r.n_bigrams, r.lm_logprob_micro)
+        r.doc_id: (r.n_ngrams, r.lm_logprob_micro)
         for r in lm.ngram_lm_score(docs).collect()
     }
     # unigrams: a:3 b:2 solo:1 -> V=3; bigrams: (a,b):2 (b,a):1
@@ -2338,7 +2338,7 @@ def test_ngram_lm_score_external_train_oov(spark):
         "doc_id bigint, text string",
     )
     got = {
-        r.doc_id: (r.n_bigrams, r.lm_logprob_micro)
+        r.doc_id: (r.n_ngrams, r.lm_logprob_micro)
         for r in lm.ngram_lm_score(score, train_df=train).collect()
     }
     lp_ab = math.floor(math.log((1 + 1.0) / (2 + 2.0)) * 1e6)
@@ -2371,3 +2371,30 @@ def test_annexb_zero_frames_does_not_kill_batch(spark):
         for r in mm.frame_sample(media, every_n=1, pixels=False).collect()
     )
     assert rows == [(42, 0), (42, 1), (42, 2)]
+
+
+def test_ngram_lm_score_trigram_hand_computed(spark):
+    """Order-3 LM on a corpus small enough to verify by hand: context
+    counts are 2-gram occurrences, V stays the unigram vocab, and the
+    same add-one arithmetic applies per trigram."""
+    import math
+
+    from iot_database_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id bigint, text string"
+    )
+    rows = lm.ngram_lm_score(docs, n=3).collect()
+    assert len(rows) == 1
+    # contexts: (a,b)x2 (b,c)x2 (c,a)x1; trigrams: abc x2, bca, cab; V=3
+    lp_abc = math.floor(math.log((2 + 1.0) / (2 + 3.0)) * 1e6)
+    lp_bca = math.floor(math.log((1 + 1.0) / (2 + 3.0)) * 1e6)
+    lp_cab = math.floor(math.log((1 + 1.0) / (1 + 3.0)) * 1e6)
+    assert rows[0].n_ngrams == 4
+    assert rows[0].lm_logprob_micro == 2 * lp_abc + lp_bca + lp_cab
+
+    # an order the document can't fill scores nothing
+    assert lm.ngram_lm_score(
+        spark.createDataFrame([(9, "a b")], "doc_id bigint, text string"),
+        n=3,
+    ).count() == 0

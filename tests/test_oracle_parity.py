@@ -246,6 +246,9 @@ _SF1_SUBSET = (
     "ts_threshold_alerts",
     "text_trigram_coverage",
     "approx_sketch_accuracy",
+    # round-8 additions: session-window streaming + LM scoring
+    "stream_sessionization",
+    "text_ngram_lm_score",
 )
 
 

@@ -387,3 +387,19 @@ def test_stream_sessionization_gap_boundary(spark, tmp_path):
     # e2 exactly `gap` after e1 -> MERGED (strict-> convention);
     # e3 gap+1us after e2 -> new session
     assert got == [(1, 3, 3), (2, 1, 2), (2, 4, 5)]
+
+
+def test_cleanup_stream_sinks_sweeps_landed_dirs(spark):
+    """Landed foreachBatch sinks accumulate under one warehouse
+    namespace; cleanup_stream_sinks removes them all and reports the
+    count (0 on a second sweep)."""
+    from iot_database_spark.operators.streaming_queries import (
+        cleanup_stream_sinks,
+        stream_exact_dedup,
+    )
+
+    cleanup_stream_sinks(spark)
+    df = stream_exact_dedup(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert cleanup_stream_sinks(spark) >= 1
+    assert cleanup_stream_sinks(spark) == 0
