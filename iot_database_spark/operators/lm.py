@@ -43,13 +43,26 @@ __all__ = ["ngram_lm_counts", "ngram_lm_score"]
 # estimation that has no bit-exact SQL twin.
 _MICRO = 1_000_000.0
 
-# Context words join under a separator no whitespace-split token can
-# contain, so a 2-word context never collides with a 1-word one.
-_SEP = "\x1f"
-
 
 def _tokens(text_col: str) -> F.Column:
     return F.split(F.lower(F.col(text_col)), " ")
+
+
+def _gram_structs(n: int) -> F.Column:
+    """(ctx, w) struct per n-gram window of the `ws` array column: ctx
+    is the (n-1)-word context AS AN ARRAY — a string join would collide
+    whenever a token itself contains the separator (tokens are split on
+    a single space, so any other byte is fair game) — and w the final
+    word, read in place (element_at) rather than via a throwaway slice.
+    ONE definition shared by training and scoring: the cross-engine
+    determinism story depends on both sides producing identical grams."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+        lambda i: F.struct(
+            F.slice("ws", i, n - 1).alias("ctx"),
+            F.element_at("ws", i + F.lit(n - 1)).alias("w"),
+        ),
+    )
 
 
 def ngram_lm_counts(
@@ -57,21 +70,23 @@ def ngram_lm_counts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(ctx_counts, gram_counts, vocab_size) for an order-`n` LM.
 
-    ctx_counts: (ctx, c1) — occurrences of each (n-1)-gram (for n=2,
-    plain unigram counts); gram_counts: (ctx, w, c2); vocab_size:
-    one-row frame (v bigint) counting DISTINCT unigrams (the standard
-    smoothing denominator at every order). Each is a partial-aggregated
-    scan — nothing corpus-sized survives. Context counts are plain
-    (n-1)-gram occurrence counts (a document's trailing context never
-    precedes a word; add-one smoothing absorbs the off-by-one vs strict
-    prefix counts)."""
+    ctx_counts: (ctx array<string>, c1) — occurrences of each
+    (n-1)-gram; gram_counts: (ctx, w, c2); vocab_size: one-row frame
+    (v bigint) counting DISTINCT unigrams (the standard smoothing
+    denominator at every order). Each is a partial-aggregated scan —
+    nothing corpus-sized survives; at the default n=2 the vocabulary
+    count reads the already-built context table instead of paying a
+    third corpus scan. Context counts are plain (n-1)-gram occurrence
+    counts (a document's trailing context never precedes a word;
+    add-one smoothing absorbs the off-by-one vs strict prefix
+    counts)."""
     if n < 2:
         raise ValueError(f"ngram LM needs order >= 2, got {n}")
     ws = df.select(_tokens(text).alias("ws"))
     size = F.size("ws")
     ctx_grams = F.transform(
         F.sequence(F.lit(1), size - (n - 2)),
-        lambda i: F.concat_ws(_SEP, F.slice("ws", i, n - 1)),
+        lambda i: F.slice("ws", i, n - 1),
     )
     ctx = (
         ws.filter(size >= n - 1)
@@ -79,24 +94,21 @@ def ngram_lm_counts(
         .groupBy("ctx")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    full_grams = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.struct(
-            F.concat_ws(_SEP, F.slice("ws", i, n - 1)).alias("ctx"),
-            F.element_at(F.slice("ws", i, n), n).alias("w"),
-        ),
-    )
     grams = (
         ws.filter(size >= n)
-        .select(F.explode(full_grams).alias("g"))
+        .select(F.explode(_gram_structs(n)).alias("g"))
         .select("g.ctx", "g.w")
         .groupBy("ctx", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
-    vocab = (
-        ws.select(F.explode("ws").alias("w"))
-        .agg(F.count_distinct("w").alias("v"))
-    )
+    if n == 2:
+        # contexts ARE the unigrams: |ctx table| = |vocab|, no new scan
+        vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
+    else:
+        vocab = (
+            ws.select(F.explode("ws").alias("w"))
+            .agg(F.count_distinct("w").alias("v"))
+        )
     return ctx, grams, vocab
 
 
@@ -147,17 +159,10 @@ def ngram_lm_score(
         )
     )
     size = F.size("ws")
-    doc_grams_col = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.struct(
-            F.concat_ws(_SEP, F.slice("ws", i, n - 1)).alias("ctx"),
-            F.element_at(F.slice("ws", i, n), n).alias("w"),
-        ),
-    )
     doc_grams = (
         df.select(F.col(id_col), _tokens(text).alias("ws"))
         .filter(size >= n)
-        .select(id_col, F.explode(doc_grams_col).alias("g"))
+        .select(id_col, F.explode(_gram_structs(n)).alias("g"))
         .select(id_col, "g.ctx", "g.w")
     )
     # left joins + smoothed fallback so external-LM OOV grams score

@@ -52,8 +52,7 @@ def _land_to_parquet(
     the files lazily), so cleanup belongs to the session owner, not this
     helper."""
     spark = stream_df.sparkSession
-    base = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
-    out_dir = f"{base}/_stream_sinks/{prefix}{uuid.uuid4().hex[:8]}"
+    out_dir = f"{_sink_root(spark)}/{prefix}{uuid.uuid4().hex[:8]}"
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode(write_mode).parquet(out_dir)
@@ -68,21 +67,32 @@ def _land_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def _sink_root(spark: SparkSession) -> str:
+    """The one place the landed-sink namespace is spelled: keeps
+    _land_to_parquet's writes and cleanup_stream_sinks' sweep in
+    lockstep."""
+    base = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
+    return f"{base}/_stream_sinks"
+
+
 def cleanup_stream_sinks(spark: SparkSession) -> int:
     """Sweep every landed sink under <warehouse>/_stream_sinks and
-    return how many were removed. Uses the Hadoop FileSystem API so the
-    same call works on local paths and cluster storage (hdfs/s3). Only
-    call when no DataFrame returned by this session's streaming queries
-    is still in use — they read the landed files lazily."""
-    base = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
+    return how many were removed (0 when the delete did not happen —
+    hdfs/s3 can refuse on permissions or a concurrent remove, and
+    reporting the pre-counted total anyway would claim space that was
+    never reclaimed). Uses the Hadoop FileSystem API so the same call
+    works on local paths and cluster storage. list-then-delete is not
+    atomic: a sink landed between the two calls is removed but not
+    counted. Only call when no DataFrame returned by this session's
+    streaming queries is still in use — they read the landed files
+    lazily."""
     jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{base}/_stream_sinks")
+    root = jvm.org.apache.hadoop.fs.Path(_sink_root(spark))
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
     n = len(fs.listStatus(root))
-    fs.delete(root, True)
-    return n
+    return n if fs.delete(root, True) else 0
 
 
 @register(

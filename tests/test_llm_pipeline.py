@@ -2325,7 +2325,7 @@ def test_ngram_lm_score_external_train_oov(spark):
     """With an external reference LM, OOV bigrams must score via the
     smoothed fallback (ln(1/(c1+V)) for known context, ln(1/V) for
     unknown) instead of being dropped by the join — no document
-    disappears and n_bigrams counts every bigram."""
+    disappears and n_ngrams counts every gram."""
     import math
 
     from iot_database_spark.operators import lm
@@ -2398,3 +2398,26 @@ def test_ngram_lm_score_trigram_hand_computed(spark):
         spark.createDataFrame([(9, "a b")], "doc_id bigint, text string"),
         n=3,
     ).count() == 0
+
+
+def test_ngram_lm_array_contexts_no_separator_collision(spark):
+    """Contexts are ARRAYS, not joined strings: tokens split only on a
+    space may contain any other byte, so ('a\\x1fb','c') and
+    ('a','b\\x1fc') are different contexts and must not merge counts
+    at order 3."""
+    import math
+
+    from iot_database_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a\x1fb c x"), (2, "a b\x1fc x")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.lm_logprob_micro
+        for r in lm.ngram_lm_score(docs, n=3).collect()
+    }
+    # each trigram's context occurs ONCE; V = 5 distinct unigrams.
+    # A string-joined context would have merged both to c1=2.
+    lp = math.floor(math.log((1 + 1.0) / (1 + 5.0)) * 1e6)
+    assert got == {1: lp, 2: lp}

@@ -389,17 +389,20 @@ def test_stream_sessionization_gap_boundary(spark, tmp_path):
     assert got == [(1, 3, 3), (2, 1, 2), (2, 4, 5)]
 
 
-def test_cleanup_stream_sinks_sweeps_landed_dirs(spark):
+def test_cleanup_stream_sinks_sweeps_landed_dirs(spark, smoke_dir):
     """Landed foreachBatch sinks accumulate under one warehouse
     namespace; cleanup_stream_sinks removes them all and reports the
-    count (0 on a second sweep)."""
+    count (0 on a second sweep). The warehouse namespace is shared per
+    cwd, so this test (like the suite) assumes a single pytest process
+    — a concurrent run landing sinks between the sweeps would both
+    lose its files and change the counts."""
     from iot_database_spark.operators.streaming_queries import (
         cleanup_stream_sinks,
         stream_exact_dedup,
     )
 
     cleanup_stream_sinks(spark)
-    df = stream_exact_dedup(spark, "/root/testdata/sf0.001")
+    df = stream_exact_dedup(spark, smoke_dir)
     assert df.count() > 0
     assert cleanup_stream_sinks(spark) >= 1
     assert cleanup_stream_sinks(spark) == 0
