@@ -120,6 +120,7 @@ HEADLINE = [
     # round 8 additions
     "stream_sessionization",
     "text_ngram_lm_score",
+    "text_trigram_lm_score",
 ]
 
 

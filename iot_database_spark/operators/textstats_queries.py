@@ -791,3 +791,64 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     return lm.ngram_lm_score(docs)
+
+
+@register(
+    "text_trigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    ctx AS (
+        SELECT c, COUNT(*) AS c1 FROM (
+            SELECT unnest([ws[i:i+1] for i in range(1, len(ws))]) AS c
+            FROM toks WHERE len(ws) >= 2
+        ) GROUP BY c
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(ws) AS w FROM toks)
+    ),
+    grams AS (
+        SELECT g[1:2] AS c, g[3] AS w, COUNT(*) AS c2 FROM (
+            SELECT unnest([ws[i:i+2] for i in range(1, len(ws) - 1)]) AS g
+            FROM toks WHERE len(ws) >= 3
+        ) GROUP BY g[1:2], g[3]
+    ),
+    partials AS (
+        -- same IEEE op order as operators/lm.py: ONE division, ONE ln,
+        -- floor-scale to 1e-6 units, BIGINT
+        SELECT c, w,
+               CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS lp_micro
+        FROM grams JOIN ctx USING (c) CROSS JOIN vocab
+    ),
+    doc_grams AS (
+        SELECT doc_id, g[1:2] AS c, g[3] AS w FROM (
+            SELECT doc_id,
+                   unnest([ws[i:i+2] for i in range(1, len(ws) - 1)]) AS g
+            FROM toks WHERE len(ws) >= 3
+        )
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS lm_logprob_micro
+    FROM doc_grams JOIN partials USING (c, w)
+    GROUP BY doc_id
+    """,
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 twin of text_ngram_lm_score: trigram contexts are word
+    PAIRS (array keys on both engines — DuckDB groups/joins on LIST
+    values the same way Spark does on array<string>), the smoothing
+    denominator stays the unigram vocabulary, and every determinism
+    rule carries over unchanged (operators/lm.py)."""
+    from iot_database_spark.operators import lm
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return lm.ngram_lm_score(docs, n=3)
