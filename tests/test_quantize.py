@@ -1,0 +1,101 @@
+"""Int8 embedding quantization (operators/quantize.py): hand-computed
+semantics, code-range invariants, integer-dot agreement with numpy, and
+the 100-TB plan shape (broadcast scales, no Python, top-k without a
+full sort)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iot_database_spark import registry
+from iot_database_spark.operators import quantize as qz
+from iot_database_spark.plans import audit
+
+_Q = registry.queries()
+
+
+def _quantized(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    return qz.quantize_int8(qz.attach_scales(df, qz.dim_scales(df)))
+
+
+def test_hand_computed_codes(spark):
+    # scales per dim: max|v| = [2.0, 4.0]; q = floor(v/s*127 + 0.5)
+    rows = [(0, [2.0, -4.0]), (1, [1.0, 1.0]), (2, [-2.0, 0.0])]
+    got = {r["vec_id"]: r["qvec"] for r in _quantized(spark, rows).collect()}
+    assert got[0] == [127, -127]  # the extreme element hits +/-127 exactly
+    assert got[1] == [64, 32]  # floor(63.5+0.5)=64, floor(31.75+0.5)=32
+    assert got[2] == [-127, 0]
+
+
+def test_zero_dimension_quantizes_to_zero(spark):
+    rows = [(0, [0.0, 3.0]), (1, [0.0, -3.0])]
+    got = {r["vec_id"]: r["qvec"] for r in _quantized(spark, rows).collect()}
+    assert got[0] == [0, 127] and got[1] == [0, -127]
+
+
+def test_codes_bounded_and_error_small(spark, smoke_dir):
+    out = _Q["embedding_quantize_int8"](spark, smoke_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        codes = [int(x) for x in r["qvec_csv"].split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        # reconstruction error is bounded by half a quantization step of
+        # the per-dim scale; embeddings here are < 1.0, so half-step
+        # s/254 < 0.004 -> micro units < 4000
+        assert 0 <= r["max_err_micro"] < 4000
+
+
+def test_int8_dot_matches_numpy(spark, smoke_dir):
+    from iot_database_spark.registry import load_views
+
+    emb = load_views(spark, smoke_dir)["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    dfq = qz.quantize_int8(qz.attach_scales(emb, qz.dim_scales(emb)))
+    rows = {r["vec_id"]: np.array(r["qvec"], dtype=np.int64) for r in dfq.collect()}
+    got = {
+        r["vec_id"]: r["dot_q"]
+        for r in qz.int8_topk(
+            dfq.filter("vec_id != 0"), dfq.filter("vec_id = 0"), k=5
+        ).collect()
+    }
+    q = rows[0]
+    for vid, dot in got.items():
+        assert dot == int(rows[vid] @ q)
+
+
+def test_int8_topk_tracks_float_cosine(spark, smoke_dir):
+    """On unit-norm embeddings the int8 ranking should agree with exact
+    float cosine on most of the top-10 (quantization noise may swap
+    near-ties, so assert overlap, not order)."""
+    from iot_database_spark.registry import load_views
+
+    emb = load_views(spark, smoke_dir)["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    q = rows[0]
+    exact = sorted(
+        ((vid, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))) for vid, v in rows.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [r["vec_id"] for r in _Q["ann_int8_cosine"](spark, smoke_dir).collect()]
+    assert len(set(got) & {vid for vid, _ in exact}) >= 7
+
+
+def test_plan_broadcasts_scales_no_python_topk(spark, smoke_dir):
+    # the 1-row scales/query sides attach via keyless crossJoin ->
+    # BroadcastNestedLoopJoin (harmless at 1 row); what must NOT appear
+    # is a shuffle join, and the top-k must be a heap merge
+    df = _Q["ann_int8_cosine"](spark, smoke_dir)
+    assert "Broadcast" in audit.explain_str(df)
+    assert not audit.uses_shuffle_join(df)
+    assert not audit.uses_python_udf(df)
+    assert audit.uses_take_ordered(df)
+    qdf = _Q["embedding_quantize_int8"](spark, smoke_dir)
+    assert "Broadcast" in audit.explain_str(qdf)
+    assert not audit.uses_shuffle_join(qdf)
+    assert not audit.uses_python_udf(qdf)
