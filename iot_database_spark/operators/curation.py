@@ -382,3 +382,115 @@ def trigram_coverage(
             / F.greatest(F.coalesce(F.col("n_tri"), F.lit(0)), F.lit(1))
         ).alias("coverage"),
     )
+
+
+def trim_repeated_windows(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 5
+) -> DataFrame:
+    """Within-document repeated-passage removal: chunk the word stream
+    into fixed n-word windows (stride n) and keep only the FIRST
+    occurrence of each distinct window, preserving order — the
+    per-document cousin of `repeated_passages` (which finds repeats
+    ACROSS documents) and of the Gopher repetition *filters* (which
+    drop whole documents; this repairs them instead).
+
+    Scale shape: entirely per-row HOFs — zero shuffles, zero Python.
+    The order-preserving distinct is a filter(windows, (x, i) ->
+    array_position(prefix, x) == 0), O(w^2/n^2) per document in window
+    comparisons; for w = 10k words at n = 5 that is ~4M short string
+    compares per pathological doc — acceptable map-side work. For
+    book-length documents switch to the posexplode -> groupBy(doc,
+    window) -> min(pos) -> re-sort variant, which trades one exchange
+    for linear per-doc cost; at web-document sizes the shuffle-free
+    form wins.
+
+    Returns (doc_id, n_windows, n_kept, trimmed_md5): counts plus an
+    md5 digest of the trimmed text (space-rejoined), so the full
+    trimmed body never has to travel for correctness checking."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text), F.lit("")), " ").alias("_ws"),
+    )
+    d = d.withColumn(
+        "_wins",
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(_ws) / {n}.0)) - 1), "
+            f"i -> array_join(slice(_ws, i * {n} + 1, {n}), ' '))"
+        ),
+    ).withColumn(
+        "_kept",
+        F.expr("filter(_wins, (x, i) -> array_position(slice(_wins, 1, i), x) = 0)"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("_wins").cast("int").alias("n_windows"),
+        F.size("_kept").cast("int").alias("n_kept"),
+        F.md5(F.array_join("_kept", " ")).alias("trimmed_md5"),
+    )
+
+
+def zipf_stats(
+    docs: DataFrame, text: str = "text", fit_k: int = 1000, mass_k: int = 100
+) -> DataFrame:
+    """Corpus token-distribution statistics in one row: vocabulary
+    size, total token count, the token mass held by the top `mass_k`
+    types, and a Zipf log-log slope fitted over the top `fit_k` ranks.
+
+    Scale shape: ONE (token) exchange builds the term-frequency table;
+    totals are a global agg over it, and the rank-ordered head comes
+    from TakeOrderedAndProject(fit_k) — the full vocabulary is NEVER
+    pushed through a single-partition window (the naive rank() plan
+    that dies first at 100 TB); only the fit_k survivors are.
+
+    Determinism: counts are exact ints. The regression inputs
+    ln(rank), ln(count) are per-row floor-scaled to MILLI-units (int64
+    — milli not micro so the sxy/sxx products of fit_k-row sums keep
+    ~2e14 << 2^63 headroom), summed as integers, and the slope is one
+    double division of two exact int64s — bit-identical anywhere."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    totals = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    top = tf.orderBy(F.col("cnt").desc(), F.col("tok")).limit(fit_k)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+        ),
+    ).select(
+        "cnt",
+        "rank",
+        F.floor(F.log(F.col("rank").cast("double")) * 1000).cast("bigint").alias("lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000).cast("bigint").alias("ly"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("fit_n"),
+        F.sum(F.when(F.col("rank") <= mass_k, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(f"top{mass_k}_tokens"),
+        F.sum("lx").cast("bigint").alias("_sx"),
+        F.sum("ly").cast("bigint").alias("_sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("_sxy"),
+    )
+    return totals.crossJoin(sums).select(
+        "vocab_size",
+        "total_tokens",
+        f"top{mass_k}_tokens",
+        "fit_n",
+        (F.col("fit_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+            "zipf_num"
+        ),
+        (F.col("fit_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+            "zipf_den"
+        ),
+    ).withColumn(
+        "zipf_slope",
+        F.col("zipf_num").cast("double") / F.col("zipf_den").cast("double"),
+    )

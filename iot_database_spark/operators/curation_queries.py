@@ -475,3 +475,102 @@ def text_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     return cu.trigram_coverage(docs, k=1000)
+
+
+_TRIM_ORACLE = """
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(ws) / 2.0) AS BIGINT)),
+                 i -> array_to_string(ws[i*2+1 : i*2+2], ' ')) AS wins
+        FROM d
+    ),
+    k AS (
+        SELECT doc_id, wins,
+               list_filter(wins,
+                 (x, i) -> list_position(wins[1 : i-1], x) = 0) AS kept
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(wins) AS INTEGER) AS n_windows,
+           CAST(len(kept) AS INTEGER) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS trimmed_md5
+    FROM k
+"""
+
+
+@register("text_repetition_trim", oracle=_TRIM_ORACLE)
+def text_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-passage removal (2-word windows, first
+    occurrence kept, order preserved) — see
+    curation.trim_repeated_windows for the shuffle-free scale shape.
+    Graded as counts + an md5 of the trimmed text, so the oracle
+    compares the actual repaired document without moving its body.
+    Window width 2 is deliberate on this corpus: the synthetic docs
+    draw from a small vocabulary, so bigram windows actually collide
+    and the trim does real work here."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return cu.trim_repeated_windows(docs, n=2)
+
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT t AS tok
+        FROM documents, LATERAL unnest(string_split(lower(text), ' ')) u(t)
+        WHERE t <> ''
+    ),
+    tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(cnt) AS BIGINT) AS total_tokens
+        FROM tf
+    ),
+    top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 1000),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        FROM top
+    ),
+    fit AS (
+        SELECT cnt, rank,
+               CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS lx,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS ly
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS fit_n,
+               CAST(SUM(CASE WHEN rank <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS top100_tokens,
+               CAST(SUM(lx) AS BIGINT) AS sx,
+               CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+               CAST(SUM(lx * ly) AS BIGINT) AS sxy
+        FROM fit
+    )
+    SELECT vocab_size, total_tokens, top100_tokens, fit_n,
+           fit_n * sxy - sx * sy AS zipf_num,
+           fit_n * sxx - sx * sx AS zipf_den,
+           CAST(fit_n * sxy - sx * sy AS DOUBLE)
+               / CAST(fit_n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM totals, sums
+"""
+
+
+@register("corpus_zipf_stats", oracle=_ZIPF_ORACLE)
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary / Zipf-slope statistics — the sanity panel a
+    training-data pipeline reads before and after every cleaning stage
+    (a slope collapsing toward 0 means boilerplate flooding; top-100
+    mass exploding means dedup failed). See curation.zipf_stats: one
+    token exchange, TakeOrderedAndProject head, NO full-vocabulary
+    window, and a regression on integer milli-unit log sums whose one
+    final double division is bit-exact across engines."""
+    tables = load_views(spark, sf_dir)
+    return cu.zipf_stats(tables["documents"], fit_k=1000, mass_k=100)

@@ -1,0 +1,89 @@
+"""Round-8 curation additions: within-doc repetition trimming and
+corpus Zipf statistics — hand-computed semantics + 100-TB plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from iot_database_spark import registry
+from iot_database_spark.operators import curation as cu
+from iot_database_spark.plans import audit
+
+_Q = registry.queries()
+
+
+def test_trim_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # windows(n=2): ['a b','c d','a b','e'] -> kept ['a b','c d','e']
+            (1, "a b c d a b e"),
+            # no repeats
+            (2, "x y z"),
+            # all windows identical
+            (3, "p q p q p q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in cu.trim_repeated_windows(docs, n=2).collect()}
+    assert (out[1]["n_windows"], out[1]["n_kept"]) == (4, 3)
+    assert out[1]["trimmed_md5"] == hashlib.md5(b"a b c d e").hexdigest()
+    assert (out[2]["n_windows"], out[2]["n_kept"]) == (2, 2)
+    assert out[2]["trimmed_md5"] == hashlib.md5(b"x y z").hexdigest()
+    assert (out[3]["n_windows"], out[3]["n_kept"]) == (3, 1)
+    assert out[3]["trimmed_md5"] == hashlib.md5(b"p q").hexdigest()
+
+
+def test_trim_is_shuffle_free_no_python(spark, smoke_dir):
+    df = _Q["text_repetition_trim"](spark, smoke_dir)
+    assert audit.count_exchanges(df) == 0
+    assert not audit.uses_python_udf(df)
+
+
+def test_zipf_hand_computed(spark):
+    # corpus: 'a' x6, 'b' x3, 'c' x1 -> vocab 3, total 10
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "a A b")],  # lowercased: 'A' -> 'a'
+        "doc_id bigint, text string",
+    )
+    row = cu.zipf_stats(docs, fit_k=3, mass_k=2).collect()[0]
+    assert row["vocab_size"] == 3 and row["total_tokens"] == 10
+    assert row["top2_tokens"] == 9  # a(6) + b(3)
+    assert row["fit_n"] == 3
+    # integer-milli regression reproduced in python
+    pts = [(1, 6), (2, 3), (3, 1)]
+    lx = [math.floor(math.log(r) * 1000) for r, _ in pts]
+    ly = [math.floor(math.log(c) * 1000) for _, c in pts]
+    n = 3
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(x * x for x in lx)
+    sxy = sum(x * y for x, y in zip(lx, ly))
+    assert row["zipf_num"] == n * sxy - sx * sy
+    assert row["zipf_den"] == n * sxx - sx * sx
+    assert row["zipf_slope"] == (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_zipf_corpus_sane_and_plan(spark, smoke_dir):
+    df = _Q["corpus_zipf_stats"](spark, smoke_dir)
+    # the vocabulary head must come from a top-k heap, not a full sort,
+    # and nothing in the plan may drop to Python
+    assert audit.uses_take_ordered(df)
+    assert not audit.uses_python_udf(df)
+    row = df.collect()[0]
+    assert 0 < row["vocab_size"] <= row["total_tokens"]
+    assert 0 < row["top100_tokens"] <= row["total_tokens"]
+    assert row["zipf_slope"] < 0
+    # independent vocab check
+    from iot_database_spark.registry import load_views
+
+    docs = load_views(spark, smoke_dir)["documents"]
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter("t <> ''")
+        .distinct()
+        .count()
+    )
+    assert row["vocab_size"] == vocab
