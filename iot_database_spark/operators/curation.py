@@ -494,3 +494,83 @@ def zipf_stats(
         "zipf_slope",
         F.col("zipf_num").cast("double") / F.col("zipf_den").cast("double"),
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization — the first dedup key any web-crawl
+    pipeline computes (exact text dedup misses the same page fetched
+    as `HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1#top` and
+    `http://site.com/a?a=1&b=2`). One codegen regexp/HOF chain, zero
+    shuffles, zero Python; regexes avoid lookarounds/backrefs so the
+    RE2-based DuckDB oracle (duck_canonicalize_url) applies the
+    IDENTICAL patterns.
+
+    Normalizations applied, in order:
+      1. trim; drop the #fragment
+      2. scheme lowercased
+      3. host lowercased, leading `www.` stripped, default port
+         stripped (`:80` for http, `:443` for https)
+      4. path: runs of `/` collapsed, trailing `/` stripped (so the
+         root path canonicalizes to the bare authority)
+      5. query: split on `&`, tracking params dropped
+         (utm_*, gclid, fbclid, ref), remainder sorted and rejoined
+    Deliberately NOT done (documented, not forgotten): percent-decode
+    of unreserved chars and IDN/punycode folding — both need lookup
+    tables that belong in a real URL library, and skipping them only
+    under-merges (safe direction for dedup)."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/+$", "")
+    qs = F.regexp_extract(u, "\\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"),
+    )
+    qnorm = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+
+
+def duck_canonicalize_url(expr: str) -> str:
+    """DuckDB SQL text computing canonicalize_url() over `expr` —
+    keep the two in lockstep (same patterns, same order)."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host0 = f"regexp_replace(lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END"
+    )
+    path = (
+        f"regexp_replace(regexp_replace("
+        f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), "
+        f"'/{{2,}}', '/'), '/+$', '')"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — the one engine-semantics divergence here
+    qnorm = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)'))), '&'), '')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END)"
+    )

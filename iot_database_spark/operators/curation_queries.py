@@ -574,3 +574,97 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final double division is bit-exact across engines."""
     tables = load_views(spark, sf_dir)
     return cu.zipf_stats(tables["documents"], fit_k=1000, mass_k=100)
+
+
+# Messy-URL fixture: the testdata has no URL column, so both engines
+# derive the SAME deterministic mess from (doc_id, source) — mixed-case
+# scheme/host, www. prefixes, default ports, trailing slashes, tracking
+# params, fragments — and the graded operator is the canonicalizer +
+# dedup over it. The derivation is spelled twice (Column expr + SQL
+# text) like every other cross-engine expression in this repo.
+_DUCK_MESSY_URL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END || '://'
+     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+     || CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END
+     || CASE WHEN doc_id % 5 = 0 THEN '.Example.COM' ELSE '.example.com' END
+     || CASE WHEN doc_id % 7 = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        ELSE '' END
+     || '/d/' || CAST(doc_id % 6 AS VARCHAR)
+     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+     || CASE doc_id % 6
+            WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+            WHEN 1 THEN '?a=1&b=2'
+            WHEN 2 THEN '?b=2&a=1&fbclid=xyz'
+            WHEN 3 THEN ''
+            WHEN 4 THEN '?gclid=g1'
+            ELSE '?a=1' END
+     || CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END)
+"""
+
+
+def _spark_messy_url() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 5 == 0, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.when(
+            did % 7 == 0,
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/d/"),
+        (did % 6).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(did % 6 == 1, F.lit("?a=1&b=2"))
+        .when(did % 6 == 2, F.lit("?b=2&a=1&fbclid=xyz"))
+        .when(did % 6 == 3, F.lit(""))
+        .when(did % 6 == 4, F.lit("?gclid=g1"))
+        .otherwise(F.lit("?a=1")),
+        F.when(did % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_URL_ORACLE = f"""
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {_DUCK_MESSY_URL} AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, url,
+               {cu.duck_canonicalize_url('url')} AS canonical_url
+        FROM d
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM c
+    GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (see curation.canonicalize_url): the
+    canonicalizer is a map-side codegen chain, so the whole operator is
+    ONE exchange — the groupBy on the canonical key. keeper_id =
+    min(doc_id) is the crawl-pipeline convention (keep the earliest
+    fetch); n_raw_variants proves the merge did work (variants > 1
+    means distinct raw URLs collapsed)."""
+    tables = load_views(spark, sf_dir)
+    d = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    ).withColumn("url", _spark_messy_url())
+    c = d.withColumn("canonical_url", cu.canonicalize_url(F.col("url")))
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.min("doc_id").cast("bigint").alias("keeper_id"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+    )

@@ -87,3 +87,47 @@ def test_zipf_corpus_sane_and_plan(spark, smoke_dir):
         .count()
     )
     assert row["vocab_size"] == vocab
+
+
+_URL_CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Site.com:80/a//b/?utm_source=x&b=2&a=1#top",
+     "http://site.com/a/b?a=1&b=2"),
+    ("https://Example.ORG:443/", "https://example.org"),
+    ("https://example.org", "https://example.org"),
+    ("http://example.org:8080/x", "http://example.org:8080/x"),  # non-default port kept
+    ("http://a.b/p?gclid=1&fbclid=2&ref=3&utm_medium=m", "http://a.b/p"),
+    ("http://a.b/p?z=1&a=2", "http://a.b/p?a=2&z=1"),
+    ("  http://a.b/p  ", "http://a.b/p"),
+    ("http://a.b/p/?ref", "http://a.b/p"),  # bare tracking key, trailing slash
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in _URL_CASES], "url string")
+    got = [
+        r["c"] for r in df.select(cu.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [c for _, c in _URL_CASES]
+
+
+def test_duck_canonicalizer_matches_spark_cases():
+    import duckdb
+
+    con = duckdb.connect()
+    expr = cu.duck_canonicalize_url("url")
+    for raw, want in _URL_CASES:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+def test_url_dedup_single_exchange(spark, smoke_dir):
+    df = _Q["dedup_url_canonical"](spark, smoke_dir)
+    # the canonicalizer itself is map-side; COUNT(DISTINCT url) makes
+    # the agg two-phase (expand on (key,url) then key), hence 2
+    assert audit.count_exchanges(df) <= 2
+    assert not audit.uses_python_udf(df)
+    rows = df.collect()
+    assert any(r["n_raw_variants"] > 1 for r in rows)  # the merge does work
