@@ -356,3 +356,73 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _land_to_parquet(
         sessions, "complete", "overwrite", "stream_sessions_"
     )
+
+
+@register(
+    "stream_stream_time_join",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id, ts, event_type
+        FROM events
+    ),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM e WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, p.purchase_id,
+           epoch_us(p.p_ts) - epoch_us(v.view_ts) AS delay_us
+    FROM v JOIN p ON v.user_id = p.user_id
+    WHERE epoch_us(p.p_ts) - epoch_us(v.view_ts)
+          BETWEEN 0 AND 1800000000
+    """,
+)
+def stream_stream_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — view->purchase attribution
+    within a 30-minute window, the canonical funnel join every
+    clickstream pipeline runs. Both sides carry event-time watermarks
+    and the join predicate is a TIME-RANGE condition on the event-time
+    columns, which is what lets Spark bound the join state store (a
+    view older than watermark + 30 min can never match a future
+    purchase and is evicted) — the shape that survives an unbounded
+    stream at 100 TB/day. With availableNow over one file the stream is
+    a single micro-batch, so the inner join emits exactly the batch
+    join's rows and must hash-match the plain DuckDB join.
+
+    The delay column is an exact integer microsecond difference, and
+    (view_id, purchase_id) pairs are unique — no tie or float
+    nondeterminism anywhere."""
+    load_views(spark, sf_dir)
+
+    def _side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                F.col("event_id").cast("bigint").alias(id_alias),
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    views = _side("view", "view_id", "view_ts")
+    purchases = _side("purchase", "purchase_id", "p_ts").withColumnRenamed(
+        "user_id", "p_user_id"
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= view_ts AND p_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )
+    return _land_to_parquet(joined, "append", "append", "stream_ssj_")

@@ -406,3 +406,71 @@ def test_cleanup_stream_sinks_sweeps_landed_dirs(spark, smoke_dir):
     assert df.count() > 0
     assert cleanup_stream_sinks(spark) >= 1
     assert cleanup_stream_sinks(spark) == 0
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """Stream-stream join state carry: a view arriving in micro-batch 1
+    must join a purchase arriving in micro-batch 2 (the view waits in
+    the join state store), and a purchase outside the 30-min window
+    must not match. Two json files + maxFilesPerTrigger=1 force two
+    real micro-batches."""
+    import json as _json
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    b1 = [
+        {"user_id": 1, "event_id": 10, "event_type": "view",
+         "ts": "2024-01-01T00:00:00"},
+        {"user_id": 2, "event_id": 20, "event_type": "view",
+         "ts": "2024-01-01T00:00:00"},
+    ]
+    b2 = [
+        # joins the batch-1 view (12 min later, same user)
+        {"user_id": 1, "event_id": 11, "event_type": "purchase",
+         "ts": "2024-01-01T00:12:00"},
+        # outside the 30-min window -> no match
+        {"user_id": 2, "event_id": 21, "event_type": "purchase",
+         "ts": "2024-01-01T00:45:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    from pyspark.sql import functions as F
+
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp"
+
+    def side(et, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .filter(F.col("event_type") == et)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    joined = side("view", "view_id", "view_ts").join(
+        side("purchase", "purchase_id", "p_ts").withColumnRenamed(
+            "user_id", "p_user_id"
+        ),
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= view_ts AND p_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id")
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+        .awaitTermination(120)
+    )
+    rows = [tuple(r) for r in spark.table("ssj_stream").collect()]
+    assert rows == [(1, 10, 11)]
