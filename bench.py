@@ -121,6 +121,12 @@ HEADLINE = [
     "stream_sessionization",
     "text_ngram_lm_score",
     "text_trigram_lm_score",
+    "text_repetition_trim",
+    "corpus_zipf_stats",
+    "dedup_url_canonical",
+    "embedding_quantize_int8",
+    "ann_int8_cosine",
+    "stream_stream_time_join",
 ]
 
 
