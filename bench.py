@@ -127,6 +127,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "ann_int8_cosine",
     "stream_stream_time_join",
+    "decontaminate_minhash",
 ]
 
 

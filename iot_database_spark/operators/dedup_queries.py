@@ -423,3 +423,110 @@ def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+# Decontamination banding: 16 bands x 1 row (every signature position is
+# its own bucket key) — the HIGH-RECALL setting: a candidate needs only
+# one agreeing minhash (~ any Jaccard overlap at all), and the agreement
+# score then grades severity. Near-dup detection (above) wants precision
+# and uses 4x4; decontamination must not miss, so it nets wide.
+DECON_BANDS = 16
+
+
+def _decon_band_selects_sql() -> str:
+    rpb = K // DECON_BANDS
+    parts = []
+    for b in range(DECON_BANDS):
+        cols = ", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        parts.append(
+            f"SELECT id, {b} AS band, md5(concat_ws(':', {cols})) AS bucket FROM mh"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_DECON_MH_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    mh AS (
+        SELECT id, {_minhash_cols_sql()}
+        FROM sh GROUP BY id
+    ),
+    bands AS ({_decon_band_selects_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.id AS tid, b.id AS eid
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.id % 50 <> 0 AND b.id % 50 = 0
+    ),
+    scored AS (
+        SELECT p.tid, p.eid,
+               ({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(K))})
+                   AS agree
+        FROM pairs p
+        JOIN mh x ON x.id = p.tid
+        JOIN mh y ON y.id = p.eid
+    )
+    SELECT tid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_candidates,
+           CAST(MAX(agree) AS INTEGER) AS max_agreement,
+           MAX(agree) >= {K // 2} AS contaminated
+    FROM scored
+    GROUP BY tid
+"""
+
+
+@register("decontaminate_minhash", oracle=_DECON_MH_ORACLE)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash sibling of
+    `decontaminate_ngram_overlap` (which needs an EXACT shared 8-gram;
+    a paraphrased eval answer slips through it, but still collides in
+    MinHash band space). Training docs (doc_id % 50 != 0) are flagged
+    when any eval doc (doc_id % 50 == 0) lands in a shared LSH band
+    bucket; the signature-position agreement (0..16, >= 8 ~ estimated
+    Jaccard >= 0.5) grades HOW contaminated.
+
+    Scale shape: the eval side of the band join is the HELD-OUT SET —
+    thousands of rows against a corpus of billions — so it BROADCASTS
+    (asserted in tests): the training corpus is never shuffled at all;
+    per-pair agreement is a zip_with fold over two 16-slot arrays, and
+    the only exchange is the final per-train-doc groupBy. Same
+    seeded-md5/XOR machinery as `dedup_minhash_lsh`, so the DuckDB
+    text stays exactly symmetric."""
+    docs = _docs(spark, sf_dir)
+    banded = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 50 == 0).alias("is_eval"),
+        F.explode(F.array(dd.minhash_banded(F.col("text"), K, DECON_BANDS))).alias(
+            "x"
+        ),
+    ).select(
+        "id",
+        "is_eval",
+        F.col("x.sig").alias("sig"),
+        F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
+    )
+    train = banded.filter(~F.col("is_eval")).select(
+        F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
+    )
+    ev = banded.filter(F.col("is_eval")).select(
+        F.col("id").alias("eid"), F.col("sig").alias("esig"), "band", "bucket"
+    )
+    scored = (
+        train.join(F.broadcast(ev), ["band", "bucket"])
+        .groupBy("tid", "eid")
+        .agg(
+            # identical for every band the pair collides in — max = the value
+            F.max(
+                F.size(
+                    F.filter(
+                        F.zip_with("tsig", "esig", lambda u, v: u == v),
+                        lambda eq: eq,
+                    )
+                )
+            ).alias("agree")
+        )
+    )
+    return scored.groupBy(F.col("tid").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_candidates"),
+        F.max("agree").cast("int").alias("max_agreement"),
+        (F.max("agree") >= K // 2).alias("contaminated"),
+    )
