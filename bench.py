@@ -128,6 +128,8 @@ HEADLINE = [
     "ann_int8_cosine",
     "stream_stream_time_join",
     "decontaminate_minhash",
+    "ann_two_stage_rerank",
+    "event_transition_matrix",
 ]
 
 

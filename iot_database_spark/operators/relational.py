@@ -889,3 +889,35 @@ def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1 * F.greatest(F.abs(F.col("med_exact")), F.lit(1.0))
         ).alias("median_within_10pct"),
     )
+
+
+# Event-type transition matrix (Markov first-order): what follows what,
+# per user, in event-time order. The funnel query checks ONE prescribed
+# path; the transition matrix is its exploratory dual (every observed
+# path edge + conditional probability). One exchange on user_id for the
+# lag window, one tiny exchange on the 25-cell (prev,next) grid; the
+# probability is a single double division of two exact int64 counts —
+# bit-identical across engines. (ts, event_id) makes the within-user
+# order total, so LAG is deterministic under duplicate timestamps.
+_TRANSITION_SQL = """
+    WITH ordered AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY CAST(user_id AS BIGINT)
+                   ORDER BY ts, CAST(event_id AS BIGINT)) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM ordered
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                      AS DOUBLE) AS p_transition
+    FROM counts
+"""
+_sql("event_transition_matrix", _TRANSITION_SQL)

@@ -158,8 +158,9 @@ def vector_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale path: assign vectors to centroid buckets, probe only nprobe buckets.
 # ---------------------------------------------------------------------------
 
-def _duck_fold(a: str, b: str, mode: str) -> str:
-    """DuckDB ordered-fold dot/l2 text mirroring vector.py's F.aggregate."""
+def _duck_fold(a: str, b: str, mode: str, dims: int = 64) -> str:
+    """DuckDB ordered-fold dot/l2 text mirroring vector.py's F.aggregate.
+    `dims` bounds the fold (prefix folds for two-stage coarse search)."""
     if mode == "dot":
         prod = f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
     else:  # l2
@@ -168,15 +169,15 @@ def _duck_fold(a: str, b: str, mode: str) -> str:
             f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
         )
     return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
         f"i -> {prod})), (acc, x) -> acc + x)"
     )
 
 
-def _duck_cos(a: str, b: str) -> str:
+def _duck_cos(a: str, b: str, dims: int = 64) -> str:
     return (
-        f"{_duck_fold(a, b, 'dot')} / "
-        f"(SQRT({_duck_fold(a, a, 'dot')}) * SQRT({_duck_fold(b, b, 'dot')}))"
+        f"{_duck_fold(a, b, 'dot', dims)} / "
+        f"(SQRT({_duck_fold(a, a, 'dot', dims)}) * SQRT({_duck_fold(b, b, 'dot', dims)}))"
     )
 
 
@@ -233,3 +234,76 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sim.default_centroids(emb, k=8)
     assigned = sim.ivf_assign(emb, centroids)
     return sim.ivf_search_cosine(assigned, centroids, q_col, k=10, nprobe=2)
+
+
+_RERANK_COARSE_K = 100
+_RERANK_DIMS = 16
+
+_TWO_STAGE_ORACLE = f"""
+    WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    coarse AS (
+        SELECT e.vec_id, e.embedding, e.label,
+               {_duck_cos('e.embedding', 'q.qv', _RERANK_DIMS)} AS coarse_score
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY coarse_score DESC, e.vec_id
+        LIMIT {_RERANK_COARSE_K}
+    )
+    SELECT c.vec_id, c.label,
+           {_duck_cos('c.embedding', 'q.qv')} AS relevance
+    FROM coarse c, q
+    ORDER BY relevance DESC, c.vec_id
+    LIMIT 10
+"""
+
+
+@register("ann_two_stage_rerank", oracle=_TWO_STAGE_ORACLE)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (coarse -> exact) retrieval: rank the corpus by cosine
+    over only the FIRST 16 dimensions, keep the top 100, then re-rank
+    those exactly over all 64 dimensions — the memory-bandwidth shape
+    production vector search uses (matryoshka/PCA-front embeddings: the
+    coarse pass reads a 4x narrower slice of every row, the exact pass
+    touches only k' << N rows). Complements the bucket-pruning paths
+    (`ann_ivf_cosine`, `ann_lsh_cosine`) with the rerank pattern they
+    feed into. Reference anchor: the reference's search is single-stage
+    brute force (VectorCollection.SearchCosine) — this is the declared
+    scale superset.
+
+    Determinism: both stages are ordered double folds (F.aggregate ==
+    list_reduce) with unique (score, vec_id) sort keys, so both LIMIT
+    boundaries are engine-exact. Plan: broadcast 1-row query,
+    TakeOrderedAndProject(100) -> per-row fold -> TakeOrderedAndProject(10)
+    — one corpus scan, no shuffle."""
+    from iot_database_spark.operators import vector as vec
+
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.col("label").cast("bigint").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    pref = lambda c: F.slice(c, 1, _RERANK_DIMS)  # noqa: E731
+    coarse = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "coarse_score",
+            vec.cosine_similarity(pref(F.col("embedding")), pref(F.col("_qv"))),
+        )
+        .orderBy(F.col("coarse_score").desc(), F.col("vec_id"))
+        .limit(_RERANK_COARSE_K)
+    )
+    return (
+        coarse.withColumn(
+            "relevance", vec.cosine_similarity(F.col("embedding"), F.col("_qv"))
+        )
+        .orderBy(F.col("relevance").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "relevance")
+    )

@@ -99,3 +99,60 @@ def test_plan_broadcasts_scales_no_python_topk(spark, smoke_dir):
     assert "Broadcast" in audit.explain_str(qdf)
     assert not audit.uses_shuffle_join(qdf)
     assert not audit.uses_python_udf(qdf)
+
+
+def test_two_stage_rerank_overlaps_exact(spark, smoke_dir):
+    """Coarse-then-rerank must closely agree with single-stage exact
+    cosine top-10 (identical when the true top-10 survives the coarse
+    cut; assert high overlap, not equality — the 16-dim prefix can
+    drop a tail neighbour)."""
+    import numpy as np
+
+    from iot_database_spark.registry import load_views
+
+    emb = load_views(spark, smoke_dir)["embeddings"].select("vec_id", "embedding")
+    rows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    q = rows[0]
+    exact = sorted(
+        (
+            (vid, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))))
+            for vid, v in rows.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [r["vec_id"] for r in _Q["ann_two_stage_rerank"](spark, smoke_dir).collect()]
+    # measured 7/10 on this corpus (prefix-dim correlation ~0.47 — the
+    # synthetic embeddings are label-clustered but not matryoshka-
+    # trained, so the coarse cut drops a few true tail neighbours)
+    assert len(set(got) & {vid for vid, _ in exact}) >= 6
+
+
+def test_two_stage_rerank_plan(spark, smoke_dir):
+    df = _Q["ann_two_stage_rerank"](spark, smoke_dir)
+    assert audit.explain_str(df).count("TakeOrderedAndProject") >= 2
+    assert not audit.uses_shuffle_join(df)
+    assert not audit.uses_python_udf(df)
+
+
+def test_event_transition_matrix_probabilities(spark, smoke_dir):
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.registry import load_views
+
+    df = _Q["event_transition_matrix"](spark, smoke_dir)
+    rows = df.collect()
+    # per-prev probabilities sum to 1 (up to float addition order)
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p_transition"])
+    for ps in by_prev.values():
+        assert abs(sum(ps) - 1.0) < 1e-9
+    # total transitions = n_events - n_users (each user chain has len-1 edges)
+    ev = load_views(spark, smoke_dir)["events"]
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
