@@ -156,7 +156,29 @@ def decode_frames(data: bytes) -> Iterator[bytes]:
     every_n) never holds more than one decoded frame of a long
     sparse-delta capture — decoded size can vastly exceed blob size,
     and materializing it would contradict the constant-memory claim.
-    Structural errors raise lazily at iteration, like any generator."""
+    Structural errors raise lazily at iteration, like any generator —
+    EXCEPT the first record's header, which is validated eagerly below
+    (r7 advice): a truncated or foreign blob then fails at the decode
+    call site instead of wherever the unconsumed generator finally
+    lands, while the laziness contract for everything past record 0 is
+    untouched (pinned by the counting-wrapper test)."""
+    if len(data) == 0:
+        return _decode_frames_lazy(data)  # zero-frame capture: empty replay
+    if len(data) < _HEADER.size:
+        raise ValueError("framestore: truncated record header")
+    flag0, length0 = _HEADER.unpack_from(data, 0)
+    if flag0 != 1:
+        raise ValueError(
+            "framestore: difference frame before any full frame"
+            if flag0 == 0
+            else f"framestore: bad frame flag {flag0}"
+        )
+    if len(data) - _HEADER.size < length0:
+        raise ValueError("framestore: truncated record payload")
+    return _decode_frames_lazy(data)
+
+
+def _decode_frames_lazy(data: bytes) -> Iterator[bytes]:
     prev: bytearray | None = None
     for is_full, payload in iter_records(data):
         if is_full:

@@ -1842,6 +1842,15 @@ def test_framestore_rejects_malformed_and_sniffs():
         list(fs.decode_frames(ok + b"\x01"))
     with _pytest.raises(ValueError):
         list(fs.decode_frames(struct.pack("<BI", 0, 0)))
+    # record-0 damage fails EAGERLY at the call site (r7 advice): no
+    # list() needed — a foreign/truncated blob never hands back a
+    # time-bomb generator
+    for bad0 in (b"\x01", struct.pack("<BI", 0, 0), struct.pack("<BI", 7, 0),
+                 struct.pack("<BI", 1, 99) + b"xy"):
+        with _pytest.raises(ValueError):
+            fs.decode_frames(bad0)
+    # ...but a ZERO-byte blob is a valid zero-frame capture, not an error
+    assert list(fs.decode_frames(b"")) == []
     # patch index outside the previous frame
     bad = struct.pack("<BI", 1, 2) + b"ab" + struct.pack("<BI", 0, 5) + struct.pack("<IB", 9, 1)
     with _pytest.raises(ValueError):
@@ -1851,10 +1860,11 @@ def test_framestore_rejects_malformed_and_sniffs():
 
 def test_framestore_decode_is_lazy_generator():
     """Pin the r6-advice laziness contract: decode_frames returns a
-    generator, the CALL never raises, the valid prefix of a blob with a
-    corrupt tail is fully consumable, and the structural error surfaces
-    exactly when iteration reaches the bad record — so list(...) is what
-    triggers validation in the pytest.raises tests above."""
+    generator (after an eager record-0 header check — see the malformed
+    test), the valid prefix of a blob with a corrupt TAIL is fully
+    consumable, and the structural error surfaces exactly when iteration
+    reaches the bad record — so list(...) is what triggers validation
+    past record 0 in the pytest.raises tests above."""
     import types
 
     import pytest as _pytest
