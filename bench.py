@@ -130,6 +130,7 @@ HEADLINE = [
     "decontaminate_minhash",
     "ann_two_stage_rerank",
     "event_transition_matrix",
+    "pipeline_web_ingest",
 ]
 
 

@@ -385,7 +385,11 @@ def trigram_coverage(
 
 
 def trim_repeated_windows(
-    docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Within-document repeated-passage removal: chunk the word stream
     into fixed n-word windows (stride n) and keep only the FIRST
@@ -404,12 +408,15 @@ def trim_repeated_windows(
     for linear per-doc cost; at web-document sizes the shuffle-free
     form wins.
 
-    Returns (doc_id, n_windows, n_kept, trimmed_md5): counts plus an
-    md5 digest of the trimmed text (space-rejoined), so the full
-    trimmed body never has to travel for correctness checking."""
+    Returns (doc_id, n_windows, n_kept, trimmed_md5[, keep_cols...]):
+    counts plus an md5 digest of the trimmed text (space-rejoined), so
+    the full trimmed body never has to travel for correctness checking;
+    `keep_cols` passthrough lets pipeline composition avoid a re-join
+    on doc_id (the op is map-side, so carrying columns is free)."""
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.coalesce(F.col(text), F.lit("")), " ").alias("_ws"),
+        *keep_cols,
     )
     d = d.withColumn(
         "_wins",
@@ -426,6 +433,7 @@ def trim_repeated_windows(
         F.size("_wins").cast("int").alias("n_windows"),
         F.size("_kept").cast("int").alias("n_kept"),
         F.md5(F.array_join("_kept", " ")).alias("trimmed_md5"),
+        *keep_cols,
     )
 
 

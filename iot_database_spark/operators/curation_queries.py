@@ -668,3 +668,92 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("keeper_id"),
         F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
     )
+
+
+_WEB_INGEST_ORACLE = f"""
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+               {_DUCK_MESSY_URL} AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT *, {cu.duck_canonicalize_url('url')} AS canonical_url FROM d
+    ),
+    keep AS (
+        SELECT doc_id, text, lang, source FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY canonical_url ORDER BY doc_id) AS rn
+            FROM c
+        ) WHERE rn = 1
+    ),
+    w AS (
+        SELECT doc_id, lang, source,
+               list_transform(range(0, CAST(ceil(len(ws) / 2.0) AS BIGINT)),
+                 i -> array_to_string(ws[i*2+1 : i*2+2], ' ')) AS wins
+        FROM (SELECT doc_id, lang, source,
+                     string_split(coalesce(text, ''), ' ') AS ws
+              FROM keep)
+    ),
+    t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(wins) AS BIGINT) AS n_windows,
+               CAST(len(list_filter(wins,
+                 (x, i) -> list_position(wins[1 : i-1], x) = 0)) AS BIGINT)
+                   AS n_kept
+        FROM w
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_windows) AS BIGINT) AS sum_windows,
+           CAST(SUM(n_kept) AS BIGINT) AS sum_kept,
+           CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_windows) AS DOUBLE)
+               AS keep_ratio
+    FROM t
+    WHERE n_kept >= 10
+    GROUP BY source, lang
+"""
+
+
+@register("pipeline_web_ingest", oracle=_WEB_INGEST_ORACLE)
+def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 capstone: a web-crawl ingest pass composed ENTIRELY of
+    this round's operators in one declarative plan — URL-canonical
+    dedup (keep the earliest fetch per canonical URL), within-doc
+    repeated-passage trim, a minimum-content gate (>= 10 surviving
+    windows ~ 20 words), and per-(source, lang) accounting. Two
+    exchanges total: the canonical-URL window and the final small
+    groupBy; the canonicalizer and the trim are both map-side, and
+    the trim carries (lang, source) through as passthrough columns so
+    nothing re-joins on doc_id. All graded aggregates are integer sums
+    plus one final double division."""
+    tables = load_views(spark, sf_dir)
+    from pyspark.sql import Window
+
+    d = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang", "source"
+    ).withColumn("url", _spark_messy_url())
+    c = d.withColumn("canonical_url", cu.canonicalize_url(F.col("url")))
+    keep = (
+        c.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("canonical_url").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+    )
+    t = cu.trim_repeated_windows(keep, n=2, keep_cols=("lang", "source"))
+    return (
+        t.filter(F.col("n_kept") >= 10)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_windows").cast("bigint").alias("sum_windows"),
+            F.sum("n_kept").cast("bigint").alias("sum_kept"),
+            (
+                F.sum("n_kept").cast("double")
+                / F.sum("n_windows").cast("double")
+            ).alias("keep_ratio"),
+        )
+    )

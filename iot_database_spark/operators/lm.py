@@ -165,9 +165,26 @@ def ngram_lm_score(
         .select(id_col, F.explode(_gram_structs(n)).alias("g"))
         .select(id_col, "g.ctx", "g.w")
     )
-    # left joins + smoothed fallback so external-LM OOV grams score
-    # instead of vanishing; self-trained corpora never take the
-    # fallback branch (every gram is in `partials`)
+    if train_df is None:
+        # Self-trained: every document n-gram IS in `partials` (same
+        # corpus), so the OOV fallback can never fire — and paying for
+        # it costs a SECOND corpus-sized exchange (the ctx left join
+        # re-shuffles every (doc, gram) row on the array key; the r8
+        # sf1 probe measured the trigram scorer at 27x for 10x data
+        # before this split, 3x after). One (gram -> model) exchange is
+        # the whole scoring cost, exactly the module docstring's
+        # contract.
+        return (
+            doc_grams.join(partials.select("ctx", "w", "lp_micro"), ["ctx", "w"])
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_ngrams"),
+                F.sum("lp_micro").cast("bigint").alias("lm_logprob_micro"),
+            )
+        )
+    # External reference corpus: left joins + smoothed fallback so OOV
+    # grams score instead of vanishing — ln((0+1)/(c1+V)) when the
+    # context is known, ln(1/(0+V)) when it is not
     oov_lp = (
         F.floor(
             F.log(

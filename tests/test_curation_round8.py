@@ -168,3 +168,19 @@ def test_decontaminate_minhash_plan_broadcasts_eval(spark, smoke_dir):
     df = _Q["decontaminate_minhash"](spark, smoke_dir)
     assert audit.uses_broadcast_join(df)  # eval side must broadcast
     assert not audit.uses_python_udf(df)
+
+
+def test_web_ingest_pipeline_shape_and_accounting(spark, smoke_dir):
+    df = _Q["pipeline_web_ingest"](spark, smoke_dir)
+    assert not audit.uses_python_udf(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["sum_kept"] <= r["sum_windows"]
+        assert abs(r["keep_ratio"] - r["sum_kept"] / r["sum_windows"]) < 1e-12
+    # the URL dedup stage must actually shrink the corpus: kept docs
+    # <= total docs, and strictly fewer when canonical collisions exist
+    from iot_database_spark.registry import load_views
+
+    n_docs_total = load_views(spark, smoke_dir)["documents"].count()
+    assert sum(r["n_docs"] for r in rows) < n_docs_total
