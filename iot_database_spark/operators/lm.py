@@ -50,16 +50,20 @@ def _tokens(text_col: str) -> F.Column:
 
 def _gram_structs(n: int) -> F.Column:
     """(ctx, w) struct per n-gram window of the `ws` array column: ctx
-    is the (n-1)-word context AS AN ARRAY — a string join would collide
-    whenever a token itself contains the separator (tokens are split on
-    a single space, so any other byte is fair game) — and w the final
-    word, read in place (element_at) rather than via a throwaway slice.
-    ONE definition shared by training and scoring: the cross-engine
-    determinism story depends on both sides producing identical grams."""
+    is the (n-1)-word context joined back with ' ' — collision-FREE
+    because tokens come from split-on-space and therefore cannot contain
+    the separator (any OTHER separator byte could appear inside a token
+    and collide; the r8 sf3 probe also measured array<string> shuffle
+    keys ~30% slower than the equivalent single string at 18M-position
+    scoring joins, so the string key is both safe and the fast shape) —
+    and w the final word, read in place (element_at) rather than via a
+    throwaway slice. ONE definition shared by training and scoring: the
+    cross-engine determinism story depends on both sides producing
+    identical grams."""
     return F.transform(
         F.sequence(F.lit(1), F.size("ws") - (n - 1)),
         lambda i: F.struct(
-            F.slice("ws", i, n - 1).alias("ctx"),
+            F.array_join(F.slice("ws", i, n - 1), " ").alias("ctx"),
             F.element_at("ws", i + F.lit(n - 1)).alias("w"),
         ),
     )
@@ -70,7 +74,8 @@ def ngram_lm_counts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(ctx_counts, gram_counts, vocab_size) for an order-`n` LM.
 
-    ctx_counts: (ctx array<string>, c1) — occurrences of each
+    ctx_counts: (ctx string — the (n-1)-gram space-joined, see
+    _gram_structs, c1) — occurrences of each
     (n-1)-gram; gram_counts: (ctx, w, c2); vocab_size: one-row frame
     (v bigint) counting DISTINCT unigrams (the standard smoothing
     denominator at every order). Each is a partial-aggregated scan —
@@ -86,7 +91,7 @@ def ngram_lm_counts(
     size = F.size("ws")
     ctx_grams = F.transform(
         F.sequence(F.lit(1), size - (n - 2)),
-        lambda i: F.slice("ws", i, n - 1),
+        lambda i: F.array_join(F.slice("ws", i, n - 1), " "),
     )
     ctx = (
         ws.filter(size >= n - 1)
