@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_two_stage_rerank",
     "event_transition_matrix",
     "pipeline_web_ingest",
+    "ts_seasonal_baseline",
 ]
 
 

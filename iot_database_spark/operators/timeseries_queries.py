@@ -571,3 +571,88 @@ def ts_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "guid", epoch_us("ts").alias("ts_us"), "value", "alert"
     )
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(value AS DOUBLE) AS value
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+                   AS sum_milli
+        FROM s GROUP BY event_type, hod
+    ),
+    dev AS (
+        SELECT s.event_type, s.hod,
+               CASE WHEN s.value >
+                    1.5 * (CAST(b.sum_milli AS DOUBLE)
+                           / CAST(b.n AS DOUBLE) / 1000.0)
+                    THEN 1 ELSE 0 END AS above
+        FROM s JOIN base b
+          ON s.event_type = b.event_type AND s.hod = b.hod
+    )
+    SELECT b.event_type, b.hod, b.n, b.sum_milli,
+           CAST(b.sum_milli AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000.0
+               AS seasonal_mean,
+           CAST(SUM(d.above) AS BIGINT) AS n_above
+    FROM base b JOIN dev d ON b.event_type = d.event_type AND b.hod = d.hod
+    GROUP BY b.event_type, b.hod, b.n, b.sum_milli
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per series — the profile an IoT
+    monitoring stack learns before it can alarm on 'abnormal for 3 am'
+    (the reference's TimeSeries layer stores raw samples; this is the
+    analytics pass above it, same family as ts_anomaly_mad but keyed by
+    SEASON not by global distribution). Per (event_type, hour-of-day):
+    sample count, floor-scaled integer value sum (the engine-exact mean
+    recipe — double SUM order is engine-dependent, int64 sums are not),
+    the mean, and how many samples run >1.5x their own seasonal mean.
+
+    Scale shape: one exchange for the 120-row baseline, which then
+    BROADCASTS back onto the sample scan for the deviation pass — the
+    samples are scanned twice but shuffled zero times for the deviation
+    count; the only other exchange is the final 120-row re-group. At
+    100 TB the baseline is still 120 rows — seasonality tables never
+    grow with data."""
+    tables = load_views(spark, sf_dir)
+    s = tables["events"].select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.col("value").cast("double").alias("value"),
+    )
+    base = s.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_milli"),
+    )
+    mean = (
+        F.col("sum_milli").cast("double") / F.col("n").cast("double") / F.lit(1000.0)
+    )
+    dev = (
+        s.join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hod",
+            F.when(F.col("value") > F.lit(1.5) * mean, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("above"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.sum("above").cast("bigint").alias("n_above"))
+    )
+    return base.join(F.broadcast(dev), ["event_type", "hod"]).select(
+        "event_type",
+        "hod",
+        "n",
+        "sum_milli",
+        mean.alias("seasonal_mean"),
+        "n_above",
+    )

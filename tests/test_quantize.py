@@ -156,3 +156,17 @@ def test_event_transition_matrix_probabilities(spark, smoke_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_load_views_repoints_after_dir_switch(spark, smoke_dir, sf_dir):
+    """Regression (r8 full-suite failure): view NAMES are session-global
+    while the load_views memo is per sf_dir, so switching dirs and back
+    must re-register — otherwise spark.sql()-built queries read the
+    OTHER dir's tables while the returned dict reads the right ones."""
+    from iot_database_spark.registry import load_views
+
+    a = load_views(spark, smoke_dir)
+    load_views(spark, sf_dir)  # views now point at sf_dir
+    a2 = load_views(spark, smoke_dir)  # must re-point back
+    n_view = spark.sql("SELECT COUNT(*) AS c FROM events").collect()[0]["c"]
+    assert n_view == a2["events"].count() == a["events"].count()
