@@ -132,6 +132,7 @@ HEADLINE = [
     "event_transition_matrix",
     "pipeline_web_ingest",
     "ts_seasonal_baseline",
+    "corpus_ccnet_buckets",
 ]
 
 

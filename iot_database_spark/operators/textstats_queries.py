@@ -852,3 +852,130 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     return lm.ngram_lm_score(docs, n=3)
+
+
+_CCNET_ORACLE = """
+    WITH toks AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT unnest(ws) AS w1 FROM toks
+        ) GROUP BY w1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (
+        SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c2 FROM (
+            SELECT unnest([[ws[i], ws[i + 1]] for i in range(1, len(ws))]) AS bg
+            FROM toks WHERE len(ws) >= 2
+        ) GROUP BY bg[1], bg[2]
+    ),
+    partials AS (
+        SELECT w1, w2,
+               CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS lp_micro
+        FROM bi JOIN uni USING (w1) CROSS JOIN vocab
+    ),
+    doc_bi AS (
+        SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest([[ws[i], ws[i + 1]] for i in range(1, len(ws))]) AS bg
+            FROM toks WHERE len(ws) >= 2
+        )
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1000.0)
+                    AS BIGINT) AS score_milli
+        FROM doc_bi JOIN partials USING (w1, w2)
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT d.lang, s.score_milli,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY s.score_milli DESC, s.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM scored s
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents) d
+          ON s.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE WHEN rn <= CAST(CEIL(n / 3.0) AS BIGINT) THEN 'head'
+                WHEN rn <= CAST(CEIL(2.0 * n / 3.0) AS BIGINT) THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+    FROM ranked
+    GROUP BY 1, 2
+"""
+
+
+@register("corpus_ccnet_buckets", oracle=_CCNET_ORACLE)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split, end to end: score every document
+    with the bigram LM (operators/lm.py), take the per-LANGUAGE mean
+    log-prob (floor-scaled milli int — one double division of two exact
+    ints then floor, engine-identical), rank within each language, and
+    cut at the discrete tertile ranks (ceil(n/3), ceil(2n/3) — the
+    `exact_percentiles` rank-based convention; interpolated percentile
+    arithmetic could diverge in the last ulp, selected elements cannot).
+    CCNet's pipeline does exactly this per-language perplexity
+    bucketing before choosing what to train on; head = most fluent.
+
+    Scale shape: LM scoring is the one (gram -> model) exchange
+    documented in lm.py; ranking is a window PER LANGUAGE — the same
+    per-shard sort CCNet itself runs (a language's corpus must fit an
+    external sort, which is how Spark sorts any partition; there is no
+    global single-partition window anywhere). Output is 3 rows per
+    language — the boundary table a 100 TB pipeline would broadcast
+    into its sampling pass."""
+    from pyspark.sql import Window
+
+    from iot_database_spark.operators import lm
+
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    )
+    scored = lm.ngram_lm_score(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.floor(
+            F.col("lm_logprob_micro").cast("double")
+            / F.col("n_ngrams")
+            / F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("score_milli"),
+    )
+    ranked = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("score_milli").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    bucket = (
+        F.when(
+            F.col("rn") <= F.ceil(F.col("n") / F.lit(3.0)).cast("bigint"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("rn")
+            <= F.ceil(F.lit(2.0) * F.col("n") / F.lit(3.0)).cast("bigint"),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("score_milli").cast("bigint").alias("min_score_milli"),
+        F.max("score_milli").cast("bigint").alias("max_score_milli"),
+    )
