@@ -177,6 +177,20 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # every streaming query landed a parquet sink under the warehouse's
+    # _stream_sinks namespace; all results are fully consumed by now
+    # (force_full_result collects a scalar), so reclaim the space —
+    # three passes over the streaming family would otherwise leave
+    # ~dozens of dirs per bench run
+    try:
+        from iot_database_spark.operators.streaming_queries import (
+            cleanup_stream_sinks,
+        )
+
+        cleanup_stream_sinks(spark)
+    except Exception:
+        pass  # sweeping is best-effort; timings are already recorded
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
