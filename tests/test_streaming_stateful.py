@@ -474,3 +474,78 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
     )
     rows = [tuple(r) for r in spark.table("ssj_stream").collect()]
     assert rows == [(1, 10, 11)]
+
+
+def test_stream_stream_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics pinned: a view with no
+    purchase emits its NULL-padded row only once the watermark passes
+    the end of its join window — so with a late second batch advancing
+    event time far enough, batch 1's unmatched view flushes, while a
+    view near the stream's end stays held (its window could still
+    match a future purchase). This is the part of outer-join semantics
+    a batch SQL twin cannot express, which is why it is pinned HERE
+    and not registered as a driver oracle row."""
+    import json as _json
+
+    src = tmp_path / "ssoj_src"
+    src.mkdir()
+    b1 = [
+        # unmatched view, early: its 30-min window ends 00:30
+        {"user_id": 1, "event_id": 10, "event_type": "view",
+         "ts": "2024-01-01T00:00:00"},
+    ]
+    b2 = [
+        # advances the watermark to 10:00 - 1h = 09:00 >> 00:30 on BOTH
+        # sides (each side's filter keeps one of these)
+        {"user_id": 9, "event_id": 90, "event_type": "view",
+         "ts": "2024-01-01T10:00:00"},
+        {"user_id": 9, "event_id": 91, "event_type": "purchase",
+         "ts": "2024-01-01T10:00:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    from pyspark.sql import functions as F
+
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp"
+
+    def side(et, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .filter(F.col("event_type") == et)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    joined = side("view", "view_id", "view_ts").join(
+        side("purchase", "purchase_id", "p_ts").withColumnRenamed(
+            "user_id", "p_user_id"
+        ),
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= view_ts AND p_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id")
+    (
+        joined.writeStream.format("memory")
+        .queryName("ssoj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssoj_ckpt"))
+        .start()
+        .awaitTermination(120)
+    )
+    rows = {tuple(r) for r in spark.table("ssoj_stream").collect()}
+    # the early unmatched view HAS flushed with a NULL purchase;
+    # user 9's matched pair is present; user 9's view is matched so no
+    # NULL row for it
+    assert (1, 10, None) in rows
+    assert (9, 90, 91) in rows
+    assert (9, 90, None) not in rows
