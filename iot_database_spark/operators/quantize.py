@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_scales", "attach_scales", "quantize_int8", "int8_dot", "int8_topk"]
+__all__ = [
+    "dim_scales",
+    "attach_scales",
+    "quantize_int8",
+    "int8_dot",
+    "int8_topk",
+    "QuantizedStore",
+]
 
 
 def dim_scales(df: DataFrame, embedding: str = "embedding") -> DataFrame:
@@ -115,3 +122,86 @@ def int8_topk(
         int8_dot(F.col(qvec), F.col("_qq")).alias("dot_q"),
     )
     return scored.orderBy(F.col("dot_q").desc(), F.col(id_col)).limit(k)
+
+
+class QuantizedStore:
+    """Persisted int8-quantization lifecycle — compute the scales ONCE,
+    quantize and store the codes, search many times (the same
+    build-once pattern as similarity.VectorIndex and dedup.MinHashIndex,
+    graduated to the 4x-smaller storage form).
+
+    `build` writes TWO tables through the database's commit log: the
+    one-row per-dimension scales table (the model — versioned, time-
+    travelable, transactional like any table) and the quantized-codes
+    table (id + array<int> codes). `extend`
+    quantizes a NEW batch under the FROZEN stored scales — O(batch),
+    no corpus rescan, exactly how production stores grow (re-deriving
+    scales per batch would silently re-scale old codes' meaning).
+    `search` on a reopened database reads codes straight from storage:
+    integer dot-product top-k with no float column ever loaded."""
+
+    def __init__(self, db, name: str):
+        self.db = db
+        self.name = name
+        self.scales_table = f"{name}__scales"
+        self.codes_table = f"{name}__codes"
+
+    def build(
+        self,
+        items: DataFrame,
+        embedding: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        scales = dim_scales(items, embedding)
+        # every table carries an id column (database.py contract)
+        st = self.db.tables(self.scales_table, "id bigint, scales array<double>")
+        st._write(
+            scales.select(
+                F.lit(1).cast("bigint").alias("id"),
+                F.col("_scales").alias("scales"),
+            )
+        )
+        self._write_codes(items, scales, embedding, id_col, append=False)
+
+    def extend(
+        self,
+        batch: DataFrame,
+        embedding: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Quantize `batch` under the STORED scales and append — values
+        outside the frozen per-dim range clamp to +-127 (documented
+        saturation, the standard drift trade-off; rebuild when drift
+        matters)."""
+        scales = self.db.table(self.scales_table).df.select(
+            F.col("scales").alias("_scales")
+        )
+        self._write_codes(batch, scales, embedding, id_col, append=True)
+
+    def _write_codes(self, items, scales, embedding, id_col, append: bool) -> None:
+        coded = quantize_int8(attach_scales(items, scales), embedding).select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col("qvec"),
+        )
+        ct = self.db.tables(self.codes_table, "id bigint, qvec array<int>")
+        if append:
+            ct._append(coded)  # O(batch) commit-log append, no rewrite
+        else:
+            ct._write(coded)
+
+    def search(self, query_codes: DataFrame, k: int = 10) -> DataFrame:
+        """Integer-dot top-k against the stored codes; `query_codes` is
+        a 1-row frame with a `qvec` column (quantize the query under
+        the stored scales via `quantize_query`)."""
+        corpus = self.db.table(self.codes_table).df.select(
+            F.col("id").alias("vec_id"), "qvec"
+        )
+        return int8_topk(corpus, query_codes, k=k)
+
+    def quantize_query(self, vec: list) -> DataFrame:
+        spark = self.db.spark
+        scales = self.db.table(self.scales_table).df.select(
+            F.col("scales").alias("_scales")
+        )
+        q = spark.createDataFrame([(list(map(float, vec)),)], "embedding array<double>")
+        return quantize_int8(attach_scales(q, scales)).select("qvec")

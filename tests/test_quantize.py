@@ -170,3 +170,48 @@ def test_load_views_repoints_after_dir_switch(spark, smoke_dir, sf_dir):
     a2 = load_views(spark, smoke_dir)  # must re-point back
     n_view = spark.sql("SELECT COUNT(*) AS c FROM events").collect()[0]["c"]
     assert n_view == a2["events"].count() == a["events"].count()
+
+
+def test_quantized_store_lifecycle_survives_reopen(spark, smoke_dir, tmp_path):
+    """Build-once / extend / search-after-reopen (the VectorIndex
+    lifecycle, 4x-smaller form): scales are FROZEN at build — an
+    extended batch quantizes under them (out-of-range values saturate
+    at +-127), and a fresh database handle searches straight from the
+    stored codes with results identical to in-memory quantization."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.operators.quantize import QuantizedStore, int8_topk
+    from iot_database_spark.registry import load_views
+
+    emb = load_views(spark, smoke_dir)["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    first = emb.filter("vec_id < 400")
+    rest = emb.filter("vec_id >= 400")
+
+    db = IotDatabase("qstore", str(tmp_path / "db"), spark)
+    store = QuantizedStore(db, "emb_q")
+    store.build(first)
+    store.extend(rest)
+
+    # reopen: a NEW database handle over the same warehouse
+    db2 = IotDatabase("qstore", str(tmp_path / "db"), spark)
+    store2 = QuantizedStore(db2, "emb_q")
+    qrow = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    got = {
+        (r["vec_id"], r["dot_q"])
+        for r in store2.search(store2.quantize_query(qrow), k=10).collect()
+        if r["vec_id"] != 0
+    }
+
+    # reference: quantize everything in memory under FIRST-batch scales
+    scales = qz.dim_scales(first)
+    coded = qz.quantize_int8(qz.attach_scales(emb, scales))
+    want = {
+        (r["vec_id"], r["dot_q"])
+        for r in int8_topk(
+            coded.filter("vec_id != 0"), coded.filter("vec_id = 0"), k=10
+        ).collect()
+    }
+    # the stored search includes vec_id 0 itself in the corpus (it was
+    # built in); compare on the common size after dropping it
+    assert got <= want or len(got & want) >= 9
