@@ -525,7 +525,13 @@ def canonicalize_url(url: Column) -> Column:
     Deliberately NOT done (documented, not forgotten): percent-decode
     of unreserved chars and IDN/punycode folding — both need lookup
     tables that belong in a real URL library, and skipping them only
-    under-merges (safe direction for dedup)."""
+    under-merges (safe direction for dedup). A value with NO
+    '<scheme>://' prefix (scheme-less crawl rows, protocol-relative
+    '//cdn...', mailto:) passes through with only trim + de-fragment:
+    canonicalizing what we cannot parse would collapse every such row
+    to one key — an over-merge that silently DROPS documents at the
+    dedup stage, the one failure direction this function must never
+    take (r8 review finding)."""
     u = F.regexp_replace(F.trim(url), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(
@@ -546,12 +552,14 @@ def canonicalize_url(url: Column) -> Column:
         & ~p.rlike("^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"),
     )
     qnorm = F.array_join(F.array_sort(keep), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    return F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+        )
     )
 
 
@@ -579,6 +587,7 @@ def duck_canonicalize_url(expr: str) -> str:
         f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)'))), '&'), '')"
     )
     return (
-        f"({scheme} || '://' || {host} || {path} || "
-        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END)"
+        f"(CASE WHEN {scheme} = '' THEN {u} ELSE "
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END END)"
     )

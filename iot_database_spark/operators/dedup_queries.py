@@ -432,6 +432,10 @@ def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and uses 4x4; decontamination must not miss, so it nets wide.
 DECON_BANDS = 16
 
+# broadcast the eval band table only while it is provably small (rows
+# x 16 bands ~ tens of MB at this bound); above it AQE decides
+_EVAL_BROADCAST_MAX_DOCS = 2_000_000 // DECON_BANDS
+
 
 def _decon_band_selects_sql() -> str:
     rpb = K // DECON_BANDS
@@ -484,13 +488,18 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; the signature-position agreement (0..16, >= 8 ~ estimated
     Jaccard >= 0.5) grades HOW contaminated.
 
-    Scale shape: the eval side of the band join is the HELD-OUT SET —
-    thousands of rows against a corpus of billions — so it BROADCASTS
-    (asserted in tests): the training corpus is never shuffled at all;
-    per-pair agreement is a zip_with fold over two 16-slot arrays, and
-    the only exchange is the final per-train-doc groupBy. Same
-    seeded-md5/XOR machinery as `dedup_minhash_lsh`, so the DuckDB
-    text stays exactly symmetric."""
+    Scale shape: the eval slice here is doc_id %% 50 == 0 — 2%% of the
+    corpus, which GROWS with the data — so the broadcast hint is
+    size-gated like every other gated broadcast in this repo (one
+    count() scalar against _EVAL_BROADCAST_MAX_DOCS, ~2M banded rows /
+    tens of MB): under the gate the training corpus is never shuffled
+    at all; above it the join is left to Catalyst/AQE, which
+    shuffle-joins on (band, bucket) — still one corpus exchange. A real
+    deployment passes an actual bounded held-out set, which always
+    gates in. Per-pair agreement is a zip_with fold over two 16-slot
+    arrays, and the only other exchange is the final per-train-doc
+    groupBy. Same seeded-md5/XOR machinery as `dedup_minhash_lsh`, so
+    the DuckDB text stays exactly symmetric."""
     docs = _docs(spark, sf_dir)
     banded = docs.select(
         F.col("doc_id").alias("id"),
@@ -510,8 +519,10 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = banded.filter(F.col("is_eval")).select(
         F.col("id").alias("eid"), F.col("sig").alias("esig"), "band", "bucket"
     )
+    n_eval = docs.filter(F.col("doc_id") % 50 == 0).count()
+    ev_side = F.broadcast(ev) if n_eval <= _EVAL_BROADCAST_MAX_DOCS else ev
     scored = (
-        train.join(F.broadcast(ev), ["band", "bucket"])
+        train.join(ev_side, ["band", "bucket"])
         .groupBy("tid", "eid")
         .agg(
             # identical for every band the pair collides in — max = the value

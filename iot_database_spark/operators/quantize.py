@@ -179,9 +179,29 @@ class QuantizedStore:
         self._write_codes(batch, scales, embedding, id_col, append=True)
 
     def _write_codes(self, items, scales, embedding, id_col, append: bool) -> None:
-        coded = quantize_int8(attach_scales(items, scales), embedding).select(
-            F.col(id_col).cast("bigint").alias("id"),
+        attached = attach_scales(items, scales)
+        # Dimension drift between batches must fail LOUDLY: zip_with
+        # NULL-pads the shorter array, which would persist NULL codes
+        # that int8_dot folds to NULL — rows silently vanishing from
+        # every future top-k (r8 review finding). The check is fused
+        # INTO the persisted column (a free-standing assert_true column
+        # gets pruned by Catalyst as unused and never fires).
+        guarded_qvec = F.when(
+            F.size(F.col(embedding)) == F.size("_scales"),
             F.col("qvec"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("QuantizedStore: batch dim "),
+                    F.size(F.col(embedding)).cast("string"),
+                    F.lit(" != stored scales dim "),
+                    F.size("_scales").cast("string"),
+                )
+            ).cast("array<int>")
+        )
+        coded = quantize_int8(attached, embedding).select(
+            F.col(id_col).cast("bigint").alias("id"),
+            guarded_qvec.alias("qvec"),
         )
         ct = self.db.tables(self.codes_table, "id bigint, qvec array<int>")
         if append:

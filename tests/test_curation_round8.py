@@ -203,3 +203,57 @@ def test_ccnet_buckets_shape(spark, smoke_dir):
         # score ordering across buckets (head = most fluent = highest)
         assert b["head"]["min_score_milli"] >= b["middle"]["max_score_milli"]
         assert b["middle"]["min_score_milli"] >= b["tail"]["max_score_milli"]
+
+
+def test_canonicalize_url_schemeless_passthrough(spark):
+    """Scheme-less / non-hierarchical values must NOT collapse to one
+    key (r8 review finding: '://' swallowed every such row — an
+    over-merge that silently drops documents at the dedup stage). They
+    pass through with only trim + de-fragment, in BOTH engines."""
+    import duckdb
+
+    cases = [
+        ("example.com/a", "example.com/a"),
+        ("//cdn.site.com/x", "//cdn.site.com/x"),
+        ("mailto:a@b.c", "mailto:a@b.c"),
+        ("www.other.org/p#frag", "www.other.org/p"),
+        ("  bare-text  ", "bare-text"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(cu.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [c for _, c in cases]
+    con = duckdb.connect()
+    expr = cu.duck_canonicalize_url("url")
+    for raw, want in cases:
+        assert con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()[0] == want
+
+
+def test_load_views_drops_views_for_absent_tables(spark, smoke_dir, tmp_path):
+    """Activating a partial dir must UNREGISTER the other tables' views
+    (r8 review finding): a missing table must surface as
+    TABLE_OR_VIEW_NOT_FOUND, not a silent read of the previous dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from iot_database_spark.registry import load_views
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"]),
+                  "lang": pa.array(["en"]), "source": pa.array(["s"]),
+                  "n_chars": pa.array([1], pa.int64())}),
+        tmp_path / "documents.parquet",
+    )
+    load_views(spark, smoke_dir)  # full table set active
+    load_views(spark, str(tmp_path))  # documents-only dir
+    with _pytest.raises(AnalysisException):
+        spark.sql("SELECT COUNT(*) FROM events").collect()
+    # and switching back restores the full set
+    load_views(spark, smoke_dir)
+    assert spark.sql("SELECT COUNT(*) FROM events").collect()[0][0] > 0

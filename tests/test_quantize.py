@@ -215,3 +215,26 @@ def test_quantized_store_lifecycle_survives_reopen(spark, smoke_dir, tmp_path):
     # the stored search includes vec_id 0 itself in the corpus (it was
     # built in); compare on the common size after dropping it
     assert got <= want or len(got & want) >= 9
+
+
+def test_quantized_store_rejects_dimension_drift(spark, tmp_path):
+    """Extending with vectors of a different dimensionality must fail
+    LOUDLY at write time (r8 review finding: zip_with NULL-pads, so the
+    drifted batch would persist NULL codes and silently vanish from
+    every top-k)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.operators.quantize import QuantizedStore
+
+    db = IotDatabase("qdrift", str(tmp_path / "db"), spark)
+    store = QuantizedStore(db, "emb_q")
+    base = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, -2.0])], "vec_id bigint, embedding array<double>"
+    )
+    store.build(base)
+    drifted = spark.createDataFrame(
+        [(3, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="batch dim 3 != stored scales dim 2"):
+        store.extend(drifted)
