@@ -574,10 +574,15 @@ def duck_canonicalize_url(expr: str) -> str:
         f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
         f"ELSE {host0} END"
     )
+    # NB: DuckDB regexp_replace is FIRST-match-only by default where
+    # Spark's replaces all — the slash-collapse pattern is the only one
+    # here that can match more than once ('#.*$', '^www\.', ':80$',
+    # '/+$' are all anchored), so it alone needs the 'g' flag
+    # (hypothesis-caught: 'http://a.aa//0//0' collapsed differently).
     path = (
         f"regexp_replace(regexp_replace("
         f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), "
-        f"'/{{2,}}', '/'), '/+$', '')"
+        f"'/{{2,}}', '/', 'g'), '/+$', '')"
     )
     # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
     # array_join([]) is '' — the one engine-semantics divergence here
