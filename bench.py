@@ -217,8 +217,45 @@ def main() -> None:
     # separate artifact.
     fname = "BENCH_subset_local.json" if only else "BENCH_full_local.json"
     full_path = Path(__file__).resolve().parent / fname
+    if not only:
+        # The committed record is the per-query quiet-host BASELINE
+        # regression detection diffs against — one loaded-host run
+        # (e.g. the driver's own per-round invocation) must not erase
+        # it (r8 verdict #2: an 81.5 s loaded run clobbered the 62.8 s
+        # record). MIN-merge into the existing record; raw pass times
+        # always go to BENCH_last_run_local.json for freshness.
+        (full_path.parent / "BENCH_last_run_local.json").write_text(
+            json.dumps(full, indent=1) + "\n"
+        )
+        full = merge_record(_load_record(full_path), full)
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
+
+
+def _load_record(path: Path) -> dict | None:
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def merge_record(old: dict | None, new: dict) -> dict:
+    """Per-query min-merge of a fresh full run into the committed
+    record. Same-sf only; queries no longer in the fresh run's headline
+    set drop (retirements must not linger as phantom baseline entries);
+    queries new to this run enter at their fresh time."""
+    if not old or old.get("sf") != new.get("sf"):
+        return new
+    oldq = old.get("queries") or {}
+    merged = {
+        name: min(t, oldq[name]) if name in oldq else t
+        for name, t in new["queries"].items()
+    }
+    out = dict(new)
+    out["queries"] = merged
+    out["value"] = round(sum(merged.values()), 4)
+    out["n_queries"] = len(merged)
+    return out
 
 
 STDOUT_BUDGET = 1900  # < the driver's 2000-char stdout tail window

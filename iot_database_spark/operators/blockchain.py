@@ -98,6 +98,120 @@ def append_chain(
     )
 
 
+def chain_heads(
+    chain: DataFrame, key: str = "guid", ts: str = "ts", data: str = "data"
+) -> DataFrame:
+    """Last block per key — the seed `append_chain_incremental` folds
+    from: (key, ts, data, hash). Ordering matches append_chain's
+    sort key (ts, data). One aggregation over the chain; callers that
+    ingest continuously should PERSIST this (PointStore.chain_heads)
+    and merge per batch instead of recomputing."""
+    h = F.max_by(
+        F.struct(F.col(ts), F.col(data), F.col("hash")),
+        F.struct(F.col(ts), F.col(data)),
+    )
+    return chain.groupBy(key).agg(h.alias("_h")).select(
+        key,
+        F.col(f"_h.{ts}").alias(ts),
+        F.col(f"_h.{data}").alias(data),
+        F.col("_h.hash").alias("hash"),
+    )
+
+
+def append_chain_incremental(
+    new_blocks: DataFrame,
+    heads: DataFrame,
+    key: str = "guid",
+    ts: str = "ts",
+    data: str = "data",
+) -> DataFrame:
+    """Chain ONLY the new blocks, seeding each key's hash fold from that
+    key's current head instead of re-folding its whole history — the
+    O(batch) append the write path needs (r8 verdict: the full-history
+    union+rebuild in PointStore made every ingest batch cost O(total
+    chain), a scale-killer at ingest frequency).
+
+    `heads` is (key, ts, data, hash) — one row per key, either the
+    persisted heads table a continuous writer maintains
+    (PointStore.chain_heads, merged per batch like MinHashIndex.extend)
+    or a one-off `chain_heads(chain)`. Keys absent from `heads` start a
+    fresh chain (prev_hash = '').
+
+    Semantics match a full `append_chain(dedup_consecutive(existing ∪
+    new))` rebuild exactly, GIVEN the append-only log contract that new
+    rows sort after the head per key in (ts, data) order: in-batch
+    consecutive duplicates drop inside the fold, and a batch's leading
+    block drops when its data equals the head's (the cross-batch
+    consecutive-dup case). Output is ONLY the newly chained rows —
+    append them; nothing existing is rewritten.
+    """
+    others = [c for c in new_blocks.columns if c not in (key, ts, data)]
+    item = F.struct(F.col(ts), F.col(data), *[F.col(c) for c in others])
+    g = new_blocks.groupBy(key).agg(
+        F.sort_array(F.collect_list(item)).alias("_items")
+    )
+    seed = heads.select(
+        key,
+        F.col("hash").alias("_seed_hash"),
+        F.col(data).cast("string").alias("_seed_data"),
+    )
+    # heads is one row per key — small next to any corpus; broadcast so
+    # the batch never shuffles (gated by Spark's own autoBroadcast
+    # threshold is not possible on a hint, but a per-key heads table at
+    # 100 TB is device-count-sized, the canonical broadcast dim)
+    seeded = g.join(F.broadcast(seed), key, "left").select(
+        key,
+        "_items",
+        F.coalesce("_seed_hash", F.lit("")).alias("_seed_hash"),
+        F.col("_seed_data"),
+    )
+    step_hash = (
+        f"sha2(concat(cast({epoch_us_sql(f'x.{ts}')} as string), acc.prev, "
+        f"cast(x.{data} as string)), 256)"
+    )
+    out_elem = (
+        f"named_struct('item', x, 'prev_hash', acc.prev, 'hash', {step_hash})"
+    )
+    # fold over the SORTED batch rows only: acc tracks the running hash
+    # and the last (kept-or-seed) data for the consecutive-dup drop —
+    # the drop condition mirrors dedup_consecutive's lag() predicate
+    # (keep iff prev IS NULL OR data != prev evaluates true)
+    chained = F.expr(
+        f"""
+        aggregate(
+            _items,
+            named_struct(
+                'prev', _seed_hash, 'last', _seed_data,
+                'out', cast(array() as array<struct<
+                    item: struct<{', '.join(
+                        f'{f.name}: {f.dataType.simpleString()}'
+                        for f in new_blocks.select(
+                            ts, data, *others
+                        ).schema.fields
+                    )}>,
+                    prev_hash: string, hash: string>>)),
+            (acc, x) -> CASE
+                WHEN acc.last IS NOT NULL
+                     AND (cast(x.{data} as string) != acc.last) IS NOT TRUE
+                THEN acc
+                ELSE named_struct(
+                    'prev', {step_hash},
+                    'last', cast(x.{data} as string),
+                    'out', array_append(acc.out, {out_elem}))
+                END,
+            acc -> acc.out
+        )
+        """
+    )
+    exploded = seeded.select(key, F.explode(chained).alias("_b"))
+    return exploded.select(
+        key,
+        *[F.col(f"_b.item.{c}") for c in (ts, data, *others)],
+        F.col("_b.prev_hash"),
+        F.col("_b.hash"),
+    )
+
+
 def verify_chain(
     chain: DataFrame, key: str = "guid", ts: str = "ts", data: str = "data"
 ) -> DataFrame:

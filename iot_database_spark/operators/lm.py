@@ -123,6 +123,7 @@ def ngram_lm_score(
     id_col: str = "doc_id",
     train_df: DataFrame | None = None,
     n: int = 2,
+    min_count: int = 1,
 ) -> DataFrame:
     """Per-document n-gram-LM log-probability:
     (id_col, n_ngrams, lm_logprob_micro) — lm_logprob_micro is the sum
@@ -140,10 +141,25 @@ def ngram_lm_score(
     formula with c2 (and, for unknown contexts, c1) at zero, so no
     document is dropped and OOV text is penalized, not ignored. On the
     default self-trained path every n-gram is in the counts table and
-    the fallback never fires (the DuckDB oracle relies on that)."""
+    the fallback never fires (the DuckDB oracle relies on that).
+
+    `min_count` PRUNES the model: n-grams seen fewer than `min_count`
+    times are dropped from the partials table (the CCNet/KenLM
+    `--prune` move). Without pruning the model is every distinct
+    corpus n-gram — n·log n growth, measured ~3.5x at a 3x data step
+    (r8 scale probe) — with it, the long singleton tail (the bulk of
+    any Zipfian gram table) disappears and the scoring join's build
+    side grows sublinearly. Pruned grams score via the UNIFORM backoff
+    ln(1/V) — deliberately not the known-context add-one fallback,
+    which would re-join the corpus-sized (doc, gram) stream against
+    the ctx table a second time (the exact exchange the r8 27x->3x fix
+    removed); backoff-to-uniform keeps scoring at ONE model exchange
+    and the DuckDB oracle mirrors it operation-for-operation."""
     ctx, grams, vocab = ngram_lm_counts(
         train_df if train_df is not None else df, text, n
     )
+    if min_count > 1:
+        grams = grams.filter(F.col("c2") >= min_count)
     # per-DISTINCT-gram partial: one division -> one ln -> floor-scale;
     # mirrored operation-for-operation by the DuckDB oracle
     partials = (
@@ -179,8 +195,34 @@ def ngram_lm_score(
         # before this split, 3x after). One (gram -> model) exchange is
         # the whole scoring cost, exactly the module docstring's
         # contract.
+        if min_count <= 1:
+            return (
+                doc_grams.join(
+                    partials.select("ctx", "w", "lp_micro"), ["ctx", "w"]
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n_ngrams"),
+                    F.sum("lp_micro").cast("bigint").alias("lm_logprob_micro"),
+                )
+            )
+        # Pruned model: grams below min_count are not in `partials`
+        # any more — back off to the uniform prior ln(1/V) via a left
+        # join + coalesce. STILL one model exchange: the broadcast
+        # one-row vocab and the pruned partials are the only build
+        # sides (no ctx re-join — see docstring).
+        uni_lp = (
+            F.floor(
+                F.log(F.lit(1.0) / F.col("v").cast("double")) * F.lit(_MICRO)
+            )
+            .cast("bigint")
+        )
         return (
-            doc_grams.join(partials.select("ctx", "w", "lp_micro"), ["ctx", "w"])
+            doc_grams.join(
+                partials.select("ctx", "w", "lp_micro"), ["ctx", "w"], "left"
+            )
+            .crossJoin(F.broadcast(vocab))
+            .select(id_col, F.coalesce("lp_micro", uni_lp).alias("lp_micro"))
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_ngrams"),

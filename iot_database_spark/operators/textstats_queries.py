@@ -759,11 +759,14 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     partials AS (
         -- IEEE op order mirrored by the Spark plan: ONE division, ONE
-        -- ln, floor-scale to 1e-6 units, BIGINT (operators/lm.py)
+        -- ln, floor-scale to 1e-6 units, BIGINT (operators/lm.py);
+        -- c2 >= 2 is the min_count=2 model pruning (singleton grams —
+        -- the Zipf tail, most of the table — drop from the model)
         SELECT w1, w2,
                CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
                           * 1000000.0) AS BIGINT) AS lp_micro
         FROM bi JOIN uni USING (w1) CROSS JOIN vocab
+        WHERE c2 >= 2
     ),
     doc_bi AS (
         SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
@@ -774,8 +777,10 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_ngrams,
-           CAST(SUM(lp_micro) AS BIGINT) AS lm_logprob_micro
-    FROM doc_bi JOIN partials USING (w1, w2)
+           CAST(SUM(COALESCE(lp_micro,
+                    CAST(FLOOR(LN(1.0 / CAST(v AS DOUBLE)) * 1000000.0)
+                         AS BIGINT))) AS BIGINT) AS lm_logprob_micro
+    FROM doc_bi LEFT JOIN partials USING (w1, w2) CROSS JOIN vocab
     GROUP BY doc_id
     """,
 )
@@ -783,14 +788,17 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM quality proxy: per-document summed bigram
     log-probability under an add-one-smoothed LM trained on the corpus
     itself (operators/lm.py — two vocabulary-sized aggregations, one
-    per-distinct-bigram partial table, integer-exact per-doc sums)."""
+    per-distinct-bigram partial table, integer-exact per-doc sums).
+    min_count=2 prunes singleton grams from the model (uniform ln(1/V)
+    backoff for them) so the model table stops growing linearly with
+    the corpus — the r8 verdict's scale fix, mirrored in the oracle."""
     from iot_database_spark.operators import lm
 
     tables = load_views(spark, sf_dir)
     docs = tables["documents"].select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
-    return lm.ngram_lm_score(docs)
+    return lm.ngram_lm_score(docs, min_count=2)
 
 
 @register(
@@ -819,11 +827,13 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     partials AS (
         -- same IEEE op order as operators/lm.py: ONE division, ONE ln,
-        -- floor-scale to 1e-6 units, BIGINT
+        -- floor-scale to 1e-6 units, BIGINT; c2 >= 2 = min_count=2
+        -- model pruning (see text_ngram_lm_score)
         SELECT c, w,
                CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
                           * 1000000.0) AS BIGINT) AS lp_micro
         FROM grams JOIN ctx USING (c) CROSS JOIN vocab
+        WHERE c2 >= 2
     ),
     doc_grams AS (
         SELECT doc_id, g[1:2] AS c, g[3] AS w FROM (
@@ -834,8 +844,10 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_ngrams,
-           CAST(SUM(lp_micro) AS BIGINT) AS lm_logprob_micro
-    FROM doc_grams JOIN partials USING (c, w)
+           CAST(SUM(COALESCE(lp_micro,
+                    CAST(FLOOR(LN(1.0 / CAST(v AS DOUBLE)) * 1000000.0)
+                         AS BIGINT))) AS BIGINT) AS lm_logprob_micro
+    FROM doc_grams LEFT JOIN partials USING (c, w) CROSS JOIN vocab
     GROUP BY doc_id
     """,
 )
@@ -844,14 +856,17 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIRS (array keys on both engines — DuckDB groups/joins on LIST
     values the same way Spark does on array<string>), the smoothing
     denominator stays the unigram vocabulary, and every determinism
-    rule carries over unchanged (operators/lm.py)."""
+    rule carries over unchanged (operators/lm.py). min_count=2 pruning
+    + uniform backoff, like the bigram query — at order 3 nearly all
+    grams are singletons, so the pruned model is a small fraction of
+    the unpruned table."""
     from iot_database_spark.operators import lm
 
     tables = load_views(spark, sf_dir)
     docs = tables["documents"].select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
-    return lm.ngram_lm_score(docs, n=3)
+    return lm.ngram_lm_score(docs, n=3, min_count=2)
 
 
 _CCNET_ORACLE = """
@@ -877,6 +892,7 @@ _CCNET_ORACLE = """
                CAST(FLOOR(LN((c2 + 1.0) / (c1 + CAST(v AS DOUBLE)))
                           * 1000000.0) AS BIGINT) AS lp_micro
         FROM bi JOIN uni USING (w1) CROSS JOIN vocab
+        WHERE c2 >= 2
     ),
     doc_bi AS (
         SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
@@ -887,9 +903,11 @@ _CCNET_ORACLE = """
     ),
     scored AS (
         SELECT doc_id,
-               CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1000.0)
+               CAST(FLOOR(CAST(SUM(COALESCE(lp_micro,
+                        CAST(FLOOR(LN(1.0 / CAST(v AS DOUBLE)) * 1000000.0)
+                             AS BIGINT))) AS DOUBLE) / COUNT(*) / 1000.0)
                     AS BIGINT) AS score_milli
-        FROM doc_bi JOIN partials USING (w1, w2)
+        FROM doc_bi LEFT JOIN partials USING (w1, w2) CROSS JOIN vocab
         GROUP BY doc_id
     ),
     ranked AS (
@@ -940,7 +958,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables["documents"].select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
     )
-    scored = lm.ngram_lm_score(docs.select("doc_id", "text")).select(
+    scored = lm.ngram_lm_score(docs.select("doc_id", "text"), min_count=2).select(
         "doc_id",
         F.floor(
             F.col("lm_logprob_micro").cast("double")

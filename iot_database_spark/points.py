@@ -49,6 +49,14 @@ class PointStore:
             "id bigint, guid string, ts timestamp, data string, "
             "prev_hash string, hash string",
         )
+        # one row per chained guid: the last block's (ts, data, hash) —
+        # the fold seed that makes each batch's chain append O(batch)
+        # instead of a full-history rebuild (same build-once/extend
+        # pattern as MinHashIndex / QuantizedStore)
+        self.chain_heads = db.tables(
+            "chain_heads",
+            "id bigint, guid string, ts timestamp, data string, hash string",
+        )
 
     def register_point(
         self,
@@ -120,41 +128,41 @@ class PointStore:
             iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
         ).select("guid", "ts", F.col("value").alias("data"))
         n_chain = 0
-        # one job answers both "any chain writes in this batch?" and "how
-        # many blocks already exist?" (round 1 ran them as separate
-        # limit(1).count() + count() actions)
-        existing = self.chain.df.select("guid", "ts", "data")
-        sizes = {
-            r["_c"]: r["_n"]
-            for r in chain_src.agg(F.count(F.lit(1)).alias("_n"))
-            .select(F.lit("new").alias("_c"), "_n")
-            .unionAll(
-                existing.agg(F.count(F.lit(1)).alias("_n")).select(
-                    F.lit("prior").alias("_c"), "_n"
-                )
-            )
-            .collect()
-        }
-        if sizes["new"]:
-            # rebuild affected chains: existing blocks + new data, per-key
-            # (at Delta scale: MERGE only the touched guid partitions)
-            rebuilt = bc.append_chain(
-                bc.dedup_consecutive(existing.unionByName(chain_src))
-            )
-            with_ids = self._assign_ids(self.chain, rebuilt, base=0)
-            # 'chain' means blocks APPENDED by this batch (consecutive-dup
-            # drops excluded), consistent with the writes/ts counts — the
-            # rebuilt-total count rides the write job as an observed metric
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            self.chain._write(
-                with_ids.observe(obs, F.count(F.lit(1)).alias("n")).select(
-                    *[f.name for f in self.chain.df.schema.fields]
-                )
-            )
-            n_chain = int(obs.get["n"]) - sizes["prior"]
+        if chain_src.limit(1).count():
+            n_chain = self._append_chain_batch(chain_src)
         return {"writes": n_all, "ts": n_ts, "chain": n_chain}
+
+    def _append_chain_batch(self, chain_src: DataFrame) -> int:
+        """O(batch) chain extension (r8 verdict #1: the previous path
+        unioned ALL existing blocks with the batch and re-ran the hash
+        fold over the whole history, rewriting the chain table — per-
+        batch cost O(total history)). Now: fold ONLY the batch rows,
+        seeded per guid from the persisted `chain_heads` table (one row
+        per chained point), APPEND the new blocks, and merge the heads —
+        the same O(batch) extend shape as MinHashIndex/QuantizedStore.
+        Per-batch input = batch rows + one row per touched guid; the
+        block history is never read, let alone rewritten."""
+        heads = self.chain_heads.df.select("guid", "ts", "data", "hash")
+        new_blocks = bc.append_chain_incremental(chain_src, heads)
+        with_ids = self._assign_ids(self.chain, new_blocks)
+        # one pass computes the rows to append AND each touched guid's
+        # new head; localCheckpoint pins it so the append job and the
+        # heads merge don't recompute the fold (and the heads rewrite
+        # doesn't re-read files the append just published)
+        with_ids = with_ids.localCheckpoint(eager=True)
+        n_chain = self.chain.insert(
+            with_ids.select(*[f.name for f in self.chain.df.schema.fields])
+        )
+        new_heads = bc.chain_heads(with_ids)
+        merged = bc.chain_heads(
+            self.chain_heads.df.select("guid", "ts", "data", "hash").unionByName(
+                new_heads
+            )
+        )
+        self.chain_heads._write(
+            self._assign_ids(self.chain_heads, merged, base=0)
+        )
+        return n_chain
 
     @staticmethod
     def _assign_ids(table, batch: DataFrame, base: int | None = None) -> DataFrame:

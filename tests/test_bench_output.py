@@ -51,3 +51,30 @@ def test_headline_names_resolve():
     qs = registry.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_merge_record_keeps_quiet_host_minima():
+    """r8 verdict #4: one loaded-host run must not clobber the committed
+    quiet-host per-query baselines — merge takes the per-query MIN,
+    drops retired queries, admits new ones, and recomputes the total."""
+    old = {
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 2.0, "retired": 9.0},
+        "value": 12.0,
+        "n_queries": 3,
+        "metric": "m", "unit": "sec",
+    }
+    loaded_run = {
+        "sf": 0.1,
+        "queries": {"a": 5.0, "b": 1.5, "new": 0.5},
+        "value": 7.0,
+        "n_queries": 3,
+        "metric": "m", "unit": "sec",
+    }
+    merged = bench.merge_record(old, loaded_run)
+    assert merged["queries"] == {"a": 1.0, "b": 1.5, "new": 0.5}
+    assert merged["value"] == 3.0
+    assert merged["n_queries"] == 3
+    # different sf, or no prior record: fresh run stands as-is
+    assert bench.merge_record(None, loaded_run) is loaded_run
+    assert bench.merge_record({**old, "sf": 1.0}, loaded_run) is loaded_run
