@@ -390,6 +390,7 @@ def trim_repeated_windows(
     text: str = "text",
     n: int = 5,
     keep_cols: tuple[str, ...] = (),
+    linear_above_words: int = 10_000,
 ) -> DataFrame:
     """Within-document repeated-passage removal: chunk the word stream
     into fixed n-word windows (stride n) and keep only the FIRST
@@ -398,21 +399,25 @@ def trim_repeated_windows(
     ACROSS documents) and of the Gopher repetition *filters* (which
     drop whole documents; this repairs them instead).
 
-    Scale shape: entirely per-row HOFs — zero shuffles, zero Python.
-    The order-preserving distinct is a filter(windows, (x, i) ->
-    array_position(prefix, x) == 0), O(w^2/n^2) per document in window
-    comparisons; for w = 10k words at n = 5 that is ~4M short string
-    compares per pathological doc — acceptable map-side work. For
-    book-length documents switch to the posexplode -> groupBy(doc,
-    window) -> min(pos) -> re-sort variant, which trades one exchange
-    for linear per-doc cost; at web-document sizes the shuffle-free
-    form wins.
+    Scale shape: per-row HOFs for ordinary documents — zero shuffles,
+    zero Python. The order-preserving distinct is a filter(windows,
+    (x, i) -> array_position(prefix, x) == 0), O(w^2/n^2) per document
+    in window comparisons; for w = 10k words at n = 5 that is ~4M
+    short string compares per pathological doc — acceptable map-side
+    work. Documents LONGER than `linear_above_words` words
+    auto-switch to the posexplode -> groupBy(doc, window) -> min(pos)
+    -> re-sort variant (r9 advice: one adversarial book-length doc
+    could otherwise stall an executor task indefinitely) — it trades
+    one bounded exchange (long docs only) for linear per-doc cost,
+    and produces byte-identical output (first-occurrence windows in
+    original order; tested both ways in test_curation_round8.py).
 
     Returns (doc_id, n_windows, n_kept, trimmed_md5[, keep_cols...]):
     counts plus an md5 digest of the trimmed text (space-rejoined), so
     the full trimmed body never has to travel for correctness checking;
     `keep_cols` passthrough lets pipeline composition avoid a re-join
-    on doc_id (the op is map-side, so carrying columns is free)."""
+    on doc_id (the op is map-side for ordinary docs, so carrying
+    columns is free)."""
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.coalesce(F.col(text), F.lit("")), " ").alias("_ws"),
@@ -424,17 +429,43 @@ def trim_repeated_windows(
             f"transform(sequence(0, int(ceil(size(_ws) / {n}.0)) - 1), "
             f"i -> array_join(slice(_ws, i * {n} + 1, {n}), ' '))"
         ),
-    ).withColumn(
+    )
+    out_cols = ["doc_id", "n_windows", "n_kept", "trimmed_md5", *keep_cols]
+    short = d.filter(F.size("_ws") <= linear_above_words).withColumn(
         "_kept",
         F.expr("filter(_wins, (x, i) -> array_position(slice(_wins, 1, i), x) = 0)"),
-    )
-    return d.select(
+    ).select(
         "doc_id",
         F.size("_wins").cast("int").alias("n_windows"),
         F.size("_kept").cast("int").alias("n_kept"),
         F.md5(F.array_join("_kept", " ")).alias("trimmed_md5"),
         *keep_cols,
     )
+    long_d = d.filter(F.size("_ws") > linear_above_words)
+    firsts = (
+        long_d.select("doc_id", F.posexplode("_wins").alias("_pos", "_win"))
+        .groupBy("doc_id", "_win")
+        .agg(F.min("_pos").alias("_pos"))
+    )
+    kept = firsts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "_win"))).alias("_ks")
+    )
+    long_out = (
+        long_d.select(
+            "doc_id", F.size("_wins").cast("int").alias("n_windows"), *keep_cols
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.size("_ks").cast("int").alias("n_kept"),
+            F.md5(
+                F.array_join(F.expr("transform(_ks, k -> k._win)"), " ")
+            ).alias("trimmed_md5"),
+            *keep_cols,
+        )
+    )
+    return short.unionByName(long_out.select(*out_cols))
 
 
 def zipf_stats(
@@ -454,7 +485,15 @@ def zipf_stats(
     ln(rank), ln(count) are per-row floor-scaled to MILLI-units (int64
     — milli not micro so the sxy/sxx products of fit_k-row sums keep
     ~2e14 << 2^63 headroom), summed as integers, and the slope is one
-    double division of two exact int64s — bit-identical anywhere."""
+    double division of two exact int64s. Residual risk (r9 advice —
+    the earlier 'bit-identical anywhere' claim was overstated): ln()
+    itself is only ~0.5-1 ulp-accurate and engines' libm need not
+    agree, so an input whose scaled ln lands within an ulp of an
+    integer boundary could floor differently across engines. At milli
+    scale that needs |ln(x)*1000 - k| < ~1e-13·|ln(x)*1000| — never
+    observed across the graded corpora (the parity gate would catch
+    it as a one-unit lx/ly diff); the sums-of-ints pipeline AFTER the
+    floor is exact everywhere."""
     toks = docs.select(
         F.explode(F.split(F.lower(F.col(text)), " ")).alias("tok")
     ).filter(F.col("tok") != "")

@@ -202,13 +202,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.02)
 
 
-@register("dedup_ngram_jaccard_absolute", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compat variant: the pre-r6 absolute max_df=1000 guard (kept so
-    the fixed-cap semantics stay driver-checkable; the headline
-    dedup_ngram_jaccard now defaults to the fractional guard). With
-    max_df_frac=None the corpus is never counted, so the set-size join
-    is deliberately left to AQE — no forced broadcast."""
+    """Compat variant: the pre-r6 absolute max_df=1000 guard. RETIRED
+    from the driver registry in round 9 (r8 verdict #6, following the
+    text_bpe_token_count precedent): a fixed absolute df cap admits a
+    growing shingle share as the corpus grows — the one known
+    super-linear plan — so the driver must not be graded on it. The
+    library function and the bit-exact local parity check remain
+    (tests/test_oracle_parity.py::test_retired_query_parity against
+    _JACCARD_ORACLE); the headline dedup_ngram_jaccard carries the
+    scale-correct fractional-guard semantics. With max_df_frac=None the
+    corpus is never counted, so the set-size join is deliberately left
+    to AQE — no forced broadcast."""
     return dd.jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.02, max_df=1000, max_df_frac=None
     )
@@ -432,9 +437,14 @@ def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and uses 4x4; decontamination must not miss, so it nets wide.
 DECON_BANDS = 16
 
-# broadcast the eval band table only while it is provably small (rows
-# x 16 bands ~ tens of MB at this bound); above it AQE decides
-_EVAL_BROADCAST_MAX_DOCS = 2_000_000 // DECON_BANDS
+# broadcast the eval tables only while they are provably small. The
+# broadcast side carries ONLY (eid, band, bucket) — ~50 B/row — never
+# the 16-slot bigint signature (r9 advice: at the old 125k-doc bound
+# the signature-carrying banded rows were ~400-500 MB, an executor OOM
+# exactly at the documented boundary). At this bound: 400k banded
+# bucket rows ~ 20 MB + 25k signature rows ~ 4 MB. Above it AQE
+# decides the join strategy.
+_EVAL_BROADCAST_MAX_DOCS = 400_000 // DECON_BANDS
 
 
 def _decon_band_selects_sql() -> str:
@@ -491,13 +501,18 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval slice here is doc_id %% 50 == 0 — 2%% of the
     corpus, which GROWS with the data — so the broadcast hint is
     size-gated like every other gated broadcast in this repo (one
-    count() scalar against _EVAL_BROADCAST_MAX_DOCS, ~2M banded rows /
-    tens of MB): under the gate the training corpus is never shuffled
-    at all; above it the join is left to Catalyst/AQE, which
-    shuffle-joins on (band, bucket) — still one corpus exchange. A real
-    deployment passes an actual bounded held-out set, which always
-    gates in. Per-pair agreement is a zip_with fold over two 16-slot
-    arrays, and the only other exchange is the final per-train-doc
+    count() scalar against _EVAL_BROADCAST_MAX_DOCS): under the gate
+    the training corpus is never shuffled at all; above it the join is
+    left to Catalyst/AQE, which shuffle-joins on (band, bucket) —
+    still one corpus exchange. The broadcast side is the SLIM
+    (eid, band, bucket) table; the 16-slot signatures stay out of pair
+    generation entirely — candidate pairs dedup per (tid, eid) FIRST,
+    then the per-eval-doc signature table (one row per eval doc) joins
+    back onto the pair-sized frame (r9 advice fix: the old plan
+    broadcast esig with every banded row — 400+ MB at the bound). A
+    real deployment passes an actual bounded held-out set, which
+    always gates in. Per-pair agreement is a zip_with fold over two
+    16-slot arrays; the only other exchange is the final per-train-doc
     groupBy. Same seeded-md5/XOR machinery as `dedup_minhash_lsh`, so
     the DuckDB text stays exactly symmetric."""
     docs = _docs(spark, sf_dir)
@@ -516,25 +531,32 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = banded.filter(~F.col("is_eval")).select(
         F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
     )
-    ev = banded.filter(F.col("is_eval")).select(
-        F.col("id").alias("eid"), F.col("sig").alias("esig"), "band", "bucket"
+    ev_buckets = banded.filter(F.col("is_eval")).select(
+        F.col("id").alias("eid"), "band", "bucket"
+    )
+    # one (eid -> signature) row per eval doc — band 0's row carries the
+    # full signature already, so no distinct over arrays is needed
+    ev_sigs = banded.filter(F.col("is_eval") & (F.col("band") == 0)).select(
+        F.col("id").alias("eid"), F.col("sig").alias("esig")
     )
     n_eval = docs.filter(F.col("doc_id") % 50 == 0).count()
-    ev_side = F.broadcast(ev) if n_eval <= _EVAL_BROADCAST_MAX_DOCS else ev
-    scored = (
-        train.join(ev_side, ["band", "bucket"])
-        .groupBy("tid", "eid")
-        .agg(
-            # identical for every band the pair collides in — max = the value
-            F.max(
-                F.size(
-                    F.filter(
-                        F.zip_with("tsig", "esig", lambda u, v: u == v),
-                        lambda eq: eq,
-                    )
-                )
-            ).alias("agree")
-        )
+    gate = n_eval <= _EVAL_BROADCAST_MAX_DOCS
+    bucket_side = F.broadcast(ev_buckets) if gate else ev_buckets
+    sig_side = F.broadcast(ev_sigs) if gate else ev_sigs
+    pairs = (
+        train.join(bucket_side, ["band", "bucket"])
+        .select("tid", "tsig", "eid")
+        .dropDuplicates(["tid", "eid"])
+    )
+    scored = pairs.join(sig_side, "eid").select(
+        "tid",
+        "eid",
+        F.size(
+            F.filter(
+                F.zip_with("tsig", "esig", lambda u, v: u == v),
+                lambda eq: eq,
+            )
+        ).alias("agree"),
     )
     return scored.groupBy(F.col("tid").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_candidates"),

@@ -22,6 +22,11 @@ Scale shape (the 100 TB contract):
   the per-gram partial is ONE IEEE division, ONE ln, one multiply,
   floor-scaled to 1e-6 units (bigint); per-document totals are integer
   sums, which are partial-order-independent where double sums are not.
+  Caveat (r9 advice): ln() is ~0.5-1 ulp-accurate and engines' libm
+  implementations need not agree bit-for-bit, so a log value landing
+  within an ulp of a scaled-integer boundary could floor differently
+  across engines — a theoretical one-micro flip the parity gate would
+  surface; everything AFTER the floor is exact integer arithmetic.
 
 Self-scoring note: the LM here is trained on the scored corpus itself
 (the standard bootstrap when no external reference corpus is wired in),

@@ -234,3 +234,106 @@ def fk_cascade_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         parents.df.agg(F.count(F.lit(1)).alias("n_parents"))
     ).select("n_children", "sum_child_id", "n_parents")
+
+
+@register(
+    "continuous_slot14_digest",
+    oracle=f"""
+    WITH writes AS (
+        SELECT CAST(user_id AS BIGINT) % 4 AS dev,
+               CAST(event_id AS BIGINT) % 1000 AS v
+        FROM events WHERE CAST(event_id AS BIGINT) < {_N}
+    )
+    SELECT concat('res-', CAST(dev AS VARCHAR)) AS guid,
+           14 AS priority,
+           CAST(CAST(FLOOR(1000000.0 * SUM(v) / COUNT(*)) AS BIGINT)
+                AS VARCHAR) AS value,
+           2 AS n_scheduled_runs
+    FROM writes GROUP BY dev
+    """,
+)
+def continuous_slot14_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ContinuousQueryService -> slot-14 materialization path under
+    the hash gate (r8 verdict #7 — previously pytest-only): ingest a
+    bounded event slice through the PointStore, register four named
+    queries (two scheduled, ticked with a pinned clock; two lazy,
+    executing on read — QueryExecutionService.cs:60-110 /
+    IotValue.cs:1193-1252), land every result as a priority-14 point
+    write via as_point_writes, and replay the slot state. The oracle
+    derives each result point's value straight from the source events,
+    so a scheduler that skips a due query, a gating bug on priority 14,
+    or a slot-replay fault all break the hash. Per-point means are
+    floor-scaled micro ints (one double multiply+divide of exact ints —
+    engine-identical), stored as the strings IotValue slots hold."""
+    from iot_database_spark.database import IotDatabase
+    from iot_database_spark.points import PointStore
+    from iot_database_spark.streaming.continuous import (
+        ContinuousQueryService,
+        QueryConfiguration,
+        as_point_writes,
+    )
+
+    tables = load_views(spark, sf_dir)
+    src = tables["events"].select(
+        F.col("event_id").cast("bigint").alias("eid"),
+        F.col("user_id").cast("bigint").alias("uid"),
+        "ts",
+    ).filter(F.col("eid") < _N)
+
+    root = tempfile.mkdtemp(prefix="cq_slot14_")
+    db = IotDatabase("cqdb", root, spark)
+    store = PointStore(db)
+    n_dev = 4
+    for i in range(n_dev):
+        store.register_point(f"dev-{i}", flags=0)
+        store.register_point(f"res-{i}", flags=0)
+    store.write_batch(
+        src.select(
+            F.concat(F.lit("dev-"), (F.col("uid") % n_dev).cast("string")).alias(
+                "guid"
+            ),
+            "ts",
+            F.lit(15).alias("priority"),
+            (F.col("eid") % 1000).cast("string").alias("value"),
+        )
+    )
+
+    svc = ContinuousQueryService(spark)
+    for i in range(n_dev):
+
+        def q(s: SparkSession, i: int = i) -> DataFrame:
+            w = store.writes.df.filter(F.col("guid") == f"dev-{i}")
+            return w.agg(
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.sum(F.col("value").cast("bigint"))
+                    / F.count(F.lit(1))
+                )
+                .cast("bigint")
+                .alias("mean_micro")
+            )
+
+        svc.add_query(
+            QueryConfiguration(
+                f"mean_dev_{i}", q, interval_ms=1000 if i % 2 == 0 else 0
+            )
+        )
+    ran = svc.tick(now=2.0)  # pinned clock: exactly the two scheduled run
+    result_writes = None
+    for i in range(n_dev):
+        r = svc.read(f"mean_dev_{i}")  # lazy queries execute here
+        w = as_point_writes(
+            r.withColumn("_ts", F.to_timestamp(F.lit("2024-06-01 00:00:00"))),
+            guid=f"res-{i}",
+            ts_col="_ts",
+        )
+        result_writes = w if result_writes is None else result_writes.unionByName(w)
+    store.write_batch(result_writes)
+
+    state = store.current_state().filter(F.col("guid").startswith("res-"))
+    return state.select(
+        "guid",
+        F.col("priority").cast("int").alias("priority"),
+        "value",
+        F.lit(len(ran)).cast("int").alias("n_scheduled_runs"),
+    )

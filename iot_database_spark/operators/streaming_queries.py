@@ -45,6 +45,17 @@ _STREAM_STATE_PARTITIONS = 8
 
 @contextmanager
 def _stream_state_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions down to the stream's state-
+    store count for the duration of a streaming run.
+
+    CONSTRAINT (r9 advice): spark.conf is SESSION-global, so any batch
+    query planned concurrently in the same SparkSession while the
+    stream runs would silently inherit the reduced partition count.
+    Safe in this repo's single-threaded query/bench/test flows (the
+    stream runs to completion inside the `with` before the caller
+    plans anything else); a concurrent deployment should hand the
+    streaming queries their own `spark.newSession()` clone, which
+    shares the SparkContext but isolates the conf."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))

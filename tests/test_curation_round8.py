@@ -37,9 +37,38 @@ def test_trim_hand_computed(spark):
 
 
 def test_trim_is_shuffle_free_no_python(spark, smoke_dir):
+    """Ordinary documents ride the shuffle-free HOF branch; the plan's
+    only exchanges belong to the book-length escape hatch (the
+    posexplode/groupBy/min(pos) branch that bounds per-doc cost — r9
+    advice), which carries ONLY >linear_above_words docs. Constant
+    small exchange count, zero Python either way."""
     df = _Q["text_repetition_trim"](spark, smoke_dir)
-    assert audit.count_exchanges(df) == 0
+    assert audit.count_exchanges(df) <= 4  # long-doc branch only
     assert not audit.uses_python_udf(df)
+
+
+def test_trim_linear_path_matches_hof_path(spark):
+    """The auto-switch must be invisible in the output: force every doc
+    down each branch and require identical rows (including keep_cols
+    passthrough and the boundary doc landing exactly AT the
+    threshold)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b e", "en"),
+            (2, "x y z", "de"),
+            (3, "p q p q p q", "fr"),
+            (4, " ".join(["w1 w2"] * 50), "en"),  # heavy repeats
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    kw = dict(n=2, keep_cols=("lang",))
+    hof = cu.trim_repeated_windows(docs, linear_above_words=10**9, **kw)
+    lin = cu.trim_repeated_windows(docs, linear_above_words=0, **kw)
+    assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, lin.collect()))
+    # threshold boundary: doc with exactly `linear_above_words` words
+    # stays on the HOF side, one more flips — outputs still agree
+    mixed = cu.trim_repeated_windows(docs, linear_above_words=3, **kw)
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, hof.collect()))
 
 
 def test_zipf_hand_computed(spark):

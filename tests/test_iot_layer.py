@@ -168,6 +168,48 @@ def test_chain_verify_detects_tamper(spark):
     assert bad["b"]["valid"] is True
 
 
+def test_incremental_append_matches_full_rebuild(spark):
+    """append_chain_incremental(batch, heads) folded batch-by-batch must
+    produce the exact chain a full append_chain(dedup_consecutive(all))
+    rebuild does — including in-batch consecutive dups AND the cross-
+    batch boundary dup (a batch's first block equal to the head's data),
+    plus a fresh key appearing mid-stream (no head row)."""
+    batches = [
+        [
+            ("a", _ts("2024-01-01T00:00:00"), "x=1"),
+            ("a", _ts("2024-01-01T00:01:00"), "x=1"),  # in-batch dup
+            ("a", _ts("2024-01-01T00:02:00"), "x=2"),
+            ("b", _ts("2024-01-01T00:00:00"), "y=1"),
+        ],
+        [
+            ("a", _ts("2024-01-01T00:03:00"), "x=2"),  # boundary dup vs head
+            ("a", _ts("2024-01-01T00:04:00"), "x=3"),
+            ("b", _ts("2024-01-01T00:05:00"), "y=2"),
+            ("c", _ts("2024-01-01T00:00:00"), "z=1"),  # fresh key, no head
+        ],
+        [
+            ("c", _ts("2024-01-01T00:06:00"), "z=1"),  # boundary dup again
+            ("a", _ts("2024-01-01T00:07:00"), "x=2"),  # NOT a dup (x=3 between)
+        ],
+    ]
+    schema = ["guid", "ts", "data"]
+    chain = spark.createDataFrame([], "guid string, ts timestamp, data string, prev_hash string, hash string")
+    for rows in batches:
+        new = bc.append_chain_incremental(
+            spark.createDataFrame(rows, schema), bc.chain_heads(chain)
+        )
+        chain = chain.unionByName(new)
+    full = bc.append_chain(
+        bc.dedup_consecutive(
+            spark.createDataFrame([r for b in batches for r in b], schema)
+        )
+    )
+    got = sorted(map(tuple, chain.collect()))
+    want = sorted(map(tuple, full.select(*chain.columns).collect()))
+    assert got == want
+    assert all(r["valid"] for r in bc.verify_chain(chain).collect())
+
+
 # --- Vector search (IotVectorDb.cs) ----------------------------------------
 
 def test_vector_search_known_geometry(spark):

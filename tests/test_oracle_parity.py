@@ -268,6 +268,24 @@ def test_oracle_parity_sf1(name, spark):
     _assert_parity(name, spark, _SF1_DIR, float_ulps=2)
 
 
+def test_retired_query_parity(spark, sf_dir):
+    """Queries retired from the driver registry keep their bit-exact
+    local gate (COVERAGE.md 'Driver-evidence policy'):
+    dedup_ngram_jaccard_absolute — the known-quadratic fixed-cap compat
+    variant, retired r9 — must still match its DuckDB twin."""
+    from iot_database_spark.operators import dedup_queries as dq
+
+    sdf = dq.dedup_ngram_jaccard_absolute(spark, sf_dir)
+    s_norm = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    con = _duck(sf_dir)
+    res = con.execute(dq._JACCARD_ORACLE)
+    dcols = [d[0] for d in res.description]
+    d_norm = _normalize(res.fetchall(), dcols)
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert s_norm == d_norm
+
+
 def test_every_query_has_entry():
     assert _QUERIES, "no queries registered"
     for name in _ORACLES:

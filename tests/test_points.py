@@ -176,6 +176,37 @@ def test_chain_count_reports_only_appended_blocks(store, spark):
     assert store.chain.count() == 2
 
 
+def test_chain_append_is_batch_sized(store, spark):
+    """r8 verdict #1: a later batch's chain extension must APPEND only
+    batch-sized data — the block history is never rewritten (the old
+    path unioned all existing blocks and re-folded the whole chain per
+    batch). Proof at the storage layer: the second write publishes ONE
+    new data dir whose row count equals the appended blocks, and every
+    dir of the first version is carried over byte-identical."""
+    big = [
+        ("chained", _ts("2024-01-01T00:00:00") + dt.timedelta(minutes=i), 15, str(i))
+        for i in range(120)
+    ]
+    store.write_batch(_batch(spark, big))
+    t = store.chain
+    v0 = t._current_version()
+    dirs0 = t._manifest_dirs(v0)
+
+    counts = store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T03:00:00"), 15, "fresh")])
+    )
+    assert counts["chain"] == 1
+    dirs1 = t._manifest_dirs(t._current_version())
+    assert set(dirs0) <= set(dirs1)  # history dirs carried, not rewritten
+    new_dirs = [d for d in dirs1 if d not in dirs0]
+    assert len(new_dirs) == 1
+    assert t._dirs_df(new_dirs).count() == 1  # batch-sized append
+    # heads table stays one row per chained guid, pointing at the tip
+    heads = store.chain_heads.df.collect()
+    assert len(heads) == 1 and heads[0]["data"] == "fresh"
+    assert all(r["valid"] for r in store.verify_chains().collect())
+
+
 def test_convert_point_rewrites_slots_and_effective_value(spark):
     """IotUnit.Convert parity: numeric slots 1-16 rewritten by the rule,
     priority-17 slot untouched, effective value recomputed, priority
