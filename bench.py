@@ -133,6 +133,8 @@ HEADLINE = [
     "pipeline_web_ingest",
     "ts_seasonal_baseline",
     "corpus_ccnet_buckets",
+    # round 9 additions
+    "continuous_slot14_digest",
 ]
 
 

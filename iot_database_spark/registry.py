@@ -44,81 +44,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-8 window (exactly 50 slots) — generated by
-# `python scripts/plan_rotation.py --slots 50` (oldest-green-first over
-# CORRECTNESS_r01..r07; r7 was 50/50 green with zero err rows):
-# the FIFTEEN never-graded round-8 additions (session windows, the
-# two LM scorers, repetition trim, zipf stats, URL dedup, the int8
-# quantizer pair, the stream-stream join, minhash decontamination,
-# two-stage rerank, the event transition matrix, the web-ingest
-# capstone, the seasonal baseline, the CCNet head/middle/tail
-# bucketing) lead for first-time evidence, then the
-# 25 r5-vintage greens whose evidence would otherwise age past the
-# 3-window limit, then the 10 oldest r6 greens; the r6 greens displaced
-# by the new entries are exactly 2 rounds old at r8 grading and lead
-# the r9 window (3-window coverage still holds: 150 slots >= the 138
-# registered queries).
-#
-# The two permanently-ungradeable rows-only entries were RETIRED from
-# the registry in round 7 (text_bpe_token_count — no oracle possible,
-# driver records err:no_oracle; nl_find_include_nested — nested
-# struct-arrays crash the driver's pandas canonicalizer). Their library
-# functions, local tests, and hash-gated twins
-# (text_bpe_token_count_fixed, nl_find_include_digest) all remain — see
-# COVERAGE.md "Driver-evidence policy". The r6 verdict's "26 r4-vintage
-# queries" prep note was a miscount; the planner's count of 25 was
-# confirmed in round 7 and the corrected count is kept on purpose.
+# Round-9 window (exactly 50 slots) — `python scripts/plan_rotation.py
+# --slots 50` output with ONE hand adjustment: the three LM-family
+# queries whose SEMANTICS changed this round (min_count=2 model pruning
+# — output values differ from their r8-graded form) are pulled forward
+# for immediate re-grading even though their r8 rows are the newest
+# greens; to make room the three youngest r7 greens at the window tail
+# (groupby_having, distinct_op, count_exists_minmax) wait for r10 (their
+# r7 evidence is 2 rounds old at r9 — still inside the 3-window limit).
+# Leads: the never-graded continuous_slot14_digest (new r9), then the
+# changed LM trio, then the 38 r6-vintage greens whose evidence ages out
+# next, then the oldest r7 greens. dedup_ngram_jaccard_absolute was
+# RETIRED from the registry this round (r8 verdict #6 — the
+# known-quadratic compat variant; library function + local parity test
+# remain, see COVERAGE.md "Driver-evidence policy").
 _PRIORITY: tuple[str, ...] = (
-    "stream_sessionization",  # never graded
-    "text_ngram_lm_score",  # never graded
-    "text_trigram_lm_score",  # never graded
-    "text_repetition_trim",  # never graded
-    "corpus_zipf_stats",  # never graded
-    "dedup_url_canonical",  # never graded
-    "embedding_quantize_int8",  # never graded
-    "ann_int8_cosine",  # never graded
-    "stream_stream_time_join",  # never graded
-    "decontaminate_minhash",  # never graded
-    "event_transition_matrix",  # never graded
-    "ann_two_stage_rerank",  # never graded
-    "pipeline_web_ingest",  # never graded
-    "ts_seasonal_baseline",  # never graded
-    "corpus_ccnet_buckets",  # never graded
-    "event_funnel",  # r5 green
-    "event_cohort_retention",  # r5 green
-    "string_funcs",  # r5 green
-    "date_funcs",  # r5 green
-    "json_extract",  # r5 green
-    "iot_write_gating",  # r5 green
-    "vector_cosine_topk",  # r5 green
-    "vector_l2_topk",  # r5 green
-    "vector_upsert_dedup",  # r5 green
-    "ann_ivf_cosine",  # r5 green
-    "dedup_simhash",  # r5 green
-    "dedup_embedding_cosine",  # r5 green
-    "text_quality_scores",  # r5 green
-    "text_token_count",  # r5 green
-    "text_langid",  # r5 green
-    "text_gopher_rules",  # r5 green
-    "text_scrub_pii",  # r5 green
-    "decontaminate_ngram_overlap",  # r5 green
-    "embedding_outliers",  # r5 green
-    "nl_find_filter_sort_limit",  # r5 green
-    "nl_find_dual_join",  # r5 green
-    "nl_find_dual_fk_inference",  # r5 green
-    "nl_find_triple_join",  # r5 green
-    "nl_find_include_digest",  # r5 green
-    "remote_serialized_find",  # r5 green
-    "join_part_promo_monthly",  # r6 green
-    "set_intersect",  # r6 green
-    "set_except",  # r6 green
-    "cube_agg",  # r6 green
-    "pivot_status_by_segment",  # r6 green
-    "grouping_sets_agg",  # r6 green
-    "event_sessionization",  # r6 green
-    "skew_salted_agg",  # r6 green
-    "approx_sketch_accuracy",  # r6 green
-    "string_format_regex",  # r6 green
+    "continuous_slot14_digest",  # never graded
+    "text_ngram_lm_score",  # r8 green, SEMANTICS CHANGED r9 (min_count pruning) - must re-grade
+    "text_trigram_lm_score",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
+    "corpus_ccnet_buckets",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
+    "conditional_cast",  # r6 green
+    "array_higher_order",  # r6 green
+    "try_cast_predicates",  # r6 green
+    "sha256_hash",  # r6 green
+    "map_functions",  # r6 green
+    "iot_password_hash",  # r6 green
+    "unit_convert_bulk",  # r6 green
+    "cagg_incremental_refresh",  # r6 green
+    "ts_range_join",  # r6 green
+    "ts_ewma_smooth",  # r6 green
+    "ts_anomaly_mad",  # r6 green
+    "ts_threshold_alerts",  # r6 green
+    "chain_verify",  # r6 green
+    "vector_l2_radius",  # r6 green
+    "dedup_minhash_lsh",  # r6 green
+    "dedup_ngram_jaccard",  # r6 green
+    "dedup_ngram_jaccard_capped",  # r6 green
+    "dedup_cluster_assign",  # r6 green
+    "dedup_repeated_ngrams",  # r6 green
+    "dedup_fuzzy_name_match",  # r6 green
+    "text_chunk_windows",  # r6 green
+    "corpus_train_val_test_split",  # r6 green
+    "text_strip_html",  # r6 green
+    "text_bpe_token_count_fixed",  # r6 green
+    "corpus_mixture_sample",  # r6 green
+    "heavy_hitter_ngrams",  # r6 green
+    "ann_lsh_cosine",  # r6 green
+    "text_quality_classifier",  # r6 green
+    "zorder_key_events",  # r6 green
+    "text_trigram_coverage",  # r6 green
+    "stream_rollup_to_table",  # r6 green
+    "stream_exact_dedup",  # r6 green
+    "stream_threshold_alerts",  # r6 green
+    "timetravel_asof_digest",  # r6 green
+    "evolution_nullfill_digest",  # r6 green
+    "txn_atomicity_digest",  # r6 green
+    "fk_cascade_digest",  # r6 green
+    "scan_filter_project",  # r7 green
+    "filter_in",  # r7 green
+    "filter_like",  # r7 green
+    "filter_between_not",  # r7 green
+    "sort_limit_offset",  # r7 green
+    "take_last",  # r7 green
+    "multi_key_sort",  # r7 green
+    "q01_pricing_summary",  # r7 green
+    "global_agg",  # r7 green
 )
 
 
