@@ -135,6 +135,8 @@ HEADLINE = [
     "corpus_ccnet_buckets",
     # round 9 additions
     "continuous_slot14_digest",
+    "vector_filtered_topk",
+    "vector_multi_query_topk",
 ]
 
 

@@ -284,9 +284,10 @@ def continuous_slot14_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = IotDatabase("cqdb", root, spark)
     store = PointStore(db)
     n_dev = 4
-    for i in range(n_dev):
-        store.register_point(f"dev-{i}", flags=0)
-        store.register_point(f"res-{i}", flags=0)
+    store.register_points(
+        [{"guid": f"dev-{i}"} for i in range(n_dev)]
+        + [{"guid": f"res-{i}"} for i in range(n_dev)]
+    )
     store.write_batch(
         src.select(
             F.concat(F.lit("dev-"), (F.col("uid") % n_dev).cast("string")).alias(

@@ -307,3 +307,128 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", "relevance")
     )
+
+
+# DuckDB cosine fold against an arbitrary query column `qv` (same
+# ordered-left-fold recipe as _ORACLE_SCORED, factored so multi-query
+# oracles can reuse it).
+_DUCK_COSINE = """
+               list_reduce(
+                   list_prepend(0.0, list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+                   (acc, x) -> acc + x)
+               / (SQRT(list_reduce(
+                      list_prepend(0.0, list_transform(range(1, 65),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                      (acc, x) -> acc + x))
+                  * SQRT(list_reduce(
+                      list_prepend(0.0, list_transform(range(1, 65),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+                      (acc, x) -> acc + x)))
+"""
+
+
+@register(
+    "vector_filtered_topk",
+    oracle=_ORACLE_SCORED
+    + """
+    SELECT vec_id, label, relevance FROM scored
+    WHERE label = 2 AND relevance >= 0.2
+    ORDER BY relevance DESC, vec_id
+    LIMIT 50
+    """,
+)
+def vector_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production ANN shape the reference's
+    single-stage scan cannot express (metadata predicate + similarity
+    top-k, e.g. 'nearest docs WITHIN this tenant/category'): the label
+    predicate applies BEFORE scoring, so the similarity fold runs only
+    over the filtered slice.
+
+    Scale shape: the filter is a plain parquet predicate — it reaches
+    the scan (PushedFilters, asserted in test_plans.py), so with
+    label-partitioned or label-sorted storage (`ensure_index`) whole
+    files/row-groups skip and the scored fraction is the selectivity,
+    not the corpus. Post-filter ANN (score everything, filter after) is
+    the naive alternative that wastes exactly 1/selectivity of the
+    scoring work. TakeOrderedAndProject keeps top-k local+merge as in
+    vector_l2_topk."""
+    scored = _scored(spark, sf_dir).filter(F.col("label") == 2).withColumn(
+        "relevance", vec.cosine_similarity(F.col("embedding"), F.col("qv"))
+    )
+    return (
+        scored.filter(F.col("relevance") >= 0.2)
+        .orderBy(F.col("relevance").desc(), F.col("vec_id"))
+        .limit(50)
+        .select("vec_id", "label", "relevance")
+    )
+
+
+@register(
+    "vector_multi_query_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv
+        FROM embeddings WHERE CAST(vec_id AS BIGINT) < 8
+    ), scored AS (
+        SELECT q.qid,
+               CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(e.label AS BIGINT) AS label,
+               {_DUCK_COSINE} AS relevance
+        FROM embeddings e, q
+        WHERE CAST(e.vec_id AS BIGINT) >= 8
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY relevance DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, label, relevance FROM ranked WHERE rn <= 5
+    """,
+)
+def vector_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED vector search: a query batch (8 vectors) against the
+    corpus in ONE scan, per-query cosine top-5 — how retrieval actually
+    runs in production (embedding a request batch and searching once),
+    vs looping vector_cosine_topk 8 times = 8 corpus scans.
+
+    Scale shape: the query batch broadcasts (requests are always the
+    small side); the corpus is scanned ONCE and never shuffled for
+    scoring; the only exchange is the per-qid hash for the grouped
+    top-k window, and Spark compiles the row_number cut to
+    WindowGroupLimit Partial->Final: each input partition keeps only
+    its local top-5 per query BEFORE the exchange, so ~5 rows per
+    (partition, query) shuffle — not the scored corpus (plan-asserted
+    in test_plans.py; with thousands of concurrent queries the same
+    plan spreads queries across the cluster). Determinism: the ordered-fold cosine recipe plus the
+    (relevance DESC, vec_id) tie-break, as everywhere in this module."""
+    from pyspark.sql import Window
+
+    tables = load_views(spark, sf_dir)
+    emb = tables["embeddings"].select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.col("label").cast("bigint").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            vec.cosine_similarity(F.col("embedding"), F.col("qv")).alias(
+                "relevance"
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("relevance").desc(), F.col("vec_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "label", "relevance")
+    )

@@ -66,11 +66,30 @@ class PointStore:
         strict_type: str | None = None,
         unit: str | None = None,
     ) -> None:
-        self.registry.insert(
+        self.register_points(
             [{
-                "id": None, "guid": guid, "name": name, "flags": flags,
+                "guid": guid, "name": name, "flags": flags,
                 "strict_type": strict_type, "unit": unit,
             }]
+        )
+
+    def register_points(self, points: list[dict]) -> None:
+        """Bulk registration — ONE insert (one validation pass, one
+        staged write, one manifest flip) however many points; a loop of
+        register_point pays that per point. Keys: guid (required),
+        name/flags/strict_type/unit optional."""
+        self.registry.insert(
+            [
+                {
+                    "id": None,
+                    "guid": p["guid"],
+                    "name": p.get("name", ""),
+                    "flags": p.get("flags", 0),
+                    "strict_type": p.get("strict_type"),
+                    "unit": p.get("unit"),
+                }
+                for p in points
+            ]
         )
 
     def write_batch(self, batch: DataFrame) -> dict[str, int]:

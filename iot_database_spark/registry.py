@@ -52,14 +52,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # greens; to make room the three youngest r7 greens at the window tail
 # (groupby_having, distinct_op, count_exists_minmax) wait for r10 (their
 # r7 evidence is 2 rounds old at r9 — still inside the 3-window limit).
-# Leads: the never-graded continuous_slot14_digest (new r9), then the
-# changed LM trio, then the 38 r6-vintage greens whose evidence ages out
-# next, then the oldest r7 greens. dedup_ngram_jaccard_absolute was
+# Leads: the three never-graded r9 additions (continuous_slot14_digest,
+# vector_filtered_topk, vector_multi_query_topk), then the changed LM
+# trio, then the 38 r6-vintage greens whose evidence ages out next, then
+# the oldest r7 greens (q01_pricing_summary/global_agg join
+# groupby_having/distinct_op/count_exists_minmax in waiting for r10 —
+# all r7 evidence, 2 rounds old at r9). dedup_ngram_jaccard_absolute was
 # RETIRED from the registry this round (r8 verdict #6 — the
 # known-quadratic compat variant; library function + local parity test
 # remain, see COVERAGE.md "Driver-evidence policy").
 _PRIORITY: tuple[str, ...] = (
     "continuous_slot14_digest",  # never graded
+    "vector_filtered_topk",  # never graded (new r9: pre-filter pushdown ANN)
+    "vector_multi_query_topk",  # never graded (new r9: batched one-scan search)
     "text_ngram_lm_score",  # r8 green, SEMANTICS CHANGED r9 (min_count pruning) - must re-grade
     "text_trigram_lm_score",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
     "corpus_ccnet_buckets",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
@@ -107,8 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "sort_limit_offset",  # r7 green
     "take_last",  # r7 green
     "multi_key_sort",  # r7 green
-    "q01_pricing_summary",  # r7 green
-    "global_agg",  # r7 green
 )
 
 

@@ -45,6 +45,33 @@ def test_topk_avoids_full_sort(spark, sf):
     assert audit.uses_take_ordered(_Q["vector_l2_topk"](spark, sf))
 
 
+def test_filtered_vector_search_prefilters_scan(spark, sf):
+    """vector_filtered_topk: the metadata predicate must reach the
+    parquet scan (so label-organized storage can skip files) and top-k
+    must stay TakeOrderedAndProject — score-then-filter would read and
+    fold every vector."""
+    df = _Q["vector_filtered_topk"](spark, sf)
+    assert any("label" in p for p in audit.pushed_filters(df))
+    assert audit.uses_take_ordered(df)
+    assert not audit.uses_python_udf(df)
+
+
+def test_multi_query_search_single_scan_broadcast_queries(spark, sf):
+    """vector_multi_query_topk: the query batch broadcasts (the cross
+    join plans as BroadcastNestedLoopJoin BuildRight over the 8-row
+    batch — the corpus side streams in place); the only shuffle is the
+    per-qid grouped-top-k exchange, and Spark compiles the row_number
+    cut to WindowGroupLimit Partial->Final, i.e. per-input-partition
+    top-5 BEFORE the exchange — only ~5 rows per (partition, query)
+    ever shuffle."""
+    df = _Q["vector_multi_query_topk"](spark, sf)
+    text = audit.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "WindowGroupLimit" in text  # partial top-k precedes the shuffle
+    assert audit.count_exchanges(df) <= 1
+    assert not audit.uses_python_udf(df)
+
+
 def test_agg_single_shuffle_and_codegen(spark, sf):
     df = _Q["q01_pricing_summary"](spark, sf)
     assert audit.count_exchanges(df) <= 1  # partial+final agg, one shuffle
