@@ -137,6 +137,9 @@ HEADLINE = [
     "continuous_slot14_digest",
     "vector_filtered_topk",
     "vector_multi_query_topk",
+    "dedup_ngram_containment",
+    "corpus_ngram_novelty",
+    "event_path_topk",
 ]
 
 

@@ -262,8 +262,11 @@ def jaccard_pairs(
     max_df: int | None = None,
     max_df_frac: float | None = 0.001,
     broadcast_sizes_max_docs: int = 2_000_000,
+    _score: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
+    (`_score` is internal — `containment_pairs` reuses this plan with
+    the |A∩B| / min(|A|,|B|) scoring instead.)
 
     max_df drops shingles present in more than max_df documents before
     the self-join — the skew guard that keeps the join linear in the
@@ -370,19 +373,54 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    score_col = (
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+        if _score == "jaccard"
+        else F.col("n_common")
+        / F.least("size_a", "size_b").cast("double")
+    )
     out = (
         inter.join(hint(sa), "id_a")
         .join(hint(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
-                "double"
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn(_score, score_col)
+        .filter(F.col(_score) >= threshold)
     )
-    return out.select("id_a", "id_b", "n_common", "jaccard")
+    return out.select("id_a", "id_b", "n_common", _score)
+
+
+def containment_pairs(
+    df: DataFrame,
+    content: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.001,
+    broadcast_sizes_max_docs: int = 2_000_000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: score = |A∩B| / min(|A|, |B|)
+    (Broder's containment, symmetrized by the smaller set). The dedup
+    primitive Jaccard structurally misses: a 100-word quote inside a
+    10k-word page has Jaccard ~0.01 but containment ~1.0 — this is how
+    quote/excerpt/subset duplication is caught in corpus curation.
+
+    Same plan, guards, and cost model as `jaccard_pairs` (one shingle
+    exchange, fractional df cap, per-bucket i<j pairs, pair-sized size
+    join with the gated broadcast) — only the final score differs; see
+    jaccard_pairs' docstring for the measured plan rationale.
+    Returns (id_a, id_b, n_common, containment >= threshold)."""
+    return jaccard_pairs(
+        df,
+        content,
+        id_col,
+        n,
+        threshold=threshold,
+        max_df=max_df,
+        max_df_frac=max_df_frac,
+        broadcast_sizes_max_docs=broadcast_sizes_max_docs,
+        _score="containment",
+    )
 
 
 def embedding_neardup_pairs(

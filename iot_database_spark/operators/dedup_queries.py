@@ -563,3 +563,95 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("agree").cast("int").alias("max_agreement"),
         (F.max("agree") >= K // 2).alias("contaminated"),
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    dsh AS (SELECT DISTINCT id, s FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM dsh GROUP BY id),
+    cap AS (SELECT GREATEST(2, CAST(FLOOR(
+                CAST(0.001 AS DOUBLE) * COUNT(*)) AS BIGINT)) AS c
+            FROM words),
+    dfreq AS (SELECT s, COUNT(DISTINCT id) AS df_count FROM dsh GROUP BY s),
+    rare AS (SELECT dsh.id, dsh.s FROM dsh JOIN dfreq ON dsh.s = dfreq.s
+             WHERE dfreq.df_count <= (SELECT c FROM cap)),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           i.n_common / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE)
+               AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_common / CAST(LEAST(sa.set_size, sb.set_size) AS DOUBLE) >= 0.05
+"""
+
+
+@register("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram CONTAINMENT pairs (|A∩B| / min set size >=
+    0.05 on the synthetic corpus): the quote/excerpt/subset-duplication
+    detector Jaccard structurally misses when document sizes differ
+    wildly (a fully-quoted paragraph inside a book scores ~1.0 here,
+    ~0.01 on Jaccard). Same one-exchange plan, fractional df guard, and
+    gated size broadcast as dedup_ngram_jaccard
+    (operators/dedup.containment_pairs)."""
+    return dd.containment_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    dsh AS (SELECT DISTINCT id, s FROM sh),
+    firsts AS (SELECT s, MIN(id) AS first_id FROM dsh GROUP BY s),
+    per_doc AS (
+        SELECT dsh.id,
+               COUNT(*) AS n_shingles,
+               COUNT(*) FILTER (f.first_id = dsh.id) AS n_novel
+        FROM dsh JOIN firsts f ON dsh.s = f.s
+        GROUP BY dsh.id
+    )
+    SELECT id AS doc_id, n_shingles, n_novel,
+           n_novel / CAST(n_shingles AS DOUBLE) AS novelty
+    FROM per_doc
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    3-gram shingles whose first corpus occurrence (min doc_id — the
+    deterministic stand-in for ingest order) is this document. The
+    data-curation dual of dedup: low novelty = mostly-recycled text
+    (boilerplate, syndication) even when no single pair crosses a
+    near-dup threshold; streaming-ingest pipelines score batches
+    against the seen-shingle set the same way.
+
+    Scale shape: ONE (shingle) exchange builds first-occurrence owners
+    (a groupBy MIN — partial-aggregatable), then the same exchange key
+    joins owners back onto the doc-shingle stream and one groupBy(doc)
+    folds the counts. String shingles here (not the xxhash64 trick of
+    jaccard_pairs) because the per-shingle MIN must match the oracle's
+    exactly — group keys ARE compared cross-engine via the counts."""
+    docs = _docs(spark, sf_dir)
+    dsh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(dd.shingles(F.col("text")))).alias("s"),
+    )
+    firsts = dsh.groupBy("s").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        dsh.join(firsts, "s")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_id") == F.col("id"), 1)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_shingles").cast("double")).alias("novelty"),
+    )

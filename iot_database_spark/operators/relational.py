@@ -591,6 +591,69 @@ _sql(
     """,
 )
 
+# Top-k session paths — the "what do users actually do" query product
+# analytics runs over every event stream (the sequence-mining dual of
+# event_funnel's fixed target order and event_transition_matrix's
+# single-step edges). Sessions are the same 30-min-gap segmentation as
+# event_sessionization; each session's first 5 event types join into a
+# '>'-delimited path (sort_array over (ts, event_id, type) structs — a
+# per-session ordered fold, never a corpus-global sort); path counting
+# is one hash groupBy and the top-20 is TakeOrderedAndProject with a
+# path-string tie-break so the LIMIT boundary is engine-exact.
+_sql(
+    "event_path_topk",
+    """
+    WITH marked AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               event_type, ts,
+               CASE WHEN timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+                         - LAG(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)) OVER w
+                         > 1800000000 OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT)
+                     ORDER BY ts, CAST(event_id AS BIGINT))
+    ), sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    ), paths AS (
+        SELECT user_id, session_no,
+               array_join(transform(
+                   slice(sort_array(collect_list(struct(ts, event_id, event_type))), 1, 5),
+                   x -> x.event_type), '>') AS path
+        FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    oracle="""
+    WITH marked AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               event_type, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY CAST(user_id AS BIGINT)
+                     ORDER BY ts, CAST(event_id AS BIGINT))
+    ), sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        FROM marked
+    ), paths AS (
+        SELECT user_id, session_no,
+               array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+
 _sql(
     "exact_percentiles",
     """

@@ -45,19 +45,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (reds first, then never-graded, then oldest-green-first).
 #
 # Round-9 window (exactly 50 slots) — `python scripts/plan_rotation.py
-# --slots 50` output with ONE hand adjustment: the three LM-family
-# queries whose SEMANTICS changed this round (min_count=2 model pruning
-# — output values differ from their r8-graded form) are pulled forward
-# for immediate re-grading even though their r8 rows are the newest
-# greens; to make room the three youngest r7 greens at the window tail
-# (groupby_having, distinct_op, count_exists_minmax) wait for r10 (their
-# r7 evidence is 2 rounds old at r9 — still inside the 3-window limit).
-# Leads: the three never-graded r9 additions (continuous_slot14_digest,
-# vector_filtered_topk, vector_multi_query_topk), then the changed LM
-# trio, then the 38 r6-vintage greens whose evidence ages out next, then
-# the oldest r7 greens (q01_pricing_summary/global_agg join
-# groupby_having/distinct_op/count_exists_minmax in waiting for r10 —
-# all r7 evidence, 2 rounds old at r9). dedup_ngram_jaccard_absolute was
+# --slots 50` output with two hand adjustments: (a) the SIX never-graded
+# round-9 additions lead (continuous_slot14_digest, vector_filtered_topk,
+# vector_multi_query_topk, dedup_ngram_containment, corpus_ngram_novelty,
+# event_path_topk), and (b) the three LM-family queries whose SEMANTICS
+# changed this round (min_count=2 model pruning — output values differ
+# from their r8-graded form) are pulled forward for immediate re-grading
+# even though their r8 rows are the newest greens. Then the 38 r6-vintage
+# greens whose evidence ages out next, then the four oldest r7 greens;
+# the other eight r7 greens (sort_limit_offset, take_last,
+# multi_key_sort, q01_pricing_summary, global_agg, groupby_having,
+# distinct_op, count_exists_minmax) wait for r10 — all r7 evidence is 2
+# rounds old at r9, inside the 3-window limit (150 slots over r9-r11
+# still cover the 143 registered queries). dedup_ngram_jaccard_absolute was
 # RETIRED from the registry this round (r8 verdict #6 — the
 # known-quadratic compat variant; library function + local parity test
 # remain, see COVERAGE.md "Driver-evidence policy").
@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     "continuous_slot14_digest",  # never graded
     "vector_filtered_topk",  # never graded (new r9: pre-filter pushdown ANN)
     "vector_multi_query_topk",  # never graded (new r9: batched one-scan search)
+    "dedup_ngram_containment",  # never graded (new r9: asymmetric containment)
+    "corpus_ngram_novelty",  # never graded (new r9: first-occurrence novelty)
+    "event_path_topk",  # never graded (new r9: top-k session paths)
     "text_ngram_lm_score",  # r8 green, SEMANTICS CHANGED r9 (min_count pruning) - must re-grade
     "text_trigram_lm_score",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
     "corpus_ccnet_buckets",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
@@ -109,9 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "filter_in",  # r7 green
     "filter_like",  # r7 green
     "filter_between_not",  # r7 green
-    "sort_limit_offset",  # r7 green
-    "take_last",  # r7 green
-    "multi_key_sort",  # r7 green
 )
 
 
