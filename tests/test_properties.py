@@ -662,3 +662,41 @@ def test_int8_quantization_bounds_property(vec):
         half_step = scale / 254.0
         for v, c in zip(vec, q):
             assert abs(v - c * scale / 127.0) <= half_step + 1e-9
+
+
+# -- incremental chain append ≡ full rebuild --------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from("xxyz"), min_size=1, max_size=10),
+    cuts=st.sets(st.integers(min_value=1, max_value=9), max_size=3),
+)
+def test_chain_incremental_equals_rebuild_property(seq, cuts, _spark):
+    """For ANY block sequence (duplicate-heavy alphabet on purpose) and
+    ANY contiguous batch split, folding batch-by-batch from the heads
+    seed must equal the full append_chain(dedup_consecutive(all))
+    rebuild — the r9 O(batch) write path's correctness contract."""
+    import datetime as dt
+
+    from iot_database_spark.operators import blockchain as bc
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), s) for i, s in enumerate(seq)]
+    bounds = [0] + sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    schema = "guid string, ts timestamp, data string"
+    chain = _spark.createDataFrame(
+        [], schema + ", prev_hash string, hash string"
+    )
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        new = bc.append_chain_incremental(
+            _spark.createDataFrame(rows[lo:hi], schema), bc.chain_heads(chain)
+        )
+        chain = chain.unionByName(new)
+    full = bc.append_chain(
+        bc.dedup_consecutive(_spark.createDataFrame(rows, schema))
+    )
+    got = sorted(map(tuple, chain.collect()))
+    want = sorted(map(tuple, full.select(*chain.columns).collect()))
+    assert got == want
