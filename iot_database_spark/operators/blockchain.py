@@ -144,6 +144,15 @@ def append_chain_incremental(
     block drops when its data equals the head's (the cross-batch
     consecutive-dup case). Output is ONLY the newly chained rows —
     append them; nothing existing is rewritten.
+
+    RETRO rows — (ts, data) NOT strictly after the head — are DROPPED
+    before the fold (r9 self-review): appending one would sort before
+    the head in verify_chain's (ts, data) ordering and silently break
+    the linkage of a chain whose every hash is genuinely intact. A
+    chain orders by time by construction (the reference's chain is
+    arrival-ordered and never reorders either, Blockchain/
+    BlockCollection.cs:52-68); callers wanting a retro-capable history
+    rebuild use the full `append_chain` path.
     """
     others = [c for c in new_blocks.columns if c not in (key, ts, data)]
     item = F.struct(F.col(ts), F.col(data), *[F.col(c) for c in others])
@@ -154,6 +163,7 @@ def append_chain_incremental(
         key,
         F.col("hash").alias("_seed_hash"),
         F.col(data).cast("string").alias("_seed_data"),
+        F.col(ts).alias("_seed_ts"),
     )
     # heads is one row per key — small next to any corpus; broadcast so
     # the batch never shuffles (gated by Spark's own autoBroadcast
@@ -161,7 +171,16 @@ def append_chain_incremental(
     # 100 TB is device-count-sized, the canonical broadcast dim)
     seeded = g.join(F.broadcast(seed), key, "left").select(
         key,
-        "_items",
+        # retro guard (docstring): keep only items strictly after the
+        # head in (ts, data) order; keys without a head keep everything
+        F.when(
+            F.col("_seed_ts").isNull(), F.col("_items")
+        ).otherwise(
+            F.expr(
+                f"filter(_items, x -> x.{ts} > _seed_ts OR "
+                f"(x.{ts} = _seed_ts AND cast(x.{data} as string) > _seed_data))"
+            )
+        ).alias("_items"),
         F.coalesce("_seed_hash", F.lit("")).alias("_seed_hash"),
         F.col("_seed_data"),
     )

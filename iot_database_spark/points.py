@@ -103,7 +103,12 @@ class PointStore:
            BlockChain flag -> chain_blocks (chained per guid)
 
         Returns counts per sink. Rejected rows are dropped silently like
-        the reference's background drain (it logs and continues).
+        the reference's background drain (it logs and continues). Chain
+        sink only: RETRO rows — (ts, value) not strictly after that
+        guid's current chain head — are dropped from the chain (they
+        still land in point_writes/ts_writes); appending one would
+        break the time-ordered verify linkage (see
+        blockchain.append_chain_incremental).
         """
         # pin the batch rows before any sink write: a batch derived from a
         # query over this store's own tables (e.g. a continuous-query

@@ -207,6 +207,31 @@ def test_chain_append_is_batch_sized(store, spark):
     assert all(r["valid"] for r in store.verify_chains().collect())
 
 
+def test_chain_retro_write_dropped_not_corrupting(store, spark):
+    """A retro-dated chain write (ts before the current head) must be
+    dropped from the chain sink — appending it would sort before the
+    head in verify_chain's (ts, data) order and break the linkage of a
+    hash-intact chain (r9 self-review). It still lands in the write
+    log; the chain stays valid and unchanged."""
+    store.write_batch(
+        _batch(
+            spark,
+            [
+                ("chained", _ts("2024-01-01T01:00:00"), 15, "a"),
+                ("chained", _ts("2024-01-01T02:00:00"), 15, "b"),
+            ],
+        )
+    )
+    counts = store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T01:30:00"), 15, "retro")])
+    )
+    assert counts == {"writes": 1, "ts": 1, "chain": 0}
+    assert store.chain.count() == 2  # unchanged
+    assert all(r["valid"] for r in store.verify_chains().collect())
+    # the write log DID record it (only the chain sink filters)
+    assert store.writes.count() == 3
+
+
 def test_convert_point_rewrites_slots_and_effective_value(spark):
     """IotUnit.Convert parity: numeric slots 1-16 rewritten by the rule,
     priority-17 slot untouched, effective value recomputed, priority
