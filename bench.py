@@ -230,11 +230,17 @@ def main() -> None:
         # (e.g. the driver's own per-round invocation) must not erase
         # it (r8 verdict #2: an 81.5 s loaded run clobbered the 62.8 s
         # record). MIN-merge into the existing record; raw pass times
-        # always go to BENCH_last_run_local.json for freshness.
+        # always go to BENCH_last_run_local.json for freshness. A full
+        # run at a DIFFERENT sf (scale probes) keeps its own per-sf
+        # record file instead of displacing the canonical sf0.1 one.
         (full_path.parent / "BENCH_last_run_local.json").write_text(
             json.dumps(full, indent=1) + "\n"
         )
-        full = merge_record(_load_record(full_path), full)
+        existing = _load_record(full_path)
+        if existing and existing.get("sf") != full["sf"]:
+            full_path = full_path.parent / f"BENCH_full_local_sf{full['sf']}.json"
+            existing = _load_record(full_path)
+        full = merge_record(existing, full)
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
 

@@ -390,7 +390,6 @@ def trim_repeated_windows(
     text: str = "text",
     n: int = 5,
     keep_cols: tuple[str, ...] = (),
-    linear_above_words: int = 10_000,
 ) -> DataFrame:
     """Within-document repeated-passage removal: chunk the word stream
     into fixed n-word windows (stride n) and keep only the FIRST
@@ -399,25 +398,25 @@ def trim_repeated_windows(
     ACROSS documents) and of the Gopher repetition *filters* (which
     drop whole documents; this repairs them instead).
 
-    Scale shape: per-row HOFs for ordinary documents — zero shuffles,
-    zero Python. The order-preserving distinct is a filter(windows,
-    (x, i) -> array_position(prefix, x) == 0), O(w^2/n^2) per document
-    in window comparisons; for w = 10k words at n = 5 that is ~4M
-    short string compares per pathological doc — acceptable map-side
-    work. Documents LONGER than `linear_above_words` words
-    auto-switch to the posexplode -> groupBy(doc, window) -> min(pos)
-    -> re-sort variant (r9 advice: one adversarial book-length doc
-    could otherwise stall an executor task indefinitely) — it trades
-    one bounded exchange (long docs only) for linear per-doc cost,
-    and produces byte-identical output (first-occurrence windows in
-    original order; tested both ways in test_curation_round8.py).
+    Scale shape: entirely per-row HOFs — zero shuffles, zero Python,
+    ONE scan. The order-preserving distinct is sort-based and
+    O(w log w) per document at ANY document length: zip each window
+    with its position, array_sort by (window, position), keep entries
+    whose sorted predecessor holds a different window (= the first
+    occurrence of each distinct window), re-sort the survivors by
+    position. Round-9 history: the original prefix-scan
+    filter(array_position) form was O(w^2/n^2) per doc — an
+    adversarial book-length doc could stall an executor task (r9
+    advice) — and the first fix (union with a posexplode/groupBy
+    branch for long docs) scanned the corpus twice, measured ~2x at
+    sf1; the sorted form replaces both with per-row work that is never
+    worse than the sort.
 
     Returns (doc_id, n_windows, n_kept, trimmed_md5[, keep_cols...]):
     counts plus an md5 digest of the trimmed text (space-rejoined), so
     the full trimmed body never has to travel for correctness checking;
     `keep_cols` passthrough lets pipeline composition avoid a re-join
-    on doc_id (the op is map-side for ordinary docs, so carrying
-    columns is free)."""
+    on doc_id (the op is map-side, so carrying columns is free)."""
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.coalesce(F.col(text), F.lit("")), " ").alias("_ws"),
@@ -429,43 +428,37 @@ def trim_repeated_windows(
             f"transform(sequence(0, int(ceil(size(_ws) / {n}.0)) - 1), "
             f"i -> array_join(slice(_ws, i * {n} + 1, {n}), ' '))"
         ),
-    )
-    out_cols = ["doc_id", "n_windows", "n_kept", "trimmed_md5", *keep_cols]
-    short = d.filter(F.size("_ws") <= linear_above_words).withColumn(
+    ).withColumn(
+        # (window, position) sorted by window then position: the first
+        # occurrence of each distinct window is exactly the entry whose
+        # predecessor (1-based element_at(_srt, j) at 0-based index j)
+        # carries a different window
+        "_srt",
+        F.expr(
+            "array_sort(transform(_wins, (x, i) -> named_struct('w', x, 'i', i)))"
+        ),
+    ).withColumn(
         "_kept",
-        F.expr("filter(_wins, (x, i) -> array_position(slice(_wins, 1, i), x) = 0)"),
-    ).select(
+        F.expr(
+            """
+            transform(
+                array_sort(
+                    transform(
+                        filter(_srt, (x, j) -> j = 0 OR element_at(_srt, j).w != x.w),
+                        x -> named_struct('i', x.i, 'w', x.w)),
+                    (a, b) -> CASE WHEN a.i < b.i THEN -1
+                                   WHEN a.i > b.i THEN 1 ELSE 0 END),
+                x -> x.w)
+            """
+        ),
+    )
+    return d.select(
         "doc_id",
         F.size("_wins").cast("int").alias("n_windows"),
         F.size("_kept").cast("int").alias("n_kept"),
         F.md5(F.array_join("_kept", " ")).alias("trimmed_md5"),
         *keep_cols,
     )
-    long_d = d.filter(F.size("_ws") > linear_above_words)
-    firsts = (
-        long_d.select("doc_id", F.posexplode("_wins").alias("_pos", "_win"))
-        .groupBy("doc_id", "_win")
-        .agg(F.min("_pos").alias("_pos"))
-    )
-    kept = firsts.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("_pos", "_win"))).alias("_ks")
-    )
-    long_out = (
-        long_d.select(
-            "doc_id", F.size("_wins").cast("int").alias("n_windows"), *keep_cols
-        )
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_windows",
-            F.size("_ks").cast("int").alias("n_kept"),
-            F.md5(
-                F.array_join(F.expr("transform(_ks, k -> k._win)"), " ")
-            ).alias("trimmed_md5"),
-            *keep_cols,
-        )
-    )
-    return short.unionByName(long_out.select(*out_cols))
 
 
 def zipf_stats(

@@ -37,38 +37,42 @@ def test_trim_hand_computed(spark):
 
 
 def test_trim_is_shuffle_free_no_python(spark, smoke_dir):
-    """Ordinary documents ride the shuffle-free HOF branch; the plan's
-    only exchanges belong to the book-length escape hatch (the
-    posexplode/groupBy/min(pos) branch that bounds per-doc cost — r9
-    advice), which carries ONLY >linear_above_words docs. Constant
-    small exchange count, zero Python either way."""
+    """The sort-based order-preserving distinct is per-row HOF work at
+    any document length (O(w log w) — the r9 fix for the quadratic
+    prefix scan): zero exchanges, zero Python."""
     df = _Q["text_repetition_trim"](spark, smoke_dir)
-    assert audit.count_exchanges(df) <= 4  # long-doc branch only
+    assert audit.count_exchanges(df) == 0
     assert not audit.uses_python_udf(df)
 
 
-def test_trim_linear_path_matches_hof_path(spark):
-    """The auto-switch must be invisible in the output: force every doc
-    down each branch and require identical rows (including keep_cols
-    passthrough and the boundary doc landing exactly AT the
-    threshold)."""
-    docs = spark.createDataFrame(
-        [
-            (1, "a b c d a b e", "en"),
-            (2, "x y z", "de"),
-            (3, "p q p q p q", "fr"),
-            (4, " ".join(["w1 w2"] * 50), "en"),  # heavy repeats
-        ],
-        "doc_id bigint, text string, lang string",
-    )
-    kw = dict(n=2, keep_cols=("lang",))
-    hof = cu.trim_repeated_windows(docs, linear_above_words=10**9, **kw)
-    lin = cu.trim_repeated_windows(docs, linear_above_words=0, **kw)
-    assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, lin.collect()))
-    # threshold boundary: doc with exactly `linear_above_words` words
-    # stays on the HOF side, one more flips — outputs still agree
-    mixed = cu.trim_repeated_windows(docs, linear_above_words=3, **kw)
-    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, hof.collect()))
+def test_trim_matches_python_reference(spark):
+    """The sorted first-occurrence form must equal the obvious Python
+    order-preserving distinct — including a book-length doc (the input
+    class that stalled the old quadratic form) and keep_cols
+    passthrough."""
+    import hashlib as hl
+
+    rows = [
+        (1, "a b c d a b e", "en"),
+        (2, "x y z", "de"),
+        (3, "p q p q p q", "fr"),
+        (4, " ".join(["w1 w2"] * 5000), "en"),  # 10k words, one window
+        (5, " ".join(f"u{i % 97} v{i % 89}" for i in range(5000)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in cu.trim_repeated_windows(docs, n=2, keep_cols=("lang",)).collect()
+    }
+    for doc_id, text, lang in rows:
+        ws = text.split(" ")
+        wins = [" ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)]
+        kept = list(dict.fromkeys(wins))
+        r = got[doc_id]
+        assert (r["n_windows"], r["n_kept"], r["lang"]) == (
+            len(wins), len(kept), lang,
+        )
+        assert r["trimmed_md5"] == hl.md5(" ".join(kept).encode()).hexdigest()
 
 
 def test_zipf_hand_computed(spark):
