@@ -249,6 +249,11 @@ _SF1_SUBSET = (
     # round-8 additions: session-window streaming + LM scoring
     "stream_sessionization",
     "text_ngram_lm_score",
+    # round-9 additions: pruned-LM path, batched vector search, shingle
+    # novelty, session paths
+    "vector_multi_query_topk",
+    "corpus_ngram_novelty",
+    "event_path_topk",
 )
 
 
