@@ -240,7 +240,12 @@ def main() -> None:
         if existing and existing.get("sf") != full["sf"]:
             full_path = full_path.parent / f"BENCH_full_local_sf{full['sf']}.json"
             existing = _load_record(full_path)
-        full = merge_record(existing, full)
+        reset = {
+            n.strip()
+            for n in os.environ.get("SPARK_GRAFT_RESET", "").split(",")
+            if n.strip()
+        }
+        full = merge_record(existing, full, reset)
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
 
@@ -252,16 +257,25 @@ def _load_record(path: Path) -> dict | None:
         return None
 
 
-def merge_record(old: dict | None, new: dict) -> dict:
+def merge_record(old: dict | None, new: dict, reset: set | None = None) -> dict:
     """Per-query min-merge of a fresh full run into the committed
     record. Same-sf only; queries no longer in the fresh run's headline
     set drop (retirements must not linger as phantom baseline entries);
-    queries new to this run enter at their fresh time."""
+    queries new to this run enter at their fresh time.
+
+    `reset` (or comma-separated $SPARK_GRAFT_RESET at the CLI): queries
+    whose IMPLEMENTATION changed since the record was taken — their old
+    minima describe code that no longer exists, so they take the fresh
+    time instead of the min (min-merge is only honest while the code
+    under the old number is the code being measured)."""
     if not old or old.get("sf") != new.get("sf"):
         return new
+    reset = reset or set()
     oldq = old.get("queries") or {}
     merged = {
-        name: min(t, oldq[name]) if name in oldq else t
+        name: t
+        if name in reset or name not in oldq
+        else min(t, oldq[name])
         for name, t in new["queries"].items()
     }
     out = dict(new)

@@ -78,3 +78,14 @@ def test_merge_record_keeps_quiet_host_minima():
     # different sf, or no prior record: fresh run stands as-is
     assert bench.merge_record(None, loaded_run) is loaded_run
     assert bench.merge_record({**old, "sf": 1.0}, loaded_run) is loaded_run
+
+
+def test_merge_record_resets_changed_queries():
+    """A query whose implementation changed takes the FRESH time, not
+    the stale min from code that no longer exists."""
+    old = {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0}, "value": 3.0,
+           "n_queries": 2, "metric": "m", "unit": "sec"}
+    run = {"sf": 0.1, "queries": {"a": 1.5, "b": 1.9}, "value": 3.4,
+           "n_queries": 2, "metric": "m", "unit": "sec"}
+    merged = bench.merge_record(old, run, reset={"a"})
+    assert merged["queries"] == {"a": 1.5, "b": 1.9}
