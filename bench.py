@@ -140,6 +140,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "corpus_ngram_novelty",
     "event_path_topk",
+    "decontaminate_eval_leak_report",
 ]
 
 

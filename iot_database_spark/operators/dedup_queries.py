@@ -458,7 +458,7 @@ def _decon_band_selects_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-_DECON_MH_ORACLE = f"""
+_DECON_MH_SCORED = f"""
     WITH {_DUCK_SHINGLES},
     mh AS (
         SELECT id, {_minhash_cols_sql()}
@@ -479,6 +479,9 @@ _DECON_MH_ORACLE = f"""
         JOIN mh x ON x.id = p.tid
         JOIN mh y ON y.id = p.eid
     )
+"""
+
+_DECON_MH_ORACLE = f"""{_DECON_MH_SCORED}
     SELECT tid AS doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_eval_candidates,
            CAST(MAX(agree) AS INTEGER) AS max_agreement,
@@ -487,34 +490,22 @@ _DECON_MH_ORACLE = f"""
     GROUP BY tid
 """
 
+_DECON_LEAK_ORACLE = f"""{_DECON_MH_SCORED}
+    SELECT eid AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_candidates,
+           CAST(MAX(agree) AS INTEGER) AS max_agreement,
+           MAX(agree) >= {K // 2} AS leaked
+    FROM scored
+    GROUP BY eid
+"""
 
-@register("decontaminate_minhash", oracle=_DECON_MH_ORACLE)
-def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FUZZY benchmark decontamination — the MinHash sibling of
-    `decontaminate_ngram_overlap` (which needs an EXACT shared 8-gram;
-    a paraphrased eval answer slips through it, but still collides in
-    MinHash band space). Training docs (doc_id % 50 != 0) are flagged
-    when any eval doc (doc_id % 50 == 0) lands in a shared LSH band
-    bucket; the signature-position agreement (0..16, >= 8 ~ estimated
-    Jaccard >= 0.5) grades HOW contaminated.
 
-    Scale shape: the eval slice here is doc_id %% 50 == 0 — 2%% of the
-    corpus, which GROWS with the data — so the broadcast hint is
-    size-gated like every other gated broadcast in this repo (one
-    count() scalar against _EVAL_BROADCAST_MAX_DOCS): under the gate
-    the training corpus is never shuffled at all; above it the join is
-    left to Catalyst/AQE, which shuffle-joins on (band, bucket) —
-    still one corpus exchange. The broadcast side is the SLIM
-    (eid, band, bucket) table; the 16-slot signatures stay out of pair
-    generation entirely — candidate pairs dedup per (tid, eid) FIRST,
-    then the per-eval-doc signature table (one row per eval doc) joins
-    back onto the pair-sized frame (r9 advice fix: the old plan
-    broadcast esig with every banded row — 400+ MB at the bound). A
-    real deployment passes an actual bounded held-out set, which
-    always gates in. Per-pair agreement is a zip_with fold over two
-    16-slot arrays; the only other exchange is the final per-train-doc
-    groupBy. Same seeded-md5/XOR machinery as `dedup_minhash_lsh`, so
-    the DuckDB text stays exactly symmetric."""
+def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate scoring for the two decontamination reports:
+    (tid, eid, agree) — one row per colliding (train, eval) pair with
+    the 0..16 signature agreement. See decontaminate_minhash for the
+    full scale-shape story (this is its plan verbatim up to the final
+    aggregation)."""
     docs = _docs(spark, sf_dir)
     banded = docs.select(
         F.col("doc_id").alias("id"),
@@ -558,10 +549,58 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("agree"),
     )
-    return scored.groupBy(F.col("tid").alias("doc_id")).agg(
+    return scored
+
+
+@register("decontaminate_minhash", oracle=_DECON_MH_ORACLE)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash sibling of
+    `decontaminate_ngram_overlap` (which needs an EXACT shared 8-gram;
+    a paraphrased eval answer slips through it, but still collides in
+    MinHash band space). Training docs (doc_id % 50 != 0) are flagged
+    when any eval doc (doc_id % 50 == 0) lands in a shared LSH band
+    bucket; the signature-position agreement (0..16, >= 8 ~ estimated
+    Jaccard >= 0.5) grades HOW contaminated.
+
+    Scale shape: the eval slice here is doc_id %% 50 == 0 — 2%% of the
+    corpus, which GROWS with the data — so the broadcast hint is
+    size-gated like every other gated broadcast in this repo (one
+    count() scalar against _EVAL_BROADCAST_MAX_DOCS): under the gate
+    the training corpus is never shuffled at all; above it the join is
+    left to Catalyst/AQE, which shuffle-joins on (band, bucket) —
+    still one corpus exchange. The broadcast side is the SLIM
+    (eid, band, bucket) table; the 16-slot signatures stay out of pair
+    generation entirely — candidate pairs dedup per (tid, eid) FIRST,
+    then the per-eval-doc signature table (one row per eval doc) joins
+    back onto the pair-sized frame (r9 advice fix: the old plan
+    broadcast esig with every banded row — 400+ MB at the bound). A
+    real deployment passes an actual bounded held-out set, which
+    always gates in. Per-pair agreement is a zip_with fold over two
+    16-slot arrays; the only other exchange is the final per-train-doc
+    groupBy. Same seeded-md5/XOR machinery as `dedup_minhash_lsh`, so
+    the DuckDB text stays exactly symmetric."""
+    return _decon_scored(spark, sf_dir).groupBy(F.col("tid").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_candidates"),
         F.max("agree").cast("int").alias("max_agreement"),
         (F.max("agree") >= K // 2).alias("contaminated"),
+    )
+
+
+@register("decontaminate_eval_leak_report", oracle=_DECON_LEAK_ORACLE)
+def decontaminate_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-side view of decontamination — the report a curation
+    team actually reads first: per held-out document, how many training
+    docs collide with it and how badly (a benchmark item with hundreds
+    of high-agreement training collisions is COMPROMISED and should be
+    dropped from the eval, not just scrubbed from training). Same
+    candidate machinery as decontaminate_minhash (shared _decon_scored
+    plan — one corpus exchange, slim gated broadcasts), aggregated per
+    eval doc instead of per training doc; output is eval-set-sized,
+    i.e. bounded by the held-out set at any corpus scale."""
+    return _decon_scored(spark, sf_dir).groupBy(F.col("eid").alias("eval_doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_candidates"),
+        F.max("agree").cast("int").alias("max_agreement"),
+        (F.max("agree") >= K // 2).alias("leaked"),
     )
 
 
