@@ -141,6 +141,7 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "event_path_topk",
     "decontaminate_eval_leak_report",
+    "ts_cusum_drift",
 ]
 
 

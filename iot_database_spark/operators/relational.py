@@ -591,6 +591,78 @@ _sql(
     """,
 )
 
+# CUSUM drift detection — the classic sequential change detector
+# (Page 1954), made WINDOW-expressible via the prefix identity
+# s_i = P_i - min(0, min_{j<=i} P_j) with P = running sum of
+# (value - k): the max(0, s+x-k) reset recurrence never needs a
+# sequential fold, so BOTH engines compute it with two stacked
+# windows per series — the scale-correct Spark shape (no collect_list,
+# per-series external sort only) and, cross-engine, integer-micro
+# arithmetic end to end (floor-scaled values, exact BIGINT sums; the
+# r9 prototype showed DuckDB struct-accumulator list_reduce folds are
+# NOT a safe oracle vehicle, the window identity sidesteps them).
+# k = 60 (above the ~49.6 corpus mean, so the statistic decays between
+# genuine run-ups), alarm threshold h = 200, both in micro units.
+_sql(
+    "ts_cusum_drift",
+    """
+    WITH pts AS (
+        SELECT CAST(user_id AS BIGINT) AS series,
+               CAST(event_id AS BIGINT) AS event_id,
+               ts,
+               CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+                   - 60000000 AS d
+        FROM events
+    ), prefixed AS (
+        SELECT series, event_id, ts,
+               SUM(d) OVER (PARTITION BY series ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM pts
+    ), cusum AS (
+        SELECT series,
+               p - LEAST(MIN(p) OVER (PARTITION BY series ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   CAST(0 AS BIGINT)) AS s
+        FROM prefixed
+    )
+    SELECT series,
+           COUNT(*) AS n_points,
+           SUM(CASE WHEN s > 200000000 THEN 1 ELSE 0 END) AS n_alarms,
+           MAX(s) AS max_cusum_micro
+    FROM cusum GROUP BY series
+    """,
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(user_id AS BIGINT) AS series,
+               CAST(event_id AS BIGINT) AS event_id,
+               ts,
+               CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+                   - 60000000 AS d
+        FROM events
+    ), prefixed AS (
+        -- DuckDB windowed SUM(BIGINT) yields HUGEINT; pin to BIGINT so
+        -- the driver value-hash matches Spark
+        SELECT series, event_id, ts,
+               CAST(SUM(d) OVER (PARTITION BY series ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+        FROM pts
+    ), cusum AS (
+        SELECT series,
+               p - LEAST(MIN(p) OVER (PARTITION BY series ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   CAST(0 AS BIGINT)) AS s
+        FROM prefixed
+    )
+    SELECT series,
+           COUNT(*) AS n_points,
+           CAST(SUM(CASE WHEN s > 200000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           MAX(s) AS max_cusum_micro
+    FROM cusum GROUP BY series
+    """,
+)
+
 # Top-k session paths — the "what do users actually do" query product
 # analytics runs over every event stream (the sequence-mining dual of
 # event_funnel's fixed target order and event_transition_matrix's

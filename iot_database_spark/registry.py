@@ -45,10 +45,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (reds first, then never-graded, then oldest-green-first).
 #
 # Round-9 window (exactly 50 slots) — `python scripts/plan_rotation.py
-# --slots 50` output with two hand adjustments: (a) the SEVEN never-graded
+# --slots 50` output with two hand adjustments: (a) the EIGHT never-graded
 # round-9 additions lead (continuous_slot14_digest, vector_filtered_topk,
 # vector_multi_query_topk, dedup_ngram_containment, corpus_ngram_novelty,
-# event_path_topk, decontaminate_eval_leak_report), and (b) the three LM-family queries whose SEMANTICS
+# event_path_topk, decontaminate_eval_leak_report, ts_cusum_drift), and (b) the three LM-family queries whose SEMANTICS
 # changed this round (min_count=2 model pruning — output values differ
 # from their r8-graded form) are pulled forward for immediate re-grading
 # even though their r8 rows are the newest greens. Then the 38 r6-vintage
@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_ngram_novelty",  # never graded (new r9: first-occurrence novelty)
     "event_path_topk",  # never graded (new r9: top-k session paths)
     "decontaminate_eval_leak_report",  # never graded (new r9: eval-side view)
+    "ts_cusum_drift",  # never graded (new r9: windowed CUSUM change detection)
     "text_ngram_lm_score",  # r8 green, SEMANTICS CHANGED r9 (min_count pruning) - must re-grade
     "text_trigram_lm_score",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
     "corpus_ccnet_buckets",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
@@ -111,7 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "fk_cascade_digest",  # r6 green
     "scan_filter_project",  # r7 green
     "filter_in",  # r7 green
-    "filter_like",  # r7 green
 )
 
 
