@@ -446,6 +446,21 @@ DECON_BANDS = 16
 # decides the join strategy.
 _EVAL_BROADCAST_MAX_DOCS = 400_000 // DECON_BANDS
 
+# Band-bucket width cap (r9 verdict #1) — the same skew guard the
+# near-dup path carries (dedup.lsh_candidate_pairs max_bucket): a
+# (band, bucket) shared by more than this many documents (train + eval
+# combined) is a DEGENERATE band — boilerplate/low-entropy content that
+# collides with everything — and generating its train x eval cross
+# product grows candidate pairs super-linearly (measured 8.8x for a
+# 3.33x corpus step at sf10 before the cap). Dropping such buckets
+# bounds total candidate pairs by cap * 16 * |eval|, i.e. LINEAR in the
+# held-out set at any corpus scale. Recall trade (documented like
+# dedup_ngram_jaccard_capped): a contaminated pair detected ONLY
+# through a >cap bucket is missed — but a band that wide carries no
+# targeted signal (it matches thousands of docs indiscriminately), and
+# any real overlap still collides in the other 15 bands.
+DECON_MAX_BUCKET = 4096
+
 
 def _decon_band_selects_sql() -> str:
     rpb = K // DECON_BANDS
@@ -465,11 +480,19 @@ _DECON_MH_SCORED = f"""
         FROM sh GROUP BY id
     ),
     bands AS ({_decon_band_selects_sql()}),
+    wide AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING COUNT(*) > {DECON_MAX_BUCKET}
+    ),
     pairs AS (
         SELECT DISTINCT a.id AS tid, b.id AS eid
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
         WHERE a.id % 50 <> 0 AND b.id % 50 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM wide w
+              WHERE w.band = a.band AND w.bucket = a.bucket
+          )
     ),
     scored AS (
         SELECT p.tid, p.eid,
@@ -505,7 +528,16 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tid, eid, agree) — one row per colliding (train, eval) pair with
     the 0..16 signature agreement. See decontaminate_minhash for the
     full scale-shape story (this is its plan verbatim up to the final
-    aggregation)."""
+    aggregation).
+
+    Degenerate (band, bucket) groups wider than DECON_MAX_BUCKET
+    members are dropped before pair generation (r9 verdict #1 — see the
+    constant's comment for the bound and the recall trade). The width
+    census is a partial-aggregated groupBy over slim (band, bucket)
+    keys — the exchange carries one partial count per distinct bucket
+    per input partition, not corpus rows — and only the (few, by
+    definition degenerate) over-cap buckets flow into the broadcast
+    anti-join that prunes the train side."""
     docs = _docs(spark, sf_dir)
     banded = docs.select(
         F.col("doc_id").alias("id"),
@@ -519,9 +551,18 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.sig").alias("sig"),
         F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
     )
+    wide = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > DECON_MAX_BUCKET)
+        .select("band", "bucket")
+    )
     train = banded.filter(~F.col("is_eval")).select(
         F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
     )
+    # pruning the TRAIN side alone kills every pair from a wide bucket
+    # (a pair needs both sides); the eval side needs no second anti-join
+    train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
     ev_buckets = banded.filter(F.col("is_eval")).select(
         F.col("id").alias("eid"), "band", "bucket"
     )
@@ -577,8 +618,11 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     real deployment passes an actual bounded held-out set, which
     always gates in. Per-pair agreement is a zip_with fold over two
     16-slot arrays; the only other exchange is the final per-train-doc
-    groupBy. Same seeded-md5/XOR machinery as `dedup_minhash_lsh`, so
-    the DuckDB text stays exactly symmetric."""
+    groupBy. Band buckets wider than DECON_MAX_BUCKET are dropped
+    before pair generation (r10: the skew guard the near-dup path
+    already had — bounds candidate pairs to cap * bands * |eval| at any
+    corpus scale; see _decon_scored). Same seeded-md5/XOR machinery as
+    `dedup_minhash_lsh`, so the DuckDB text stays exactly symmetric."""
     return _decon_scored(spark, sf_dir).groupBy(F.col("tid").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_candidates"),
         F.max("agree").cast("int").alias("max_agreement"),

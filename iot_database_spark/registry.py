@@ -44,74 +44,74 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-9 window (exactly 50 slots) — `python scripts/plan_rotation.py
-# --slots 50` output with two hand adjustments: (a) the EIGHT never-graded
-# round-9 additions lead (continuous_slot14_digest, vector_filtered_topk,
-# vector_multi_query_topk, dedup_ngram_containment, corpus_ngram_novelty,
-# event_path_topk, decontaminate_eval_leak_report, ts_cusum_drift), and (b) the three LM-family queries whose SEMANTICS
-# changed this round (min_count=2 model pruning — output values differ
-# from their r8-graded form) are pulled forward for immediate re-grading
-# even though their r8 rows are the newest greens. Then the 38 r6-vintage
-# greens whose evidence ages out next, then the four oldest r7 greens;
-# the other eight r7 greens (sort_limit_offset, take_last,
-# multi_key_sort, q01_pricing_summary, global_agg, groupby_having,
-# distinct_op, count_exists_minmax) wait for r10 — all r7 evidence is 2
-# rounds old at r9, inside the 3-window limit (150 slots over r9-r11
-# still cover the 143 registered queries). dedup_ngram_jaccard_absolute was
-# RETIRED from the registry this round (r8 verdict #6 — the
-# known-quadratic compat variant; library function + local parity test
-# remain, see COVERAGE.md "Driver-evidence policy").
+# Round-10 window (exactly 50 slots) — `python scripts/plan_rotation.py
+# --slots 50` output with one hand adjustment: the TWO decontamination
+# queries whose SEMANTICS changed this round (band-bucket width cap in
+# _decon_scored — r9 verdict #1; output values can differ from their
+# r9-graded form wherever a bucket exceeds the cap) are pulled forward
+# for immediate re-grading even though their r9 rows are the newest
+# greens. Then the 48 r7-vintage greens, whose evidence is 3 rounds old
+# at r10 grading — the window limit. That fills all 50 slots, so the two
+# oldest r8 greens the planner proposed (join_part_promo_monthly,
+# set_intersect) wait for r11 together with the other 45 r8 greens —
+# all r8 evidence is 2 rounds old at r10, inside the limit, and r11's
+# 50 slots cover all 47 with room to spare. (Historical note for window
+# planning, r9 advice: the r9 comment's "38 r6 greens / four oldest r7"
+# miscounted its own list — the r9 window actually held 37 r6-vintage
+# greens, the 38th aging r6 green being the RETIRED
+# dedup_ngram_jaccard_absolute, plus 2 r7 greens at the tail; the other
+# 48 r7 greens are exactly the ones leading below.)
 _PRIORITY: tuple[str, ...] = (
-    "continuous_slot14_digest",  # never graded
-    "vector_filtered_topk",  # never graded (new r9: pre-filter pushdown ANN)
-    "vector_multi_query_topk",  # never graded (new r9: batched one-scan search)
-    "dedup_ngram_containment",  # never graded (new r9: asymmetric containment)
-    "corpus_ngram_novelty",  # never graded (new r9: first-occurrence novelty)
-    "event_path_topk",  # never graded (new r9: top-k session paths)
-    "decontaminate_eval_leak_report",  # never graded (new r9: eval-side view)
-    "ts_cusum_drift",  # never graded (new r9: windowed CUSUM change detection)
-    "text_ngram_lm_score",  # r8 green, SEMANTICS CHANGED r9 (min_count pruning) - must re-grade
-    "text_trigram_lm_score",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
-    "corpus_ccnet_buckets",  # r8 green, SEMANTICS CHANGED r9 - must re-grade
-    "conditional_cast",  # r6 green
-    "array_higher_order",  # r6 green
-    "try_cast_predicates",  # r6 green
-    "sha256_hash",  # r6 green
-    "map_functions",  # r6 green
-    "iot_password_hash",  # r6 green
-    "unit_convert_bulk",  # r6 green
-    "cagg_incremental_refresh",  # r6 green
-    "ts_range_join",  # r6 green
-    "ts_ewma_smooth",  # r6 green
-    "ts_anomaly_mad",  # r6 green
-    "ts_threshold_alerts",  # r6 green
-    "chain_verify",  # r6 green
-    "vector_l2_radius",  # r6 green
-    "dedup_minhash_lsh",  # r6 green
-    "dedup_ngram_jaccard",  # r6 green
-    "dedup_ngram_jaccard_capped",  # r6 green
-    "dedup_cluster_assign",  # r6 green
-    "dedup_repeated_ngrams",  # r6 green
-    "dedup_fuzzy_name_match",  # r6 green
-    "text_chunk_windows",  # r6 green
-    "corpus_train_val_test_split",  # r6 green
-    "text_strip_html",  # r6 green
-    "text_bpe_token_count_fixed",  # r6 green
-    "corpus_mixture_sample",  # r6 green
-    "heavy_hitter_ngrams",  # r6 green
-    "ann_lsh_cosine",  # r6 green
-    "text_quality_classifier",  # r6 green
-    "zorder_key_events",  # r6 green
-    "text_trigram_coverage",  # r6 green
-    "stream_rollup_to_table",  # r6 green
-    "stream_exact_dedup",  # r6 green
-    "stream_threshold_alerts",  # r6 green
-    "timetravel_asof_digest",  # r6 green
-    "evolution_nullfill_digest",  # r6 green
-    "txn_atomicity_digest",  # r6 green
-    "fk_cascade_digest",  # r6 green
-    "scan_filter_project",  # r7 green
-    "filter_in",  # r7 green
+    "decontaminate_minhash",  # r9 green, SEMANTICS CHANGED r10 (bucket cap) - must re-grade
+    "decontaminate_eval_leak_report",  # r9 green, SEMANTICS CHANGED r10 - must re-grade
+    "filter_like",  # r7 green
+    "filter_between_not",  # r7 green
+    "sort_limit_offset",  # r7 green
+    "take_last",  # r7 green
+    "multi_key_sort",  # r7 green
+    "q01_pricing_summary",  # r7 green
+    "global_agg",  # r7 green
+    "groupby_having",  # r7 green
+    "distinct_op",  # r7 green
+    "count_exists_minmax",  # r7 green
+    "rollup_agg",  # r7 green
+    "join2_orders_customer",  # r7 green
+    "join3_customer_nation_region",  # r7 green
+    "join4_revenue_by_nation",  # r7 green
+    "join6_local_supplier_revenue",  # r7 green
+    "include_children_agg",  # r7 green
+    "semi_join_exists",  # r7 green
+    "anti_join_not_exists",  # r7 green
+    "set_union",  # r7 green
+    "window_topk_per_group",  # r7 green
+    "window_running_sum",  # r7 green
+    "window_lag_delta",  # r7 green
+    "dbref_include_missing",  # r7 green
+    "any_all_quantifiers",  # r7 green
+    "q03_shipping_priority",  # r7 green
+    "correlated_scalar_subquery",  # r7 green
+    "exact_percentiles",  # r7 green
+    "window_range_frame",  # r7 green
+    "window_rank_family",  # r7 green
+    "q06_revenue_forecast",  # r7 green
+    "sql_include_digest",  # r7 green
+    "math_funcs",  # r7 green
+    "iot_effective_value",  # r7 green
+    "ts_locf_merge",  # r7 green
+    "ts_resample_interp",  # r7 green
+    "ts_asof_join",  # r7 green
+    "ts_rollup_hourly",  # r7 green
+    "ts_detect_gaps",  # r7 green
+    "ts_rate_of_change",  # r7 green
+    "chain_append",  # r7 green
+    "dedup_exact",  # r7 green
+    "text_fingerprint",  # r7 green
+    "pipeline_clean_corpus",  # r7 green
+    "pipeline_prepare_training_data",  # r7 green
+    "corpus_pack_sequences",  # r7 green
+    "search_bm25_topk",  # r7 green
+    "search_hybrid_rrf",  # r7 green
+    "stream_windowed_rollup",  # r7 green
 )
 
 
