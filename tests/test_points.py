@@ -53,7 +53,7 @@ def test_fanout_per_flags(store, spark):
             ],
         )
     )
-    assert counts == {"writes": 4, "ts": 3, "chain": 2}
+    assert counts == {"writes": 4, "ts": 3, "chain": 2, "chain_dropped_retro": 0}
     assert store.writes.count() == 4
     assert store.ts_writes.count() == 3  # tsflag + chained only
     chain = {r["ts"]: r for r in store.chain.df.collect()}
@@ -225,11 +225,69 @@ def test_chain_retro_write_dropped_not_corrupting(store, spark):
     counts = store.write_batch(
         _batch(spark, [("chained", _ts("2024-01-01T01:30:00"), 15, "retro")])
     )
-    assert counts == {"writes": 1, "ts": 1, "chain": 0}
+    # the drop is REPORTED, not silent (r9 advice: an audit-log caller
+    # must be able to alert on discarded chain history)
+    assert counts == {"writes": 1, "ts": 1, "chain": 0, "chain_dropped_retro": 1}
     assert store.chain.count() == 2  # unchanged
     assert all(r["valid"] for r in store.verify_chains().collect())
     # the write log DID record it (only the chain sink filters)
     assert store.writes.count() == 3
+
+
+def test_assign_ids_distributed_matches_global_order(store, spark):
+    """r9 verdict #4: id assignment must not run a single-partition
+    global window. The distributed path (range partition + local sort +
+    partition offsets) must produce exactly the ids a global row_number
+    over (guid, ts, priority, value) would, and its plan must contain
+    no Window at all."""
+    rows = [
+        (f"g{i % 7}", _ts("2024-01-01T00:00:00") + dt.timedelta(seconds=i * 13 % 97), 15, f"v{i}")
+        for i in range(200)
+    ]
+    batch = _batch(spark, rows).repartition(8)  # force the multi-partition path
+    out = store._assign_ids(store.writes, batch, base=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = sorted(
+        ((r["guid"], r["ts"], r["priority"], r["value"]), r["id"])
+        for r in out.collect()
+    )
+    expect = sorted((g, t, p, v) for g, t, p, v in rows)
+    assert [k for k, _ in got] == expect
+    assert [i for _, i in got] == list(range(101, 101 + len(rows)))
+
+
+def test_chain_heads_recover_from_stale_stamp(store, spark):
+    """r9 advice: a crash between the chain append and the heads write
+    leaves heads one batch behind the chain tip; the next batch must
+    rebuild its seed from the chain (version-stamp mismatch) instead of
+    folding from the stale head — which would append duplicate blocks
+    with conflicting prev_hash linkage and break verify with no tamper."""
+    store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T00:00:00"), 15, "a")])
+    )
+    # simulate the crash window: commit a second batch's chain blocks
+    # WITHOUT the heads rewrite or the stamp
+    orig_write, orig_stamp = store.chain_heads._write, store._stamp_heads
+    store.chain_heads._write = lambda df, **kw: None
+    store._stamp_heads = lambda v: None
+    try:
+        store.write_batch(
+            _batch(spark, [("chained", _ts("2024-01-01T01:00:00"), 15, "b")])
+        )
+    finally:
+        store.chain_heads._write = orig_write
+        store._stamp_heads = orig_stamp
+    # heads now stale (still point at "a") while the chain tip is "b"
+    assert store.chain_heads.df.collect()[0]["data"] == "a"
+    counts = store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T02:00:00"), 15, "c")])
+    )
+    assert counts["chain"] == 1 and counts["chain_dropped_retro"] == 0
+    assert store.chain.count() == 3
+    assert all(r["valid"] for r in store.verify_chains().collect())
+    heads = store.chain_heads.df.collect()
+    assert len(heads) == 1 and heads[0]["data"] == "c"
 
 
 def test_convert_point_rewrites_slots_and_effective_value(spark):
