@@ -19,12 +19,12 @@ on duplicate timestamps are engine-nondeterministic.
 from __future__ import annotations
 
 import uuid
-from contextlib import contextmanager
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iot_database_spark.registry import load_views, register
+from iot_database_spark.registry import register
 from iot_database_spark.streaming.windowed import windowed_rollup
 
 # Stateful streaming parallelism is pinned at STREAM START by
@@ -43,26 +43,35 @@ from iot_database_spark.streaming.windowed import windowed_rollup
 _STREAM_STATE_PARTITIONS = 8
 
 
-@contextmanager
-def _stream_state_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
-    """Scope spark.sql.shuffle.partitions down to the stream's state-
-    store count for the duration of a streaming run.
+_STREAM_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
-    CONSTRAINT (r9 advice): spark.conf is SESSION-global, so any batch
-    query planned concurrently in the same SparkSession while the
-    stream runs would silently inherit the reduced partition count.
-    Safe in this repo's single-threaded query/bench/test flows (the
-    stream runs to completion inside the `with` before the caller
-    plans anything else); a concurrent deployment should hand the
-    streaming queries their own `spark.newSession()` clone, which
-    shares the SparkContext but isolates the conf."""
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+
+def _stream_session(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    """A per-parent-session CLONE (spark.newSession(): same
+    SparkContext, isolated SQLConf/catalog) with shuffle.partitions
+    pinned to the stream's state-store count. Every streaming query
+    builds its sources, runs its sinks, and returns its result on the
+    clone, so the parent session's conf is NEVER touched (r9 verdict
+    #5 — the old context manager mutated the session-global conf, and
+    any batch query planned concurrently in the same session while a
+    stream ran silently inherited the reduced partition count).
+
+    Cached per parent (weak key, strong value): one clone serves all of
+    a session's streaming queries, and it stays alive exactly as long
+    as the parent — returned DataFrames read their landed sinks through
+    it lazily."""
+    clone = _STREAM_SESSIONS.get(spark)
+    if clone is None:
+        clone = spark.newSession()
+        from iot_database_spark.session import _apply_runtime_confs
+
+        _apply_runtime_confs(clone)
+        _STREAM_SESSIONS[spark] = clone
+    # (re)pin after any conf application — load-order independent
+    clone.conf.set("spark.sql.shuffle.partitions", str(n))
+    return clone
 
 # PySpark 4.1 reads the testdata's TIMESTAMP(NANOS) parquet natively as
 # TIMESTAMP_NTZ (truncated to micros) — declare it as such so event-time
@@ -95,14 +104,13 @@ def _land_to_parquet(
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode(write_mode).parquet(out_dir)
 
-    with _stream_state_partitions(spark):
-        (
-            stream_df.writeStream.foreachBatch(land)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+    (
+        stream_df.writeStream.foreachBatch(land)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     return spark.read.parquet(out_dir)
 
 
@@ -150,7 +158,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-event-type rollup computed BY A RUNNING STREAM
     (readStream file source -> watermark -> window agg -> memory sink,
     availableNow trigger), then returned as the sink table."""
-    load_views(spark, sf_dir)  # applies the nanos/UTC runtime confs
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         # the file source monitors a DIRECTORY; glob-filter it down to
@@ -158,7 +166,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         # watermarks require TIMESTAMP (LTZ); the cast is exact under the
-        # engine's pinned UTC session timezone (load_views applied above)
+        # engine's pinned UTC session timezone (_stream_session applied it)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     rolled = windowed_rollup(
@@ -171,15 +179,14 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "bucket_start", "n_samples", "min_value", "max_value")
 
     sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
-        (
-            rolled.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+    (
+        rolled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     return spark.table(sink)
 
 
@@ -208,7 +215,7 @@ def stream_rollup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_database_spark.database import IotDatabase
     from iot_database_spark.streaming.windowed import windowed_rollup_to_table
 
-    load_views(spark, sf_dir)
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -217,19 +224,18 @@ def stream_rollup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="stream_rollup_tbl_")
     db = IotDatabase("streamsink", tmp, spark)
-    with _stream_state_partitions(spark):
-        q = windowed_rollup_to_table(
-            stream,
-            db,
-            "hourly_rollup",
-            window="1 hour",
-            watermark="2 hours",
-            guid="event_type",
-            ts="ts",
-            value="value",
-            checkpoint=f"{tmp}/ckpt",
-        )
-        q.awaitTermination()
+    q = windowed_rollup_to_table(
+        stream,
+        db,
+        "hourly_rollup",
+        window="1 hour",
+        watermark="2 hours",
+        guid="event_type",
+        ts="ts",
+        value="value",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
     return db.table("hourly_rollup").df.select(
         "event_type", "bucket_start", "n_samples", "min_value", "max_value"
     )
@@ -250,7 +256,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real deployment bounds it with a watermark on ingest time — with
     availableNow over one file there is a single micro-batch and no
     state expiry question."""
-    load_views(spark, sf_dir)
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
     docs_schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
@@ -306,7 +312,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_threshold_alerts,
     )
 
-    load_views(spark, sf_dir)
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -374,7 +380,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no later batch to flush them); the sink is a foreachBatch
     parquet overwrite, so the full session set is written by a Spark
     job and read back distributed — never collected on the driver."""
-    load_views(spark, sf_dir)
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -433,7 +439,7 @@ def stream_stream_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The delay column is an exact integer microsecond difference, and
     (view_id, purchase_id) pairs are unique — no tie or float
     nondeterminism anywhere."""
-    load_views(spark, sf_dir)
+    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
 
     def _side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
         return (

@@ -549,3 +549,27 @@ def test_stream_stream_outer_join_emits_nulls_after_watermark(spark, tmp_path):
     assert (1, 10, None) in rows
     assert (9, 90, 91) in rows
     assert (9, 90, None) not in rows
+
+
+def test_stream_queries_leave_parent_session_conf_untouched(spark, sf_dir):
+    """r9 verdict #5: streaming queries must pin their state-store
+    partition count on a conf-isolated session CLONE, never by mutating
+    the caller's session — a batch query planned concurrently in the
+    parent while a stream runs must keep the parent's partitioning."""
+    from iot_database_spark.operators.streaming_queries import (
+        _STREAM_STATE_PARTITIONS,
+        _stream_session,
+        stream_windowed_rollup,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    out = stream_windowed_rollup(spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get(key) == before  # parent untouched
+    clone = _stream_session(spark)
+    assert clone is not spark
+    assert clone.conf.get(key) == str(_STREAM_STATE_PARTITIONS)
+    assert clone.sparkContext is spark.sparkContext
+    # cached: every streaming query of this parent shares one clone
+    assert _stream_session(spark) is clone
