@@ -247,7 +247,20 @@ def main() -> None:
             for n in os.environ.get("SPARK_GRAFT_RESET", "").split(",")
             if n.strip()
         }
-        full = merge_record(existing, full, reset)
+        # auto-reset: a merged query whose defining module changed since
+        # the record's stamped commit keeps a minimum measured on code
+        # that no longer exists (r9 advice: nothing derived the reset
+        # set from the actual diff — forgetting SPARK_GRAFT_RESET
+        # silently preserved a phantom baseline)
+        auto = stale_queries((existing or {}).get("commit"), qs, names)
+        if auto - reset:
+            print(
+                "bench: auto-reset (module changed since record commit): "
+                + ",".join(sorted(auto - reset)),
+                file=sys.stderr,
+            )
+        full["commit"] = _git_head()
+        full = merge_record(existing, full, reset | auto)
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
 
@@ -257,6 +270,57 @@ def _load_record(path: Path) -> dict | None:
         return json.loads(path.read_text())
     except (OSError, ValueError):
         return None
+
+
+def _git_head() -> str | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except Exception:
+        return None
+
+
+def stale_queries(old_commit: str | None, qs: dict, names: list) -> set:
+    """Queries whose DEFINING module file changed (committed or working
+    tree) since the record's stamped commit — their recorded minima
+    describe code that no longer exists, so merge_record must take the
+    fresh time. Defining-file granularity only: a change to a shared
+    library module a query calls into is not caught (SPARK_GRAFT_RESET
+    remains the explicit override for those); records from before
+    stamping existed (no 'commit' key) merge as before."""
+    import subprocess
+
+    if not old_commit:
+        return set()
+    root = Path(__file__).resolve().parent
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", old_commit, "--"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if diff.returncode != 0:
+            return set()  # unknown commit (rebase/gc): keep old behavior
+        changed = {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+    except Exception:
+        return set()
+    out = set()
+    for name in names:
+        code = getattr(qs.get(name), "__code__", None)
+        fname = getattr(code, "co_filename", None)
+        if fname and os.path.relpath(fname, root) in changed:
+            out.add(name)
+    return out
 
 
 def merge_record(old: dict | None, new: dict, reset: set | None = None) -> dict:

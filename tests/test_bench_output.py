@@ -89,3 +89,36 @@ def test_merge_record_resets_changed_queries():
            "n_queries": 2, "metric": "m", "unit": "sec"}
     merged = bench.merge_record(old, run, reset={"a"})
     assert merged["queries"] == {"a": 1.5, "b": 1.9}
+
+
+def test_stale_queries_derive_reset_from_diff(monkeypatch):
+    """r9 advice: the min-merge reset set is derived from the actual
+    git diff against the record's stamped commit — a query whose
+    defining module changed auto-resets; unstamped records and unknown
+    commits keep the plain merge."""
+    import pathlib
+    import subprocess
+    import types
+
+    root = pathlib.Path(bench.__file__).resolve().parent
+    changed_file = str(root / "iot_database_spark" / "operators" / "x_queries.py")
+    ns: dict = {}
+    exec(compile("def q_changed(s, d):\n    return None", changed_file, "exec"), ns)
+    exec(compile("def q_same(s, d):\n    return None", str(root / "other.py"), "exec"), ns)
+    qs = {"a": ns["q_changed"], "b": ns["q_same"]}
+
+    def fake_run(cmd, **kw):
+        assert cmd[:3] == ["git", "diff", "--name-only"]
+        return types.SimpleNamespace(
+            returncode=0, stdout="iot_database_spark/operators/x_queries.py\n"
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench.stale_queries("deadbeef", qs, ["a", "b"]) == {"a"}
+    assert bench.stale_queries(None, qs, ["a", "b"]) == set()
+
+    def fake_fail(cmd, **kw):
+        return types.SimpleNamespace(returncode=128, stdout="")
+
+    monkeypatch.setattr(subprocess, "run", fake_fail)
+    assert bench.stale_queries("gone", qs, ["a", "b"]) == set()
