@@ -23,6 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Bound row groups in every writer (r9 verdict #2's lesson applied to
+# the engine's own writers, not just the scale-data generator): Spark
+# parallelizes a parquet scan by BYTE-RANGE SPLITS OVER ROW GROUPS, so
+# one giant row group = one scan task no matter how many executors a
+# cluster has. 32 MB keeps ~4 groups per default 128 MB split —
+# negligible footer/stats overhead, full split freedom, and finer
+# min/max pruning granularity for the sorted/Z-ordered layouts below.
+ROW_GROUP_BYTES = 32 * 1024 * 1024
+
 
 def write_timeseries_layout(
     df: DataFrame,
@@ -45,7 +54,9 @@ def write_timeseries_layout(
         # inject its own (unstable) sort, destroying the (key, ts) order
         .sortWithinPartitions("p_date", "p_bucket", key_col, ts_col)
     )
-    out.write.mode(mode).partitionBy("p_date", "p_bucket").parquet(path)
+    out.write.mode(mode).option(
+        "parquet.block.size", str(ROW_GROUP_BYTES)
+    ).partitionBy("p_date", "p_bucket").parquet(path)
 
 
 def read_timeseries_layout(spark: SparkSession, path: str) -> DataFrame:
@@ -120,6 +131,7 @@ def write_zordered(
         .sortWithinPartitions(key)
         .drop(key)
         .write.mode(mode)
+        .option("parquet.block.size", str(ROW_GROUP_BYTES))
         .parquet(path)
     )
 
@@ -135,8 +147,11 @@ def write_bucketed_table(
     bucketed by the same key with the same bucket count join WITHOUT a
     shuffle (Catalyst sees compatible output partitioning). This is the
     'EnsureIndex on the join key' of the columnar world."""
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, bucket_col
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("parquet.block.size", str(ROW_GROUP_BYTES))
+        .bucketBy(n_buckets, bucket_col)
     )
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -429,10 +429,19 @@ def embedding_neardup_pairs(
     embedding: str = "embedding",
     id_col: str = "vec_id",
     min_cosine: float = 0.9,
+    max_block: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (deterministic blocking bounds the pair space; at scale the block
-    key is an LSH bucket or IVF centroid)."""
+    key is an LSH bucket or IVF centroid).
+
+    max_block is the same skew guard as lsh_candidate_pairs'
+    max_bucket (r10 cap audit): a block wider than this emits a
+    quadratic pair blow-up, so it is DROPPED — a block that wide means
+    the blocking key is too coarse for the corpus (e.g. a class label
+    on a 100x-grown corpus) and the caller should re-block on an
+    LSH/IVF bucket key; pass None to disable for provably-bounded
+    keys."""
     from iot_database_spark.operators.vector import cosine_similarity
 
     a = df.select(
@@ -445,6 +454,15 @@ def embedding_neardup_pairs(
         F.col(embedding).alias("emb_b"),
         F.col(block_col).alias("blk"),
     )
+    if max_block is not None:
+        wide = (
+            df.groupBy(F.col(block_col).alias("blk"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("blk")
+        )
+        # pruning one side kills every pair of an over-wide block
+        a = a.join(F.broadcast(wide), "blk", "left_anti")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))

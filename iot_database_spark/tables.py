@@ -146,11 +146,16 @@ class Table:
 
     def _stage(self, df: DataFrame) -> str:
         """Write one immutable data dir; return its path relative to the
-        table root. Not visible to readers until a manifest commits it."""
+        table root. Not visible to readers until a manifest commits it.
+        Row groups are bounded (layout.ROW_GROUP_BYTES) so even a
+        single-partition snapshot rewrite stays byte-range-splittable
+        for later scans."""
+        from iot_database_spark.layout import ROW_GROUP_BYTES
+
         sub = os.path.join("data", uuid.uuid4().hex)
-        df.select(*self.columns).write.mode("overwrite").parquet(
-            os.path.join(self.path, sub)
-        )
+        df.select(*self.columns).write.mode("overwrite").option(
+            "parquet.block.size", str(ROW_GROUP_BYTES)
+        ).parquet(os.path.join(self.path, sub))
         return sub
 
     def _prepare_publish(

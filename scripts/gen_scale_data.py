@@ -49,10 +49,30 @@ def _with_copies(df: DataFrame, copies: int) -> DataFrame:
     )
 
 
+# Row-group bound for generated files (r9 verdict #2): with parquet's
+# default 128 MB block size a coalesce(1) writer emits 1-2 giant row
+# groups per table, and since Spark's scan parallelism comes from
+# byte-range splits over row groups, any single-table probe at sf10 ran
+# on at most 2 tasks — which poisoned every per-query scaling
+# measurement (ts_cusum_drift's 9.2x "step" was the layout, not the
+# plan). 16 MB row groups give a 150 MB table ~10 independently
+# readable groups; pair with spark.sql.files.maxPartitionBytes (see
+# session.get_spark's SPARK_GRAFT_MAX_PARTITION_BYTES knob) sized so
+# splits ~ cores when probing locally.
+_ROW_GROUP_BYTES = 16 * 1024 * 1024
+
+
 def _write_single(df: DataFrame, out_dir: str, name: str) -> None:
-    """Write as ONE parquet file named <name>.parquet (driver layout)."""
+    """Write as ONE parquet file named <name>.parquet (driver layout),
+    with bounded row groups so the single file still scans in
+    parallel."""
     tmp = os.path.join(out_dir, f"_tmp_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(_ROW_GROUP_BYTES))
+        .parquet(tmp)
+    )
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))
     assert len(part) == 1, part
     shutil.move(part[0], os.path.join(out_dir, f"{name}.parquet"))

@@ -130,3 +130,28 @@ def test_zorder_layout_clusters_every_column(spark, tmp_path):
 
     # the rewrite preserves the rows exactly
     assert spark.read.parquet(zpath).count() == n * n
+
+
+def test_writers_bound_row_groups(spark, tmp_path, monkeypatch):
+    """r9 verdict #2's lesson applied to the engine's own writers: scan
+    parallelism comes from byte-range splits over ROW GROUPS, so a
+    writer must never emit one giant group. Shrink the bound and check
+    the written file carries multiple groups."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from iot_database_spark import layout
+
+    monkeypatch.setattr(layout, "ROW_GROUP_BYTES", 64 * 1024)
+    df = spark.range(0, 60_000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 1000).alias("b"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).coalesce(1)
+    out = str(tmp_path / "zordered")
+    layout.write_zordered(df, out, ["a", "b"], n_files=1)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    groups = max(pq.ParquetFile(os.path.join(out, f)).num_row_groups for f in files)
+    assert groups > 1  # one coalesced writer still yields splittable files
