@@ -119,6 +119,11 @@ class PointStore:
         # result landing in slot 14) would otherwise re-resolve files the
         # first sink rewrite deletes
         batch = batch.localCheckpoint(eager=True)
+        # one cheap count over the pinned batch sizes every sink's id
+        # assignment (upper bound — sinks see filtered subsets): small
+        # batches take the lazy single-task stamp, large ones the
+        # distributed zipWithIndex (see _assign_ids)
+        n_batch = batch.count()
         reg = self.registry.df.select("guid", "flags", "strict_type")
         joined = batch.join(F.broadcast(reg), "guid", "inner")
 
@@ -145,19 +150,23 @@ class PointStore:
         )
 
         accepted = hashed.select("guid", "ts", "priority", "value")
-        n_all = self.writes.insert(self._assign_ids(self.writes, accepted))
+        n_all = self.writes.insert(
+            self._assign_ids(self.writes, accepted, size_hint=n_batch)
+        )
 
         ts_batch = hashed.filter(
             iv.has_flag(F.col("flags"), iv.FLAG_TIME_SERIES)
         ).select("guid", "ts", "priority", "value")
-        n_ts = self.ts_writes.insert(self._assign_ids(self.ts_writes, ts_batch))
+        n_ts = self.ts_writes.insert(
+            self._assign_ids(self.ts_writes, ts_batch, size_hint=n_batch)
+        )
 
         chain_src = hashed.filter(
             iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
         ).select("guid", "ts", F.col("value").alias("data"))
         n_chain, n_retro = 0, 0
         if chain_src.limit(1).count():
-            n_chain, n_retro = self._append_chain_batch(chain_src)
+            n_chain, n_retro = self._append_chain_batch(chain_src, n_batch)
         return {
             "writes": n_all,
             "ts": n_ts,
@@ -177,7 +186,9 @@ class PointStore:
         self.db._meta["tables"]["chain_heads"]["chain_version"] = int(version)
         self.db._save_meta()
 
-    def _append_chain_batch(self, chain_src: DataFrame) -> tuple[int, int]:
+    def _append_chain_batch(
+        self, chain_src: DataFrame, size_hint: int | None = None
+    ) -> tuple[int, int]:
         """O(batch) chain extension (r8 verdict #1: the previous path
         unioned ALL existing blocks with the batch and re-ran the hash
         fold over the whole history, rewriting the chain table — per-
@@ -204,7 +215,7 @@ class PointStore:
                 self.chain.df.select("guid", "ts", "data", "hash")
             ).localCheckpoint(eager=True)
         new_blocks = bc.append_chain_incremental(chain_src, heads)
-        with_ids = self._assign_ids(self.chain, new_blocks)
+        with_ids = self._assign_ids(self.chain, new_blocks, size_hint=size_hint)
         # one pass computes the rows to append AND each touched guid's
         # new head; localCheckpoint pins it so the append job and the
         # heads merge don't recompute the fold (and the heads rewrite
@@ -237,30 +248,49 @@ class PointStore:
         )
         new_heads = bc.chain_heads(with_ids)
         merged = bc.chain_heads(heads.unionByName(new_heads))
+        # heads are rewritten whole each batch; their ids carry no query
+        # meaning (the seed read uses guid/ts/data/hash only), and the
+        # frame is device-count-sized, so the single-task stamp is fine
         self.chain_heads._write(
-            self._assign_ids(self.chain_heads, merged, base=0)
+            self._assign_ids(self.chain_heads, merged, base=0, size_hint=0)
         )
         self._stamp_heads(self.chain._current_version())
         return n_chain, n_retro
 
+    # Below this many rows the id stamp runs as ONE lazy narrow task
+    # (coalesce + in-partition sort): the distributed path costs two
+    # extra Spark jobs (checkpoint + partition census) per call, which
+    # dominates digest-style workloads of many small batches, and a
+    # batch this size SHOULD be one task on any cluster.
+    _SMALL_ID_BATCH = 1 << 17
+
     @staticmethod
-    def _assign_ids(table, batch: DataFrame, base: int | None = None) -> DataFrame:
+    def _assign_ids(
+        table,
+        batch: DataFrame,
+        base: int | None = None,
+        size_hint: int | None = None,
+    ) -> DataFrame:
         """Append-log ids: deterministic rank over the batch's order
         columns, offset past the table's current max — assigned
-        DISTRIBUTED (r9 verdict #4; the old path was a global
-        row_number window, which serializes an arbitrarily large ingest
-        batch onto one task). The zipWithIndex shape: range-partition
-        on the order key, sort within partitions, then per-partition
-        position (monotonically_increasing_id's low 33 bits over the
-        pinned partitioning) plus a partition offset from a census whose
-        driver share is ONE ROW PER PARTITION. Ids equal the global
-        row_number assignment exactly: range partition i's keys all sort
-        before partition i+1's, and rows tying across a boundary are
-        fully identical here (the order columns cover every payload
-        column), so any placement yields the same table content.
+        DISTRIBUTED for large batches (r9 verdict #4; the old path was
+        a global row_number window, which serializes an arbitrarily
+        large ingest batch onto one task). The zipWithIndex shape:
+        range-partition on the order key, sort within partitions, then
+        per-partition position (monotonically_increasing_id's low 33
+        bits over the pinned partitioning) plus a partition offset from
+        a census whose driver share is ONE ROW PER PARTITION. Ids equal
+        the global row_number assignment exactly: range partition i's
+        keys all sort before partition i+1's, and rows tying across a
+        boundary are fully identical here (the order columns cover
+        every payload column), so any placement yields the same table
+        content.
 
-        Single-partition batches skip the exchange/census and stay as
-        lazy as the old window (the digest queries' per-tick batches)."""
+        `size_hint` (an upper bound on the batch's rows, e.g.
+        write_batch's one count over the pinned batch) at or under
+        _SMALL_ID_BATCH takes the single-task stamp: same global order,
+        zero extra jobs, no window — the right shape for small batches
+        at any cluster size. Either path's plan contains no Window."""
         if base is None:
             base = table._seq_base()  # persisted sequence — no Spark job
         order = [c for c in ("guid", "ts", "priority", "value", "data") if c in batch.columns]
@@ -271,12 +301,17 @@ class PointStore:
         local_pos = F.monotonically_increasing_id() - (
             F.spark_partition_id().cast("bigint") * F.lit(1 << 33)
         )
-        n_parts = max(1, batch.rdd.getNumPartitions())
-        if n_parts == 1:
-            out = batch.sortWithinPartitions(*oc).withColumn(
-                "id", (local_pos + F.lit(base + 1)).cast("bigint")
+        small = (
+            size_hint is not None and size_hint <= PointStore._SMALL_ID_BATCH
+        ) or batch.rdd.getNumPartitions() <= 1
+        if small:
+            out = (
+                batch.coalesce(1)
+                .sortWithinPartitions(*oc)
+                .withColumn("id", (local_pos + F.lit(base + 1)).cast("bigint"))
             )
             return out.select("id", *cols)
+        n_parts = max(1, batch.rdd.getNumPartitions())
         # localCheckpoint pins the range partitioning so the census and
         # the id projection see the same partition indices/positions
         ranged = (

@@ -245,16 +245,17 @@ def test_assign_ids_distributed_matches_global_order(store, spark):
         for i in range(200)
     ]
     batch = _batch(spark, rows).repartition(8)  # force the multi-partition path
-    out = store._assign_ids(store.writes, batch, base=100)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    got = sorted(
-        ((r["guid"], r["ts"], r["priority"], r["value"]), r["id"])
-        for r in out.collect()
-    )
     expect = sorted((g, t, p, v) for g, t, p, v in rows)
-    assert [k for k, _ in got] == expect
-    assert [i for _, i in got] == list(range(101, 101 + len(rows)))
+    for size_hint in (None, len(rows)):  # distributed path, small-stamp path
+        out = store._assign_ids(store.writes, batch, base=100, size_hint=size_hint)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        got = sorted(
+            ((r["guid"], r["ts"], r["priority"], r["value"]), r["id"])
+            for r in out.collect()
+        )
+        assert [k for k, _ in got] == expect
+        assert [i for _, i in got] == list(range(101, 101 + len(rows)))
 
 
 def test_chain_heads_recover_from_stale_stamp(store, spark):
