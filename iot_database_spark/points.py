@@ -49,10 +49,15 @@ class PointStore:
             "id bigint, guid string, ts timestamp, data string, "
             "prev_hash string, hash string",
         )
-        # one row per chained guid: the last block's (ts, data, hash) —
-        # the fold seed that makes each batch's chain append O(batch)
-        # instead of a full-history rebuild (same build-once/extend
-        # pattern as MinHashIndex / QuantizedStore)
+        # APPEND-ONLY log of per-guid chain heads: each batch appends one
+        # row per touched guid — the fold seed that makes the chain
+        # append O(batch) instead of a full-history rebuild (same
+        # build-once/extend pattern as MinHashIndex / QuantizedStore).
+        # The seed read takes latest-per-guid (bc.chain_heads over the
+        # log); a full one-row-per-guid rewrite happens only on
+        # compaction (every _HEADS_COMPACT_DIRS appends) or stamp-
+        # mismatch recovery — never per batch, so a fleet of millions of
+        # devices doesn't pay an O(devices) write for every ingest tick.
         self.chain_heads = db.tables(
             "chain_heads",
             "id bigint, guid string, ts timestamp, data string, hash string",
@@ -186,6 +191,20 @@ class PointStore:
         self.db._meta["tables"]["chain_heads"]["chain_version"] = int(version)
         self.db._save_meta()
 
+    # Compact the heads log back to one row per guid after this many
+    # appended manifest dirs: bounds both the seed read (<= this many
+    # dirs aggregated per batch) and the amortized write cost (the
+    # O(devices) rewrite is paid once per N batches, O(batch) appends
+    # in between).
+    _HEADS_COMPACT_DIRS = 64
+
+    def heads_view(self) -> DataFrame:
+        """One row per chained guid — the current chain tips (latest
+        (ts, data, hash) per guid over the append-only heads log)."""
+        return bc.chain_heads(
+            self.chain_heads.df.select("guid", "ts", "data", "hash")
+        )
+
     def _append_chain_batch(
         self, chain_src: DataFrame, size_hint: int | None = None
     ) -> tuple[int, int]:
@@ -193,27 +212,36 @@ class PointStore:
         unioned ALL existing blocks with the batch and re-ran the hash
         fold over the whole history, rewriting the chain table — per-
         batch cost O(total history)). Now: fold ONLY the batch rows,
-        seeded per guid from the persisted `chain_heads` table (one row
-        per chained point), APPEND the new blocks, and merge the heads —
-        the same O(batch) extend shape as MinHashIndex/QuantizedStore.
-        Per-batch input = batch rows + one row per touched guid; the
-        block history is never read, let alone rewritten.
+        seeded per guid from the persisted `chain_heads` log, APPEND
+        the new blocks, and APPEND the touched guids' new heads — the
+        same O(batch) extend shape as MinHashIndex/QuantizedStore.
+        Per-batch input = batch rows + the heads log (bounded by
+        compaction); the block history is never read, let alone
+        rewritten, and the heads log is only rewritten whole every
+        _HEADS_COMPACT_DIRS batches or on recovery — a fleet of
+        millions of chained devices never pays an O(devices) write per
+        ingest tick.
 
         Heads are RECOVERABLE, not authoritative (r9 advice): the two
-        sink commits (chain insert, heads rewrite) are not atomic, so
+        sink commits (chain insert, heads append) are not atomic, so
         each heads write stamps the chain version it was derived from,
         and a mismatch at entry — a crash between the two commits, or
         any out-of-band chain write — rebuilds the seed from the chain
         itself (one O(chain) aggregation, paid only on recovery) instead
         of folding from a stale head, which would append blocks whose
         prev_hash conflicts with already-committed rows and break
-        verify_chain with no tamper. Returns (appended, dropped_retro)."""
-        if self._heads_stamp() == self.chain._current_version():
-            heads = self.chain_heads.df.select("guid", "ts", "data", "hash")
-        else:
+        verify_chain with no tamper. A recovery batch also compacts, so
+        heads the crashed batch failed to log are re-persisted before
+        the stamp declares the log authoritative again.
+        Returns (appended, dropped_retro)."""
+        recovered = self._heads_stamp() != self.chain._current_version()
+        if recovered:
             heads = bc.chain_heads(
                 self.chain.df.select("guid", "ts", "data", "hash")
             ).localCheckpoint(eager=True)
+        else:
+            # latest head per guid over the bounded log — one small agg
+            heads = self.heads_view()
         new_blocks = bc.append_chain_incremental(chain_src, heads)
         with_ids = self._assign_ids(self.chain, new_blocks, size_hint=size_hint)
         # one pass computes the rows to append AND each touched guid's
@@ -246,14 +274,22 @@ class PointStore:
             )
             .count()
         )
-        new_heads = bc.chain_heads(with_ids)
-        merged = bc.chain_heads(heads.unionByName(new_heads))
-        # heads are rewritten whole each batch; their ids carry no query
-        # meaning (the seed read uses guid/ts/data/hash only), and the
-        # frame is device-count-sized, so the single-task stamp is fine
-        self.chain_heads._write(
-            self._assign_ids(self.chain_heads, merged, base=0, size_hint=0)
+        new_heads = bc.chain_heads(with_ids).select("guid", "ts", "data", "hash")
+        # heads ids carry no query meaning (the seed read uses
+        # guid/ts/data/hash only) and the frames here are device-count-
+        # sized at most, so the single-task stamp is fine either way
+        compact = recovered or (
+            len(self.chain_heads._base_dirs()) >= self._HEADS_COMPACT_DIRS
         )
+        if compact:
+            merged = bc.chain_heads(heads.unionByName(new_heads))
+            self.chain_heads._write(
+                self._assign_ids(self.chain_heads, merged, base=0, size_hint=0)
+            )
+        else:
+            self.chain_heads.insert(
+                self._assign_ids(self.chain_heads, new_heads, size_hint=0)
+            )
         self._stamp_heads(self.chain._current_version())
         return n_chain, n_retro
 

@@ -201,9 +201,12 @@ def test_chain_append_is_batch_sized(store, spark):
     new_dirs = [d for d in dirs1 if d not in dirs0]
     assert len(new_dirs) == 1
     assert t._dirs_df(new_dirs).count() == 1  # batch-sized append
-    # heads table stays one row per chained guid, pointing at the tip
-    heads = store.chain_heads.df.collect()
+    # the heads VIEW stays one row per chained guid, pointing at the
+    # tip (the underlying log appends one row per touched guid per
+    # batch and compacts every _HEADS_COMPACT_DIRS appends)
+    heads = store.heads_view().collect()
     assert len(heads) == 1 and heads[0]["data"] == "fresh"
+    assert store.chain_heads.count() == 2  # log: one head row per batch
     assert all(r["valid"] for r in store.verify_chains().collect())
 
 
@@ -268,9 +271,12 @@ def test_chain_heads_recover_from_stale_stamp(store, spark):
         _batch(spark, [("chained", _ts("2024-01-01T00:00:00"), 15, "a")])
     )
     # simulate the crash window: commit a second batch's chain blocks
-    # WITHOUT the heads rewrite or the stamp
-    orig_write, orig_stamp = store.chain_heads._write, store._stamp_heads
+    # WITHOUT the heads write (append or compaction) or the stamp
+    orig_write = store.chain_heads._write
+    orig_insert = store.chain_heads.insert
+    orig_stamp = store._stamp_heads
     store.chain_heads._write = lambda df, **kw: None
+    store.chain_heads.insert = lambda df, **kw: 0
     store._stamp_heads = lambda v: None
     try:
         store.write_batch(
@@ -278,17 +284,49 @@ def test_chain_heads_recover_from_stale_stamp(store, spark):
         )
     finally:
         store.chain_heads._write = orig_write
+        store.chain_heads.insert = orig_insert
         store._stamp_heads = orig_stamp
     # heads now stale (still point at "a") while the chain tip is "b"
-    assert store.chain_heads.df.collect()[0]["data"] == "a"
+    assert store.heads_view().collect()[0]["data"] == "a"
     counts = store.write_batch(
         _batch(spark, [("chained", _ts("2024-01-01T02:00:00"), 15, "c")])
     )
     assert counts["chain"] == 1 and counts["chain_dropped_retro"] == 0
     assert store.chain.count() == 3
     assert all(r["valid"] for r in store.verify_chains().collect())
+    # a recovery batch COMPACTS: heads the crashed batch failed to log
+    # are re-persisted, one row per guid, before the stamp is renewed
     heads = store.chain_heads.df.collect()
     assert len(heads) == 1 and heads[0]["data"] == "c"
+
+
+def test_chain_heads_log_appends_then_compacts(store, spark, monkeypatch):
+    """The heads store is an APPEND-ONLY log (O(touched guids) write per
+    batch — never an O(all devices) rewrite); every _HEADS_COMPACT_DIRS
+    appends it compacts back to one row per guid. The seed view and the
+    chain stay correct across both regimes."""
+    from iot_database_spark.points import PointStore
+
+    monkeypatch.setattr(PointStore, "_HEADS_COMPACT_DIRS", 3)
+    for i in range(4):
+        store.write_batch(
+            _batch(
+                spark,
+                [("chained", _ts(f"2024-01-01T0{i}:00:00"), 15, f"v{i}")],
+            )
+        )
+    # 4th batch hit the dir threshold and compacted: one dir, one row
+    assert len(store.chain_heads._base_dirs()) == 1
+    heads = store.chain_heads.df.collect()
+    assert len(heads) == 1 and heads[0]["data"] == "v3"
+    assert store.chain.count() == 4
+    assert all(r["valid"] for r in store.verify_chains().collect())
+    # next batch appends to the compacted base again
+    store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T05:00:00"), 15, "v4")])
+    )
+    assert len(store.chain_heads._base_dirs()) == 2
+    assert store.heads_view().collect()[0]["data"] == "v4"
 
 
 def test_convert_point_rewrites_slots_and_effective_value(spark):
