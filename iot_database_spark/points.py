@@ -274,22 +274,34 @@ class PointStore:
             )
             .count()
         )
-        new_heads = bc.chain_heads(with_ids).select("guid", "ts", "data", "hash")
         # heads ids carry no query meaning (the seed read uses
-        # guid/ts/data/hash only) and the frames here are device-count-
-        # sized at most, so the single-task stamp is fine either way
+        # guid/ts/data/hash only): appended log rows REUSE their chain
+        # block's id (unique for free — no stats job, no sequence), and
+        # the rarer compaction rewrite re-stamps from 0.
         compact = recovered or (
             len(self.chain_heads._base_dirs()) >= self._HEADS_COMPACT_DIRS
         )
         if compact:
+            new_heads = bc.chain_heads(with_ids).select(
+                "guid", "ts", "data", "hash"
+            )
             merged = bc.chain_heads(heads.unionByName(new_heads))
             self.chain_heads._write(
                 self._assign_ids(self.chain_heads, merged, base=0, size_hint=0)
             )
         else:
-            self.chain_heads.insert(
-                self._assign_ids(self.chain_heads, new_heads, size_hint=0)
+            tip = F.max_by(
+                F.struct("ts", "data", "hash", "id"),
+                F.struct(F.col("ts"), F.col("data")),
             )
+            new_heads = with_ids.groupBy("guid").agg(tip.alias("_h")).select(
+                F.col("_h.id").alias("id"),
+                "guid",
+                F.col("_h.ts").alias("ts"),
+                F.col("_h.data").alias("data"),
+                F.col("_h.hash").alias("hash"),
+            )
+            self.chain_heads._append(new_heads)
         self._stamp_heads(self.chain._current_version())
         return n_chain, n_retro
 

@@ -273,10 +273,10 @@ def test_chain_heads_recover_from_stale_stamp(store, spark):
     # simulate the crash window: commit a second batch's chain blocks
     # WITHOUT the heads write (append or compaction) or the stamp
     orig_write = store.chain_heads._write
-    orig_insert = store.chain_heads.insert
+    orig_append = store.chain_heads._append
     orig_stamp = store._stamp_heads
     store.chain_heads._write = lambda df, **kw: None
-    store.chain_heads.insert = lambda df, **kw: 0
+    store.chain_heads._append = lambda df, **kw: None
     store._stamp_heads = lambda v: None
     try:
         store.write_batch(
@@ -284,7 +284,7 @@ def test_chain_heads_recover_from_stale_stamp(store, spark):
         )
     finally:
         store.chain_heads._write = orig_write
-        store.chain_heads.insert = orig_insert
+        store.chain_heads._append = orig_append
         store._stamp_heads = orig_stamp
     # heads now stale (still point at "a") while the chain tip is "b"
     assert store.heads_view().collect()[0]["data"] == "a"
