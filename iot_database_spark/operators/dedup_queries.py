@@ -576,18 +576,31 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.sig").alias("sig"),
         F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
     )
-    wide = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > DECON_MAX_BUCKET)
-        .select("band", "bucket")
-    )
     train = banded.filter(~F.col("is_eval")).select(
         F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
     )
-    # pruning the TRAIN side alone kills every pair from a wide bucket
-    # (a pair needs both sides); the eval side needs no second anti-join
-    train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
+    # the two scalars that gate the plan, in ONE job: corpus size
+    # (can any bucket reach the width cap at all?) and eval size
+    # (broadcast gate below)
+    n_docs, n_eval = docs.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("doc_id") % 50 == 0, 1)),
+    ).collect()[0]
+    if n_docs > DECON_MAX_BUCKET:
+        # width census: a (band, bucket) group can only exceed the cap
+        # when the corpus itself does, so the extra minhash pass is
+        # skipped below that size (where the plan — and the oracle's
+        # no-op HAVING cut — degenerate to the uncapped form anyway)
+        wide = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > DECON_MAX_BUCKET)
+            .select("band", "bucket")
+        )
+        # pruning the TRAIN side alone kills every pair from a wide
+        # bucket (a pair needs both sides); the eval side needs no
+        # second anti-join
+        train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
     ev_buckets = banded.filter(F.col("is_eval")).select(
         F.col("id").alias("eid"), "band", "bucket"
     )
@@ -596,7 +609,6 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_sigs = banded.filter(F.col("is_eval") & (F.col("band") == 0)).select(
         F.col("id").alias("eid"), F.col("sig").alias("esig")
     )
-    n_eval = docs.filter(F.col("doc_id") % 50 == 0).count()
     gate = n_eval <= _EVAL_BROADCAST_MAX_DOCS
     bucket_side = F.broadcast(ev_buckets) if gate else ev_buckets
     sig_side = F.broadcast(ev_sigs) if gate else ev_sigs
