@@ -142,6 +142,12 @@ HEADLINE = [
     "event_path_topk",
     "decontaminate_eval_leak_report",
     "ts_cusum_drift",
+    # round 11 additions
+    "dedup_span_exact",
+    "dedup_span_removal",
+    "corpus_quality_resample",
+    "search_phrase_topk",
+    "decontaminate_fixed_eval",
 ]
 
 

@@ -757,3 +757,54 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_ratio"),
         )
     )
+
+
+_QRS_ORACLE = f"""
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               LEAST(10000, len(string_split(text, ' ')) * 40) AS rate_bp
+        FROM documents
+    ),
+    flagged AS (
+        SELECT *,
+               {duck_hash64("'qrs-v1:' || CAST(doc_id AS VARCHAR)")}
+                 % 10000 < rate_bp AS sampled
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN sampled THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(rate_bp) AS BIGINT) AS sum_rate_bp
+    FROM flagged
+    GROUP BY source
+"""
+
+
+@register("corpus_quality_resample", oracle=_QRS_ORACLE)
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-PROPORTIONAL sampling: each doc's keep
+    probability is its own quality signal (here length-proportional,
+    capped at 100% for >=250-word docs — the stand-in for any scored
+    quality column), decided by hash(salt:doc_id) %% 10000 < rate_bp.
+    Unlike corpus_mixture_sample (one fixed rate per SOURCE), the rate
+    varies per DOCUMENT — the importance-resampling shape training-data
+    curation uses to up-weight high-quality text without a global sort
+    or any cross-row dependence (pure narrow compute + one partial-
+    aggregated groupBy). The decision column itself is
+    cu.mixture_sample's, so Spark and DuckDB share one hash recipe.
+    Registered r11; parity-tested since r10 (staged in
+    operators/staged_r11.py, now here)."""
+    tables = load_views(spark, sf_dir)
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.least(
+            F.lit(10000), F.size(F.split("text", " ")) * 40
+        ).cast("bigint").alias("rate_bp"),
+    )
+    flagged = cu.mixture_sample(docs, rate_bp=F.col("rate_bp"), salt="qrs-v1")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("sampled"), 1)).cast("bigint").alias("n_kept"),
+        F.sum("rate_bp").cast("bigint").alias("sum_rate_bp"),
+    )

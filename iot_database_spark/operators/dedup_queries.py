@@ -487,13 +487,13 @@ _EVAL_BROADCAST_MAX_DOCS = 400_000 // DECON_BANDS
 DECON_MAX_BUCKET = 4096
 
 
-def _decon_band_selects_sql() -> str:
+def _decon_band_selects_sql(src: str = "mh") -> str:
     rpb = K // DECON_BANDS
     parts = []
     for b in range(DECON_BANDS):
         cols = ", ".join(f"h{b * rpb + r}" for r in range(rpb))
         parts.append(
-            f"SELECT id, {b} AS band, md5(concat_ws(':', {cols})) AS bucket FROM mh"
+            f"SELECT id, {b} AS band, md5(concat_ws(':', {cols})) AS bucket FROM {src}"
         )
     return " UNION ALL ".join(parts)
 
@@ -774,4 +774,355 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_novel",
         (F.col("n_novel") / F.col("n_shingles").cast("double")).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplication (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): the unit of harmful duplication is the
+# repeated SPAN, not the whole document. `dedup_span_exact` PROFILES it
+# (which docs carry cross-corpus-repeated spans); `dedup_span_removal`
+# REPAIRS it (every non-canonical occurrence of a repeated span is cut
+# from the text, first occurrence kept). Registered r11; parity-tested
+# since r10 (the profile staged in operators/staged_r11.py, now here).
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # tokens per span — long enough that collisions mean copying
+
+SPAN_EXACT_ORACLE = f"""
+    WITH words AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_N}
+    ),
+    sp AS (
+        SELECT DISTINCT id, s FROM (
+            SELECT id,
+                   unnest(list_transform(range(1, len(ws) - {SPAN_N - 2}),
+                          i -> {" || ' ' || ".join(f"ws[i+{k}]" for k in range(SPAN_N))})) AS s
+            FROM words
+        )
+    ),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sp GROUP BY s)
+    SELECT sp.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END) AS BIGINT)
+               AS n_dup_spans,
+           COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM sp JOIN dfreq ON sp.s = dfreq.s
+    GROUP BY sp.id
+"""
+
+
+@register("dedup_span_exact", oracle=SPAN_EXACT_ORACLE)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-DOC span duplication profile: the fraction of
+    a doc's distinct {SPAN_N}-token spans that appear verbatim in at
+    least one OTHER document — the span-level signal document-level
+    dedup (exact or MinHash) structurally misses when only a paragraph
+    is copied.
+
+    Scale shape: per-doc span dedup is NARROW (array_distinct over the
+    shingle array — no exchange); ONE exchange builds the span
+    document-frequency table; the join back lands on the same key, and
+    the per-doc aggregation is the only other exchange. Output rows =
+    docs, join rows = distinct (doc, span) pairs — linear in corpus at
+    any scale, no cross-doc pair generation anywhere (unlike candidate-
+    pair dedup, a span profile never needs the quadratic join, which is
+    why it needs no max_bucket guard)."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
+    spans = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(dd.shingles(F.col("text"), SPAN_N))).alias("s"),
+    )
+    dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        spans.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count(F.when(F.col("df") >= 2, 1)).cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"),
+        )
+    )
+
+
+# Occurrence key: doc_id * 2^32 + 1-based position. A plain BIGINT min
+# is the keeper rule both engines order identically (struct MIN ordering
+# is engine-specific; integer MIN is not). Positions are < 2^32 by
+# construction (a single document's token count), doc ids < 2^31.
+_SPAN_KEY = 4294967296
+
+SPAN_REMOVAL_ORACLE = f"""
+    WITH alld AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents
+    ),
+    sp AS (
+        SELECT id, u['p'] AS pos, u['s'] AS s
+        FROM (
+            SELECT id, unnest(list_transform(range(1, len(ws) - {SPAN_N - 2}),
+                       i -> {{'p': i, 's': {" || ' ' || ".join(f"ws[i+{k}]" for k in range(SPAN_N))}}})) AS u
+            FROM alld WHERE len(ws) >= {SPAN_N}
+        )
+    ),
+    stats AS (
+        SELECT s, COUNT(*) AS occ,
+               MIN(id * {_SPAN_KEY} + pos) AS keep_key
+        FROM sp GROUP BY s
+    ),
+    rmocc AS (
+        SELECT sp.id, sp.pos
+        FROM sp JOIN stats ON sp.s = stats.s
+        WHERE stats.occ >= 2 AND sp.id * {_SPAN_KEY} + sp.pos <> stats.keep_key
+    ),
+    rmpos AS (
+        SELECT DISTINCT id, CAST(pos + k AS INTEGER) AS ti
+        FROM rmocc, LATERAL unnest(range(0, {SPAN_N})) t(k)
+    ),
+    rmset AS (SELECT id, list(ti) AS rm FROM rmpos GROUP BY id),
+    rep AS (
+        SELECT a.id,
+               len(a.ws) AS n_tokens,
+               COALESCE(len(r.rm), 0) AS n_removed,
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(range(1, len(a.ws) + 1),
+                               i -> r.rm IS NULL
+                                    OR NOT list_contains(r.rm, CAST(i AS INTEGER))),
+                   i -> a.ws[i]), ' '), '') AS cleaned
+        FROM alld a LEFT JOIN rmset r ON a.id = r.id
+    )
+    SELECT id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           md5(cleaned) AS clean_md5
+    FROM rep
+"""
+
+
+@register("dedup_span_removal", oracle=SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span REMOVAL — the repair `dedup_span_exact` only
+    profiles: every occurrence of a corpus-repeated {SPAN_N}-token span
+    except the canonical one (min (doc_id, position), encoded as one
+    BIGINT key so both engines order identically) is cut from the text;
+    surviving tokens keep their order (Lee et al.'s train-set dedup,
+    graded like text_repetition_trim: counts + an md5 of the repaired
+    document, so the oracle compares the actual repaired text without
+    moving its body).
+
+    Scale shape: span occurrences shuffle ONCE on the span string for
+    the (count, keeper) table — COUNT/MIN partial-aggregate map-side,
+    so a boilerplate span that occurs millions of times still sends one
+    partial row per input partition; the join back lands on the same
+    key (AQE splits the residually skewed join partitions of hot
+    spans); removed positions then shuffle once on doc_id into a
+    per-doc position set (bounded by document length), and one
+    broadcast-or-shuffle join hands each document its removal set. The
+    repair itself is NARROW per-row array work. No pair generation
+    anywhere — removal is linear in corpus size at any scale, which is
+    exactly why Lee et al. repair spans rather than joining candidate
+    document pairs."""
+    tables = load_views(spark, sf_dir)
+    alld = tables["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws"),
+    )
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
+    sp = docs.select(
+        "doc_id",
+        F.posexplode(dd.shingles(F.col("text"), SPAN_N)).alias("p0", "s"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "s")
+    occ_key = F.col("doc_id") * _SPAN_KEY + F.col("pos")
+    stats = sp.groupBy("s").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(occ_key).alias("keep_key"),
+    )
+    rmocc = (
+        sp.join(stats, "s")
+        .filter((F.col("occ") >= 2) & (occ_key != F.col("keep_key")))
+        .select("doc_id", "pos")
+    )
+    rmset = (
+        rmocc.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos").cast("int"),
+                    (F.col("pos") + (SPAN_N - 1)).cast("int"),
+                )
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("rm"))
+    )
+    rep = alld.join(rmset, "doc_id", "left")
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: F.col("rm").isNull()
+        | ~F.array_contains(F.col("rm"), (i + 1).cast("int")),
+    )
+    return rep.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.when(F.col("rm").isNull(), F.lit(0))
+        .otherwise(F.size("rm"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination against a FIXED external held-out set (r10 verdict #4).
+# The registered decontaminate_minhash/_eval_leak_report queries carve
+# the eval side out of the corpus itself (doc_id % 50 == 0) so their
+# output grows with the corpus BY CONSTRUCTION (SCALE_r10.md's honest
+# note). Production decontamination reads the held-out benchmark from
+# its own small table; this variant is that shape: the eval side is the
+# FIXED sf0.001 documents table (500 rows, never scales with the graded
+# corpus), the train side is the whole graded corpus. Output is
+# <= |eval| rows at ANY corpus scale, and candidate pairs stay bounded
+# by DECON_MAX_BUCKET * bands * |eval| — corpus-independent.
+# ---------------------------------------------------------------------------
+
+_FIXED_EVAL_PATH = "/root/testdata/sf0.001/documents.parquet"
+
+_DUCK_EVAL_SHINGLES = f"""
+    ewords AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM '{_FIXED_EVAL_PATH}'
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    esh AS (
+        SELECT id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM ewords
+    )"""
+
+_DECON_FIXED_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_EVAL_SHINGLES},
+    mh AS (SELECT id, {_minhash_cols_sql()} FROM sh GROUP BY id),
+    emh AS (SELECT id, {_minhash_cols_sql()} FROM esh GROUP BY id),
+    bands AS ({_decon_band_selects_sql("mh")}),
+    ebands AS ({_decon_band_selects_sql("emh")}),
+    wide AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING COUNT(*) > {DECON_MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS tid, b.id AS eid
+        FROM bands a
+        JOIN ebands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE NOT EXISTS (
+            SELECT 1 FROM wide w
+            WHERE w.band = a.band AND w.bucket = a.bucket
+        )
+    ),
+    scored AS (
+        SELECT p.tid, p.eid,
+               ({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(K))})
+                   AS agree
+        FROM pairs p
+        JOIN mh x ON x.id = p.tid
+        JOIN emh y ON y.id = p.eid
+    )
+    SELECT eid AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_candidates,
+           CAST(MAX(agree) AS INTEGER) AS max_agreement,
+           MAX(agree) >= {K // 2} AS leaked
+    FROM scored
+    GROUP BY eid
+"""
+
+
+def _banded(docs: DataFrame) -> DataFrame:
+    """(id, sig, band, bucket) rows for the decontamination banding —
+    minhash_banded computed once per row behind a Generate barrier (see
+    dedup.minhash_banded), then one posexplode over the 16 buckets."""
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array(dd.minhash_banded(F.col("text"), K, DECON_BANDS))).alias(
+            "x"
+        ),
+    ).select(
+        "id",
+        F.col("x.sig").alias("sig"),
+        F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
+    )
+
+
+@register("decontaminate_fixed_eval", oracle=_DECON_FIXED_ORACLE)
+def decontaminate_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc leak report against a FIXED external held-out table
+    (the production decontamination shape — see the section comment):
+    which benchmark documents collide with ANY training document, with
+    the 0..{K} minhash-signature agreement grading severity.
+
+    Scale shape: the train corpus is banded and width-capped exactly
+    like _decon_scored (census gated on corpus size; the over-cap
+    buckets broadcast into an anti-join); the eval side is a constant-
+    size table whose (eid, band, bucket) rows and (eid, signature) rows
+    BROADCAST under the same measured gate, so the corpus never
+    re-shuffles: candidate generation is a broadcast-hash join against
+    the train band stream, and the final aggregate groups <= |eval|
+    keys. Candidate pairs <= DECON_MAX_BUCKET * {DECON_BANDS} * |eval|
+    — independent of corpus size, unlike the %-50 variant whose eval
+    slice (and therefore output) grows with the corpus."""
+    train_docs = _docs(spark, sf_dir)
+    eval_docs = (
+        spark.read.parquet(_FIXED_EVAL_PATH)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .filter(F.size(F.split("text", " ")) >= 3)
+    )
+    train = _banded(train_docs).select(
+        F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
+    )
+    n_train = train_docs.count()
+    if n_train > DECON_MAX_BUCKET:
+        # width census over the TRAIN side only (the fixed eval table is
+        # bounded at ~500 docs — it cannot push a bucket over the cap,
+        # and keeping it out holds the oracle's HAVING cut in lockstep)
+        wide = (
+            train.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > DECON_MAX_BUCKET)
+            .select("band", "bucket")
+        )
+        train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
+    eb = _banded(eval_docs)
+    ev_buckets = eb.select(F.col("id").alias("eid"), "band", "bucket")
+    ev_sigs = eb.filter(F.col("band") == 0).select(
+        F.col("id").alias("eid"), F.col("sig").alias("esig")
+    )
+    gate = eval_docs.count() <= _EVAL_BROADCAST_MAX_DOCS
+    bucket_side = F.broadcast(ev_buckets) if gate else ev_buckets
+    sig_side = F.broadcast(ev_sigs) if gate else ev_sigs
+    pairs = (
+        train.join(bucket_side, ["band", "bucket"])
+        .select("tid", "tsig", "eid")
+        .dropDuplicates(["tid", "eid"])
+    )
+    scored = pairs.join(sig_side, "eid").select(
+        "tid",
+        "eid",
+        F.size(
+            F.filter(
+                F.zip_with("tsig", "esig", lambda u, v: u == v),
+                lambda eq: eq,
+            )
+        ).alias("agree"),
+    )
+    return scored.groupBy(F.col("eid").alias("eval_doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_candidates"),
+        F.max("agree").cast("int").alias("max_agreement"),
+        (F.max("agree") >= K // 2).alias("leaked"),
     )

@@ -44,74 +44,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-10 window (exactly 50 slots) — `python scripts/plan_rotation.py
-# --slots 50` output with one hand adjustment: the TWO decontamination
-# queries whose SEMANTICS changed this round (band-bucket width cap in
-# _decon_scored — r9 verdict #1; output values can differ from their
-# r9-graded form wherever a bucket exceeds the cap) are pulled forward
-# for immediate re-grading even though their r9 rows are the newest
-# greens. Then the 48 r7-vintage greens, whose evidence is 3 rounds old
-# at r10 grading — the window limit. That fills all 50 slots, so the two
-# oldest r8 greens the planner proposed (join_part_promo_monthly,
-# set_intersect) wait for r11 together with the other 45 r8 greens —
-# all r8 evidence is 2 rounds old at r10, inside the limit, and r11's
-# 50 slots cover all 47 with room to spare. (Historical note for window
-# planning, r9 advice: the r9 comment's "38 r6 greens / four oldest r7"
-# miscounted its own list — the r9 window actually held 37 r6-vintage
-# greens, the 38th aging r6 green being the RETIRED
-# dedup_ngram_jaccard_absolute, plus 2 r7 greens at the tail; the other
-# 48 r7 greens are exactly the ones leading below.)
+# Round-11 window (exactly 50 slots). The planner's raw oldest-first
+# list is 46 r8-vintage greens + r9 tail; the hand adjustments, with the
+# arithmetic shown because r10's "47 r8 greens" note was off by one:
+#   - 5 NEVER-GRADED queries lead: the three r10-staged operators
+#     (dedup_span_exact, corpus_quality_resample, search_phrase_topk —
+#     operators/staged_r11.py dissolved into their home modules this
+#     round) plus the two new r11 builds (dedup_span_removal — r10
+#     verdict #3; decontaminate_fixed_eval — r10 verdict #4).
+#   - dedup_fuzzy_name_match follows: its registered shape changed r10
+#     (_FUZZY_MAX_BLOCK cap) and the repo's rule is semantics-changed
+#     queries re-grade in the NEXT window (r10 verdict finding #1).
+#   - 44 of the 46 r8-vintage greens fill the rest. 5 + 1 + 44 = 50, so
+#     TWO r8 greens must wait: stream_sessionization and
+#     stream_stream_time_join (the planner's tail two; code untouched
+#     since r8, suite-tested green every round) defer to r12, where the
+#     arithmetic closes exactly — 48 remaining r9-vintage greens
+#     (49 minus fuzzy, re-graded here) + these 2 = 50. The alternative
+#     (staging the two r11 builds like r10 did) was rejected: r10's
+#     verdict required both new operators to land a CORRECTNESS_r11 row.
 _PRIORITY: tuple[str, ...] = (
-    "decontaminate_minhash",  # r9 green, SEMANTICS CHANGED r10 (bucket cap) - must re-grade
-    "decontaminate_eval_leak_report",  # r9 green, SEMANTICS CHANGED r10 - must re-grade
-    "filter_like",  # r7 green
-    "filter_between_not",  # r7 green
-    "sort_limit_offset",  # r7 green
-    "take_last",  # r7 green
-    "multi_key_sort",  # r7 green
-    "q01_pricing_summary",  # r7 green
-    "global_agg",  # r7 green
-    "groupby_having",  # r7 green
-    "distinct_op",  # r7 green
-    "count_exists_minmax",  # r7 green
-    "rollup_agg",  # r7 green
-    "join2_orders_customer",  # r7 green
-    "join3_customer_nation_region",  # r7 green
-    "join4_revenue_by_nation",  # r7 green
-    "join6_local_supplier_revenue",  # r7 green
-    "include_children_agg",  # r7 green
-    "semi_join_exists",  # r7 green
-    "anti_join_not_exists",  # r7 green
-    "set_union",  # r7 green
-    "window_topk_per_group",  # r7 green
-    "window_running_sum",  # r7 green
-    "window_lag_delta",  # r7 green
-    "dbref_include_missing",  # r7 green
-    "any_all_quantifiers",  # r7 green
-    "q03_shipping_priority",  # r7 green
-    "correlated_scalar_subquery",  # r7 green
-    "exact_percentiles",  # r7 green
-    "window_range_frame",  # r7 green
-    "window_rank_family",  # r7 green
-    "q06_revenue_forecast",  # r7 green
-    "sql_include_digest",  # r7 green
-    "math_funcs",  # r7 green
-    "iot_effective_value",  # r7 green
-    "ts_locf_merge",  # r7 green
-    "ts_resample_interp",  # r7 green
-    "ts_asof_join",  # r7 green
-    "ts_rollup_hourly",  # r7 green
-    "ts_detect_gaps",  # r7 green
-    "ts_rate_of_change",  # r7 green
-    "chain_append",  # r7 green
-    "dedup_exact",  # r7 green
-    "text_fingerprint",  # r7 green
-    "pipeline_clean_corpus",  # r7 green
-    "pipeline_prepare_training_data",  # r7 green
-    "corpus_pack_sequences",  # r7 green
-    "search_bm25_topk",  # r7 green
-    "search_hybrid_rrf",  # r7 green
-    "stream_windowed_rollup",  # r7 green
+    "dedup_span_exact",  # never graded (staged r10, registered r11)
+    "corpus_quality_resample",  # never graded (staged r10, registered r11)
+    "search_phrase_topk",  # never graded (staged r10, registered r11)
+    "dedup_span_removal",  # never graded (new r11 — r10 verdict #3)
+    "decontaminate_fixed_eval",  # never graded (new r11 — r10 verdict #4)
+    "dedup_fuzzy_name_match",  # r9 green, SEMANTICS CHANGED r10 (max_block cap) - must re-grade
+    "join_part_promo_monthly",  # r8 green
+    "set_intersect",  # r8 green
+    "set_except",  # r8 green
+    "cube_agg",  # r8 green
+    "pivot_status_by_segment",  # r8 green
+    "grouping_sets_agg",  # r8 green
+    "event_sessionization",  # r8 green
+    "skew_salted_agg",  # r8 green
+    "event_funnel",  # r8 green
+    "event_cohort_retention",  # r8 green
+    "approx_sketch_accuracy",  # r8 green
+    "event_transition_matrix",  # r8 green
+    "string_funcs",  # r8 green
+    "string_format_regex",  # r8 green
+    "date_funcs",  # r8 green
+    "json_extract",  # r8 green
+    "iot_write_gating",  # r8 green
+    "ts_seasonal_baseline",  # r8 green
+    "vector_cosine_topk",  # r8 green
+    "vector_l2_topk",  # r8 green
+    "vector_upsert_dedup",  # r8 green
+    "ann_ivf_cosine",  # r8 green
+    "ann_two_stage_rerank",  # r8 green
+    "dedup_simhash",  # r8 green
+    "dedup_embedding_cosine",  # r8 green, max_block cap added r10 (no-op at graded SFs - tests/test_span_ops.py enforces)
+    "text_quality_scores",  # r8 green
+    "text_token_count",  # r8 green
+    "text_langid",  # r8 green
+    "text_gopher_rules",  # r8 green
+    "text_scrub_pii",  # r8 green
+    "decontaminate_ngram_overlap",  # r8 green
+    "embedding_outliers",  # r8 green
+    "text_repetition_trim",  # r8 green
+    "corpus_zipf_stats",  # r8 green
+    "dedup_url_canonical",  # r8 green
+    "pipeline_web_ingest",  # r8 green
+    "embedding_quantize_int8",  # r8 green
+    "ann_int8_cosine",  # r8 green
+    "nl_find_filter_sort_limit",  # r8 green
+    "nl_find_dual_join",  # r8 green
+    "nl_find_dual_fk_inference",  # r8 green
+    "nl_find_triple_join",  # r8 green
+    "nl_find_include_digest",  # r8 green
+    "remote_serialized_find",  # r8 green
 )
 
 

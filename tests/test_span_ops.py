@@ -1,0 +1,97 @@
+"""Non-vacuity + cap-binding guards for the round-11 registrations.
+
+Bit-exact oracle parity for all five new queries runs in
+tests/test_oracle_parity.py automatically (they are registered); these
+tests assert the GATE IS REAL — the graded corpus actually exercises
+each operator's interesting branch — and enforce the r10 advisor's ask
+that the "caps are no-ops at graded SFs" claim be checked, not asserted
+in a comment.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from iot_database_spark.operators import dedup_queries as dq
+from iot_database_spark.operators.curation_queries import corpus_quality_resample
+from iot_database_spark.operators.search_queries import search_phrase_topk
+
+
+def test_phrase_and_span_results_nonempty(spark, sf_dir):
+    """Guard against a vacuous gate: the graded phrase actually occurs
+    and the synthetic corpus actually contains cross-doc duplicate
+    spans, so the parity check compares real rows, not empty sets."""
+    assert search_phrase_topk(spark, sf_dir).count() > 0
+    dup = dq.dedup_span_exact(spark, sf_dir).filter("n_dup_spans > 0")
+    assert dup.count() > 0
+
+
+def test_span_removal_repairs_and_preserves(spark, sf_dir):
+    """The repair does real work (some docs lose tokens), never invents
+    or drops documents, and untouched docs keep their exact text hash
+    (n_removed == 0  <=>  clean_md5 == md5(original))."""
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.registry import load_views
+
+    out = dq.dedup_span_removal(spark, sf_dir).cache()
+    docs = load_views(spark, sf_dir)["documents"]
+    try:
+        assert out.count() == docs.count()
+        repaired = out.filter("n_removed > 0")
+        assert repaired.count() > 0
+        assert out.filter("n_removed > n_tokens").count() == 0
+        untouched_mismatch = (
+            out.filter("n_removed = 0")
+            .join(
+                docs.select(
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.md5(F.coalesce("text", F.lit(""))).alias("orig_md5"),
+                ),
+                "doc_id",
+            )
+            .filter("clean_md5 <> orig_md5")
+        )
+        assert untouched_mismatch.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_fixed_eval_decon_nonvacuous(spark, sf_dir):
+    """The fixed held-out table shares enough vocabulary with the
+    graded corpora that band collisions exist — the leak report grades
+    real candidates."""
+    out = dq.decontaminate_fixed_eval(spark, sf_dir)
+    assert out.count() > 0
+
+
+def test_quality_resample_rates_vary(spark, sf_dir):
+    """The per-document rate actually varies (otherwise this query
+    would collapse into corpus_mixture_sample): some source has a kept
+    fraction strictly between 0 and 1."""
+    rows = corpus_quality_resample(spark, sf_dir).collect()
+    assert rows
+    assert any(0 < r.n_kept < r.n_docs for r in rows)
+
+
+@pytest.mark.parametrize("sf", ["0.01", "0.1"])
+def test_graded_sf_block_widths_under_cap(sf):
+    """r10 advisor item: dedup_fuzzy_name_match and
+    dedup_embedding_cosine gained max_block=4096 guards whose
+    no-output-change-at-graded-SF justification lived in a comment.
+    Enforce it: the widest nation block and the widest embedding-label
+    block at both graded scale factors stay under the cap, so the
+    capped and uncapped plans are bit-identical where the driver
+    grades."""
+    con = duckdb.connect()
+    widest_nation = con.execute(
+        f"SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM "
+        f"'/root/testdata/sf{sf}/customer.parquet' GROUP BY c_nationkey)"
+    ).fetchone()[0]
+    assert widest_nation <= dq._FUZZY_MAX_BLOCK
+    widest_label = con.execute(
+        f"SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM "
+        f"'/root/testdata/sf{sf}/embeddings.parquet' GROUP BY label)"
+    ).fetchone()[0]
+    assert widest_label <= 4096
