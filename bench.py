@@ -254,18 +254,21 @@ def main() -> None:
             if n.strip()
         }
         # auto-reset: a merged query whose defining module changed since
-        # the record's stamped commit keeps a minimum measured on code
-        # that no longer exists (r9 advice: nothing derived the reset
-        # set from the actual diff — forgetting SPARK_GRAFT_RESET
-        # silently preserved a phantom baseline)
-        auto = stale_queries((existing or {}).get("commit"), qs, names)
+        # the record was taken keeps a minimum measured on code that no
+        # longer exists (r9 advice: nothing derived the reset set from
+        # the actual diff — forgetting SPARK_GRAFT_RESET silently
+        # preserved a phantom baseline; r10 advice: the diff is against
+        # stamped CONTENT hashes, not HEAD, so dirty-tree and untracked
+        # defining modules reset correctly too)
+        auto = stale_from_record(existing, qs, names)
         if auto - reset:
             print(
                 "bench: auto-reset (module changed since record commit): "
                 + ",".join(sorted(auto - reset)),
                 file=sys.stderr,
             )
-        full["commit"] = _git_head()
+        full["commit"] = _git_head()  # provenance only — staleness keys
+        full["module_hashes"] = _module_hashes(qs, names)  # off content
         full = merge_record(existing, full, reset | auto)
     full_path.write_text(json.dumps(full, indent=1) + "\n")
     print(compact_line(full, full_path.name))
@@ -294,14 +297,66 @@ def _git_head() -> str | None:
         return None
 
 
+def _defining_rel(fn) -> str | None:
+    """Repo-relative path of a query callable's defining module."""
+    code = getattr(fn, "__code__", None)
+    fname = getattr(code, "co_filename", None)
+    if not fname:
+        return None
+    return os.path.relpath(fname, Path(__file__).resolve().parent)
+
+
+def _module_hashes(qs: dict, names: list) -> dict[str, str]:
+    """sha1 of each defining module's CURRENT on-disk content, one entry
+    per distinct file. Content hashes — not a git HEAD stamp — because a
+    record can legitimately be taken from a dirty or untracked working
+    tree (r10 advice: a HEAD stamp on such a record pins a minimum to
+    code `git diff --name-only <commit>` can never see changing, the
+    exact phantom baseline the stamp exists to prevent)."""
+    import hashlib
+
+    root = Path(__file__).resolve().parent
+    out: dict[str, str] = {}
+    for name in names:
+        rel = _defining_rel(qs.get(name))
+        if rel is None or rel in out:
+            continue
+        try:
+            out[rel] = hashlib.sha1((root / rel).read_bytes()).hexdigest()
+        except OSError:
+            pass  # module not on disk (REPL-defined): never stamped
+    return out
+
+
+def stale_from_record(old_record: dict | None, qs: dict, names: list) -> set:
+    """Queries whose DEFINING module content changed since the record —
+    their recorded minima describe code that no longer exists, so
+    merge_record must take the fresh time. Prefers the record's
+    'module_hashes' content stamp (covers dirty-tree and untracked
+    edits); records from before content stamping fall back to the
+    commit diff, and records from before any stamping merge as before.
+    Defining-file granularity only: a change to a shared library module
+    a query calls into is not caught (SPARK_GRAFT_RESET remains the
+    explicit override for those)."""
+    old_record = old_record or {}
+    old_hashes = old_record.get("module_hashes")
+    if old_hashes is not None:
+        cur = _module_hashes(qs, names)
+        out = set()
+        for name in names:
+            rel = _defining_rel(qs.get(name))
+            if rel is not None and cur.get(rel) != old_hashes.get(rel):
+                out.add(name)
+        return out
+    return stale_queries(old_record.get("commit"), qs, names)
+
+
 def stale_queries(old_commit: str | None, qs: dict, names: list) -> set:
-    """Queries whose DEFINING module file changed (committed or working
-    tree) since the record's stamped commit — their recorded minima
-    describe code that no longer exists, so merge_record must take the
-    fresh time. Defining-file granularity only: a change to a shared
-    library module a query calls into is not caught (SPARK_GRAFT_RESET
-    remains the explicit override for those); records from before
-    stamping existed (no 'commit' key) merge as before."""
+    """Legacy commit-stamp staleness (records written before
+    'module_hashes' existed): queries whose defining module file changed
+    in COMMITTED history since the record's stamped commit. Blind to
+    dirty-tree and untracked edits — which is why new records carry
+    content hashes instead (stale_from_record)."""
     import subprocess
 
     if not old_commit:

@@ -26,11 +26,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import weakref
+
+from pyspark.sql import SparkSession
+
 from iot_database_spark.database import IotDatabase
 from iot_database_spark.operators import blockchain as bc
 from iot_database_spark.operators import iotvalue as iv
 
 _WRITE_SCHEMA = "guid string, ts timestamp, priority int, value string"
+
+# Sessions whose monotonically_increasing_id bit-layout canary passed
+# (see PointStore._check_mid_layout).
+_MID_LAYOUT_OK: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _check_mid_layout(spark: SparkSession) -> None:
+    """The id stamp derives within-partition position from
+    monotonically_increasing_id's bit layout (partition index in the
+    upper 31 bits, per-partition row number in the lower 33). Spark's
+    docs describe that layout as "the current implementation" — an
+    implementation detail, not a contract (r10 advice) — so a version
+    bump could silently change it and corrupt id assignment. This
+    canary proves the assumption against the RUNNING Spark once per
+    session (one 8-row, 2-partition job) and fails LOUDLY otherwise;
+    tests/test_points.py::test_assign_ids_distributed_matches_global_order
+    is the CI-side canary for the full distributed path. Verified
+    layout pin: Spark 4.x (this repo's floor)."""
+    if spark in _MID_LAYOUT_OK:
+        return
+    rows = (
+        spark.range(0, 8, 1, 2)
+        .select(
+            F.spark_partition_id().alias("p"),
+            (
+                F.monotonically_increasing_id()
+                - F.spark_partition_id().cast("bigint") * F.lit(1 << 33)
+            ).alias("lp"),
+        )
+        .collect()
+    )
+    per: dict[int, list[int]] = {}
+    for r in rows:
+        per.setdefault(r["p"], []).append(r["lp"])
+    for p, lps in sorted(per.items()):
+        if sorted(lps) != list(range(len(lps))):
+            raise RuntimeError(
+                "monotonically_increasing_id bit layout changed (partition "
+                f"{p} positions {sorted(lps)}): PointStore._assign_ids "
+                "would assign corrupt ids — rework its local_pos "
+                "derivation for this Spark version"
+            )
+    _MID_LAYOUT_OK.add(spark)
 
 
 class PointStore:
@@ -116,8 +163,12 @@ class PointStore:
         blockchain.append_chain_incremental). Because that diverges
         from the reference's arrival-ordered chain (BlockCollection.
         Insert appends every block), the drop is NOT silent: the result
-        dict's 'chain_dropped_retro' reports how many audit rows the
-        chain discarded, so callers can alert (r9 advice).
+        dict's 'chain_dropped_retro' (strictly-before-head rows) and
+        'chain_dropped_dup' (consecutive-duplicate data: equal-to-head
+        and in-batch repeats) report every chain row discarded, so
+        callers can alert (r9+r10 advice) — chain + chain_dropped_retro
+        + chain_dropped_dup equals the batch's chain-flagged row count
+        by construction.
         """
         # pin the batch rows before any sink write: a batch derived from a
         # query over this store's own tables (e.g. a continuous-query
@@ -169,14 +220,17 @@ class PointStore:
         chain_src = hashed.filter(
             iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
         ).select("guid", "ts", F.col("value").alias("data"))
-        n_chain, n_retro = 0, 0
+        n_chain, n_retro, n_dup = 0, 0, 0
         if chain_src.limit(1).count():
-            n_chain, n_retro = self._append_chain_batch(chain_src, n_batch)
+            n_chain, n_retro, n_dup = self._append_chain_batch(
+                chain_src, n_batch
+            )
         return {
             "writes": n_all,
             "ts": n_ts,
             "chain": n_chain,
             "chain_dropped_retro": n_retro,
+            "chain_dropped_dup": n_dup,
         }
 
     def _heads_stamp(self) -> int:
@@ -233,7 +287,7 @@ class PointStore:
         verify_chain with no tamper. A recovery batch also compacts, so
         heads the crashed batch failed to log are re-persisted before
         the stamp declares the log authoritative again.
-        Returns (appended, dropped_retro)."""
+        Returns (appended, dropped_retro, dropped_dup)."""
         recovered = self._heads_stamp() != self.chain._current_version()
         if recovered:
             heads = bc.chain_heads(
@@ -252,28 +306,46 @@ class PointStore:
         n_chain = self.chain.insert(
             with_ids.select(*[f.name for f in self.chain.df.schema.fields])
         )
-        # retro census (r9 advice: discarded audit rows must be
-        # countable): batch rows NOT strictly after their guid's seed
-        # head in the fold's (ts, data-string) order. heads is one row
-        # per touched guid — the broadcast join is head-sized.
+        # drop census (r9 advice: discarded audit rows must be
+        # countable; r10 advice: the old single count conflated the two
+        # drop classes and missed in-batch dups entirely). The fold
+        # drops exactly two kinds of input row — RETRO (strictly before
+        # its guid's seed head in the (ts, data-string) order) and DUP
+        # (consecutive-duplicate data: the cross-batch equal-to-head row
+        # and in-batch consecutive repeats) — so with n_src counted on
+        # the pinned batch, dup drops are the remainder:
+        # n_src == appended + retro + dup, by construction. heads spans
+        # every chained guid (device-count-sized — the same broadcast
+        # dim append_chain_incremental's seed uses).
         h = heads.select(
             "guid",
             F.col("ts").alias("_hts"),
             F.col("data").cast("string").alias("_hdata"),
         )
-        n_retro = (
-            chain_src.join(F.broadcast(h), "guid")
-            .filter(
-                ~(
-                    (F.col("ts") > F.col("_hts"))
-                    | (
-                        (F.col("ts") == F.col("_hts"))
-                        & (F.col("data").cast("string") > F.col("_hdata"))
+        # ONE job for both scalars (left join: guids without a head have
+        # a null retro condition and count as non-retro)
+        census = (
+            chain_src.join(F.broadcast(h), "guid", "left")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count(
+                    F.when(
+                        (F.col("ts") < F.col("_hts"))
+                        | (
+                            (F.col("ts") == F.col("_hts"))
+                            & (
+                                F.col("data").cast("string")
+                                < F.col("_hdata")
+                            )
+                        ),
+                        1,
                     )
-                )
+                ).alias("_r"),
             )
-            .count()
+            .collect()[0]
         )
+        n_retro = census["_r"]
+        n_dup = census["_n"] - n_chain - n_retro
         # heads ids carry no query meaning (the seed read uses
         # guid/ts/data/hash only): appended log rows REUSE their chain
         # block's id (unique for free — no stats job, no sequence), and
@@ -286,8 +358,14 @@ class PointStore:
                 "guid", "ts", "data", "hash"
             )
             merged = bc.chain_heads(heads.unionByName(new_heads))
+            # no size_hint: the merged set is O(all chained devices), so
+            # the stamp must be free to go distributed (r10 advice — a 0
+            # hint forced the coalesce(1) single-task stamp, re-paying
+            # the serialization r9 verdict #4 removed from ingest, once
+            # per compaction at fleet scale). Single-partition merges
+            # still take the lazy single-task stamp.
             self.chain_heads._write(
-                self._assign_ids(self.chain_heads, merged, base=0, size_hint=0)
+                self._assign_ids(self.chain_heads, merged, base=0)
             )
         else:
             tip = F.max_by(
@@ -303,7 +381,7 @@ class PointStore:
             )
             self.chain_heads._append(new_heads)
         self._stamp_heads(self.chain._current_version())
-        return n_chain, n_retro
+        return n_chain, n_retro, n_dup
 
     # Below this many rows the id stamp runs as ONE lazy narrow task
     # (coalesce + in-partition sort): the distributed path costs two
@@ -345,7 +423,11 @@ class PointStore:
         cols = list(batch.columns)
         oc = [F.col(c) for c in order]
         # low 33 bits of monotonically_increasing_id = record position
-        # within its partition (the upper 31 carry the partition index)
+        # within its partition (the upper 31 carry the partition index).
+        # That layout is a documented implementation detail, NOT a
+        # contract — proven against the running Spark once per session
+        # before any id is derived from it (r10 advice):
+        _check_mid_layout(batch.sparkSession)
         local_pos = F.monotonically_increasing_id() - (
             F.spark_partition_id().cast("bigint") * F.lit(1 << 33)
         )

@@ -122,3 +122,34 @@ def test_stale_queries_derive_reset_from_diff(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_fail)
     assert bench.stale_queries("gone", qs, ["a", "b"]) == set()
+
+
+def test_stale_from_record_uses_content_hashes(tmp_path, monkeypatch):
+    """r10 advice: staleness keys off stamped CONTENT hashes, so a
+    defining module edited after the record was taken resets even when
+    the edit is uncommitted or the module untracked (git-diff-blind),
+    and a record taken from a dirty tree pins the content actually
+    measured."""
+    import pathlib
+
+    root = pathlib.Path(bench.__file__).resolve().parent
+    # untracked module under the repo root — invisible to git diff
+    mod = root / "_bench_stale_probe.py"
+    mod.write_text("def q(s, d):\n    return None\n")
+    try:
+        ns: dict = {}
+        exec(compile(mod.read_text(), str(mod), "exec"), ns)
+        qs = {"a": ns["q"]}
+        stamped = bench._module_hashes(qs, ["a"])
+        assert stamped  # the probe module was hashed
+        record = {"module_hashes": stamped, "commit": "deadbeef"}
+        # unchanged content -> not stale (no git involved)
+        assert bench.stale_from_record(record, qs, ["a"]) == set()
+        # edit the file post-record (still untracked): stale now
+        mod.write_text("def q(s, d):\n    return 1\n")
+        assert bench.stale_from_record(record, qs, ["a"]) == {"a"}
+        # record predating content stamps falls back to the commit path
+        legacy = {"commit": None}
+        assert bench.stale_from_record(legacy, qs, ["a"]) == set()
+    finally:
+        mod.unlink()

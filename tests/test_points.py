@@ -53,7 +53,10 @@ def test_fanout_per_flags(store, spark):
             ],
         )
     )
-    assert counts == {"writes": 4, "ts": 3, "chain": 2, "chain_dropped_retro": 0}
+    assert counts == {
+        "writes": 4, "ts": 3, "chain": 2,
+        "chain_dropped_retro": 0, "chain_dropped_dup": 0,
+    }
     assert store.writes.count() == 4
     assert store.ts_writes.count() == 3  # tsflag + chained only
     chain = {r["ts"]: r for r in store.chain.df.collect()}
@@ -230,11 +233,58 @@ def test_chain_retro_write_dropped_not_corrupting(store, spark):
     )
     # the drop is REPORTED, not silent (r9 advice: an audit-log caller
     # must be able to alert on discarded chain history)
-    assert counts == {"writes": 1, "ts": 1, "chain": 0, "chain_dropped_retro": 1}
+    assert counts == {
+        "writes": 1, "ts": 1, "chain": 0,
+        "chain_dropped_retro": 1, "chain_dropped_dup": 0,
+    }
     assert store.chain.count() == 2  # unchanged
     assert all(r["valid"] for r in store.verify_chains().collect())
     # the write log DID record it (only the chain sink filters)
     assert store.writes.count() == 3
+
+
+def test_chain_drop_census_splits_dup_from_retro(store, spark):
+    """r10 advice: the drop census must account for EVERY discarded
+    chain row, split by cause — in-batch consecutive duplicates and the
+    equal-to-head cross-batch repeat are 'dup', strictly-before-head
+    rows are 'retro', and chain + retro + dup equals the batch's
+    chain-flagged input count."""
+    # in-batch consecutive dup: same data back-to-back in (ts, data)
+    counts = store.write_batch(
+        _batch(
+            spark,
+            [
+                ("chained", _ts("2024-01-01T01:00:00"), 15, "a"),
+                ("chained", _ts("2024-01-01T02:00:00"), 15, "a"),
+            ],
+        )
+    )
+    assert counts["chain"] == 1
+    assert counts["chain_dropped_dup"] == 1
+    assert counts["chain_dropped_retro"] == 0
+    # equal-to-head repeat: a dup, NOT a retro drop (r10 advice — the
+    # old census misfiled it)
+    counts = store.write_batch(
+        _batch(spark, [("chained", _ts("2024-01-01T01:00:00"), 15, "a")])
+    )
+    assert counts["chain"] == 0
+    assert counts["chain_dropped_dup"] == 1
+    assert counts["chain_dropped_retro"] == 0
+    # conservation across a mixed batch: 1 appended + 1 retro + 1 dup
+    counts = store.write_batch(
+        _batch(
+            spark,
+            [
+                ("chained", _ts("2024-01-01T00:30:00"), 15, "early"),
+                ("chained", _ts("2024-01-01T03:00:00"), 15, "b"),
+                ("chained", _ts("2024-01-01T04:00:00"), 15, "b"),
+            ],
+        )
+    )
+    assert counts["chain"] == 1
+    assert counts["chain_dropped_retro"] == 1
+    assert counts["chain_dropped_dup"] == 1
+    assert all(r["valid"] for r in store.verify_chains().collect())
 
 
 def test_assign_ids_distributed_matches_global_order(store, spark):
@@ -292,6 +342,7 @@ def test_chain_heads_recover_from_stale_stamp(store, spark):
         _batch(spark, [("chained", _ts("2024-01-01T02:00:00"), 15, "c")])
     )
     assert counts["chain"] == 1 and counts["chain_dropped_retro"] == 0
+    assert counts["chain_dropped_dup"] == 0
     assert store.chain.count() == 3
     assert all(r["valid"] for r in store.verify_chains().collect())
     # a recovery batch COMPACTS: heads the crashed batch failed to log
