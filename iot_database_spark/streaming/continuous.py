@@ -77,7 +77,19 @@ class ContinuousQueryService:
         now = time.time()
         try:
             result = cfg.query(self.spark)
-            result.count()  # force execution so failures surface here
+            # Force execution AND pin the rows: failures surface here,
+            # and last_result becomes a materialized snapshot of the run
+            # — the reference hands callbacks a completed result set
+            # (QueryExecutionService.cs:88-95), not a live query that
+            # re-evaluates against later table states. Pinning also
+            # means every downstream read of the result (slot-14
+            # materialization, repeated reads between runs) is free
+            # instead of re-running the query per consumer — the
+            # count()-force it replaces paid one job to discard the
+            # rows, then one more per consumer. Continuous-query results
+            # are alert/dashboard-sized by construction; a query whose
+            # result is too big to pin is not a 1 s-interval query.
+            result = result.localCheckpoint(eager=True)
         except Exception as exc:  # noqa: BLE001 — reference reports all failures
             if cfg.on_failure:
                 cfg.on_failure(name, exc, now)
