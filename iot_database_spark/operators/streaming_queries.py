@@ -18,6 +18,7 @@ on duplicate timestamps are engine-nondeterministic.
 
 from __future__ import annotations
 
+import os
 import uuid
 import weakref
 
@@ -49,7 +50,21 @@ from iot_database_spark.streaming.windowed import windowed_rollup
 # trade-off shifts (stores open on different hosts; RocksDB state
 # backend changes the constants again) and the deployment sets the
 # stream session's conf to its own measured optimum before start.
-_STREAM_STATE_PARTITIONS = 8
+_STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+# State store backend for the stream session clone: unset keeps Spark's
+# default (HDFS-backed in-memory maps); "rocksdb" selects the bundled
+# RocksDBStateStoreProvider. A deployment knob (r10 verdict task #6:
+# the partition pin above was measured against HDFS-backed state whose
+# per-store open/commit amplification RocksDB specifically targets —
+# SCALE_r11.md records the A/B on this harness).
+_STREAM_STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "")
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 _STREAM_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
@@ -80,6 +95,10 @@ def _stream_session(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
         _STREAM_SESSIONS[spark] = clone
     # (re)pin after any conf application — load-order independent
     clone.conf.set("spark.sql.shuffle.partitions", str(n))
+    if _STREAM_STATE_PROVIDER.lower() == "rocksdb":
+        clone.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
     return clone
 
 # PySpark 4.1 reads the testdata's TIMESTAMP(NANOS) parquet natively as
