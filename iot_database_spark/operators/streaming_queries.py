@@ -39,32 +39,67 @@ from iot_database_spark.streaming.windowed import windowed_rollup
 # (measured 8.2 s -> 2.9 s at 8 partitions, identical results — the
 # grading hash is partition-independent).
 #
-# Input-PROPORTIONAL sizing was tried in r10 and MEASURED WORSE on the
-# single-JVM harness (same-process A/B at sf10, 8 vs 19 partitions):
-# session-window complete-mode state 17 -> 130 s, watermarked
-# stream-stream join 5.9 -> 9.5 s; only the Python-worker-bound
-# applyInPandasWithState path gained (~13%). For HDFS-backed state on
-# one JVM, per-partition store open/commit/maintenance amplifies with
-# the partition count far faster than the parallelism pays back, so the
-# pinned small count stays. On a real multi-executor cluster the
-# trade-off shifts (stores open on different hosts; RocksDB state
-# backend changes the constants again) and the deployment sets the
-# stream session's conf to its own measured optimum before start.
-_STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-)
-
-# State store backend for the stream session clone: unset keeps Spark's
-# default (HDFS-backed in-memory maps); "rocksdb" selects the bundled
-# RocksDBStateStoreProvider. A deployment knob (r10 verdict task #6:
-# the partition pin above was measured against HDFS-backed state whose
-# per-store open/commit amplification RocksDB specifically targets —
-# SCALE_r11.md records the A/B on this harness).
-_STREAM_STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "")
+# Input-PROPORTIONAL sizing was tried in r10 and measured WORSE on
+# HDFS-backed state (same-process A/B at sf10, 8 vs 19 partitions:
+# session-window complete-mode state 17 -> 130 s — per-partition store
+# open/commit/maintenance amplifies faster than parallelism pays back
+# on one JVM). The r11 RocksDB A/B below revised that: the conclusion
+# held only for the HDFS-map backend; under RocksDB more partitions DO
+# pay at big state, so the small pin is now the SMALL-SOURCE config.
+_STREAM_STATE_PARTITIONS = 8
 
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+# r10 verdict task #6: the 8-partition pin above was measured against
+# HDFS-backed state, whose per-store open/commit amplification RocksDB
+# specifically removes — and the r11 A/B (SCALE_r11.md, sf0.1/sf1/sf10,
+# back-to-back same-host batches) shows a clean CROSSOVER, so the
+# config is now sized from the stream's SOURCE BYTES (the observable
+# proxy for state size):
+#   - small sources (sf0.1-scale, events ~2 MB): HDFS-map state at 8
+#     partitions wins (11.6 s vs RocksDB-19's 18.4 s family total) —
+#     RocksDB's per-store fixed cost dominates near-empty state.
+#   - big sources (sf10, events ~157 MB): RocksDB at 19 partitions wins
+#     2.7x (59 s vs 166 s family total; the worst curve,
+#     applyInPandasWithState threshold alerts, goes 96 -> 30 s), and 19
+#     beats both 8 (119 s) and 32 (66 s) under RocksDB.
+#   - the crossover sits near sf1 (events ~16 MB: 18.0 vs 16.4 s) —
+#     the 8 MiB threshold puts sf1 on the RocksDB side it already wins.
+# SPARK_GRAFT_STREAM_STATE_{PROVIDER,PARTITIONS} override both (the A/B
+# reproduction knobs; a deployment pins its own measured optimum).
+_BIG_STATE_SOURCE_BYTES = 8 << 20
+_BIG_STATE_PARTITIONS = 19
+
+
+def _source_bytes(sf_dir: str, glob: str) -> int:
+    """Total bytes of the table the stream will read (parquet file or
+    dir). Local-fs only — remote deployments set the env pins instead."""
+    import pathlib
+
+    try:
+        p = pathlib.Path(sf_dir) / glob
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+        return p.stat().st_size if p.is_file() else 0
+    except OSError:
+        return 0
+
+
+def _stream_state_config(sf_dir: str | None, glob: str) -> tuple[str, int]:
+    """(provider, partitions) for a stream over {sf_dir}/{glob} — env
+    pins first, then the measured size crossover above."""
+    env_prov = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
+    env_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env_prov is not None or env_parts is not None:
+        return (
+            (env_prov or "").lower(),
+            int(env_parts) if env_parts else _STREAM_STATE_PARTITIONS,
+        )
+    if sf_dir and _source_bytes(sf_dir, glob) >= _BIG_STATE_SOURCE_BYTES:
+        return ("rocksdb", _BIG_STATE_PARTITIONS)
+    return ("", _STREAM_STATE_PARTITIONS)
 
 
 _STREAM_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
@@ -72,10 +107,16 @@ _STREAM_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
 )
 
 
-def _stream_session(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+def _stream_session(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    glob: str = "events.parquet",
+):
     """A per-parent-session CLONE (spark.newSession(): same
     SparkContext, isolated SQLConf/catalog) with shuffle.partitions
-    pinned to the stream's state-store count. Every streaming query
+    pinned to the stream's state-store count and the state store
+    backend chosen from the source size (_stream_state_config — the
+    measured HDFS-small / RocksDB-big crossover). Every streaming query
     builds its sources, runs its sinks, and returns its result on the
     clone, so the parent session's conf is NEVER touched (r9 verdict
     #5 — the old context manager mutated the session-global conf, and
@@ -85,7 +126,9 @@ def _stream_session(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
     Cached per parent (weak key, strong value): one clone serves all of
     a session's streaming queries, and it stays alive exactly as long
     as the parent — returned DataFrames read their landed sinks through
-    it lazily."""
+    it lazily. The per-call conf (re)pin is safe on the shared clone
+    because streaming confs bind at STREAM START and every query here
+    runs its stream to completion (availableNow) inside its own call."""
     clone = _STREAM_SESSIONS.get(spark)
     if clone is None:
         clone = spark.newSession()
@@ -93,12 +136,15 @@ def _stream_session(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
 
         _apply_runtime_confs(clone)
         _STREAM_SESSIONS[spark] = clone
+    provider, n = _stream_state_config(sf_dir, glob)
     # (re)pin after any conf application — load-order independent
     clone.conf.set("spark.sql.shuffle.partitions", str(n))
-    if _STREAM_STATE_PROVIDER.lower() == "rocksdb":
+    if provider == "rocksdb":
         clone.conf.set(
             "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
         )
+    else:
+        clone.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return clone
 
 # PySpark 4.1 reads the testdata's TIMESTAMP(NANOS) parquet natively as
@@ -186,7 +232,7 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-event-type rollup computed BY A RUNNING STREAM
     (readStream file source -> watermark -> window agg -> memory sink,
     availableNow trigger), then returned as the sink table."""
-    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
+    spark = _stream_session(spark, sf_dir)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         # the file source monitors a DIRECTORY; glob-filter it down to
@@ -243,7 +289,7 @@ def stream_rollup_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iot_database_spark.database import IotDatabase
     from iot_database_spark.streaming.windowed import windowed_rollup_to_table
 
-    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
+    spark = _stream_session(spark, sf_dir)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -284,7 +330,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real deployment bounds it with a watermark on ingest time — with
     availableNow over one file there is a single micro-batch and no
     state expiry question."""
-    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
+    spark = _stream_session(spark, sf_dir, "documents.parquet")  # conf-isolated clone (r9 verdict #5)
     docs_schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
@@ -340,7 +386,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_threshold_alerts,
     )
 
-    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
+    spark = _stream_session(spark, sf_dir)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -408,7 +454,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no later batch to flush them); the sink is a foreachBatch
     parquet overwrite, so the full session set is written by a Spark
     job and read back distributed — never collected on the driver."""
-    spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
+    spark = _stream_session(spark, sf_dir)  # conf-isolated clone (r9 verdict #5)
     stream = (
         spark.readStream.schema(_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -466,7 +512,14 @@ def stream_stream_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The delay column is an exact integer microsecond difference, and
     (view_id, purchase_id) pairs are unique — no tie or float
-    nondeterminism anywhere."""
+    nondeterminism anywhere.
+
+    Deliberately NOT size-routed to RocksDB (no sf_dir passed): the
+    watermark evicts this join's state continuously, so state stays
+    small however big the source — and the r11 A/B measured the
+    HDFS-map/8 config fastest for it at EVERY scale (sf10: 9.1-11.9 s
+    vs 16.7-27.7 s across RocksDB configs) while the growing-state
+    queries flipped (SCALE_r11.md)."""
     spark = _stream_session(spark)  # conf-isolated clone (r9 verdict #5)
 
     def _side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:

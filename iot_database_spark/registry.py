@@ -63,6 +63,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     (49 minus fuzzy, re-graded here) + these 2 = 50. The alternative
 #     (staging the two r11 builds like r10 did) was rejected: r10's
 #     verdict required both new operators to land a CORRECTNESS_r11 row.
+#
+# SATURATION NOTE for r12+: at 150 registered queries and a 50-slot
+# window the rotation is exactly full — steady state grades each cohort
+# every 3rd round (r12 = 48 r9 + 2 r8; r13 = the 50 r10 greens; r14 =
+# the 50 r11 greens; ...), which holds every query at the <=3-rounds-old
+# evidence limit with ZERO slack. Any future registration needs a
+# same-round slot, which now requires RETIRING a query first (the
+# dedup_ngram_jaccard_absolute precedent: keep the library function +
+# the bit-exact local gate, drop the driver row). New capabilities that
+# don't need a driver row should land as library + suite evidence
+# (MinHashIndex / QuantizedStore / framestore precedent) instead.
 _PRIORITY: tuple[str, ...] = (
     "dedup_span_exact",  # never graded (staged r10, registered r11)
     "corpus_quality_resample",  # never graded (staged r10, registered r11)
