@@ -289,3 +289,40 @@ def test_ngram_lm_score_stays_jvm(spark, sf):
     text = audit.explain_str(df)
     assert "PythonUDF" not in text and "BatchEvalPython" not in text
     assert "ArrowEvalPython" not in text
+
+
+def test_round11_span_and_fixed_eval_plan_shapes(spark, sf):
+    """The r11 registrations keep their documented scale shapes: no
+    window over spans or pairs, no nested-loop/cartesian join anywhere,
+    and the top-k phrase search takes its rows with a distributed heap."""
+    # span removal: 2 shuffle exchanges (span-string stats, doc-keyed
+    # removal sets) + broadcastable join sides at small sf; the repair
+    # is narrow HOF work — NO Window over occurrences, no BNLJ
+    rm = _Q["dedup_span_removal"](spark, sf)
+    plan = rm._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert audit.count_exchanges(rm) <= 4
+    assert not audit.uses_python_udf(rm)
+    # span profile: df table built by one partial-aggregated groupBy,
+    # join back on the same key
+    prof = _Q["dedup_span_exact"](spark, sf)
+    pplan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in pplan
+    assert "BroadcastNestedLoop" not in pplan and "CartesianProduct" not in pplan
+    assert not audit.uses_python_udf(prof)
+    # fixed-eval decon: the constant-size eval side broadcasts, the
+    # train corpus never re-shuffles onto the eval axis
+    fx = _Q["decontaminate_fixed_eval"](spark, sf)
+    assert audit.uses_broadcast_join(fx)
+    fplan = fx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in fplan and "CartesianProduct" not in fplan
+    assert not audit.uses_python_udf(fx)
+    # phrase top-k: distributed heap, never a global sort
+    ph = _Q["search_phrase_topk"](spark, sf)
+    assert audit.uses_take_ordered(ph)
+    assert not audit.uses_python_udf(ph)
+    # quality resample: one partial-aggregated exchange, narrow otherwise
+    qr = _Q["corpus_quality_resample"](spark, sf)
+    assert audit.count_exchanges(qr) == 1
+    assert not audit.uses_python_udf(qr)
