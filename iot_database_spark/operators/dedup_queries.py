@@ -789,6 +789,15 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_N = 8  # tokens per span — long enough that collisions mean copying
 
+# Span EXCHANGES are keyed on the portable 60-bit hash of the span, not
+# the span string itself: an 8-token span is 60-100 bytes of key, and
+# the sf1->sf3 probe measured the string-keyed sort-merge join
+# super-linear in wall-clock (12.6 s vs 7.9 s hashed at sf3; hashed is
+# 3.24x for the 3.33x sf3->sf10 step — clean linear). Both engines
+# apply the SAME hash (hashing.duck_hash64), so a collision merges the
+# same two spans on both sides and parity is unaffected; expected
+# colliding pairs at sf10 are ~2e-4 (23.6M spans over a 2^60 domain).
+
 SPAN_EXACT_ORACLE = f"""
     WITH words AS (
         SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
@@ -796,7 +805,7 @@ SPAN_EXACT_ORACLE = f"""
         WHERE len(string_split(text, ' ')) >= {SPAN_N}
     ),
     sp AS (
-        SELECT DISTINCT id, s FROM (
+        SELECT DISTINCT id, {duck_hash64('s')} AS s FROM (
             SELECT id,
                    unnest(list_transform(range(1, len(ws) - {SPAN_N - 2}),
                           i -> {" || ' ' || ".join(f"ws[i+{k}]" for k in range(SPAN_N))})) AS s
@@ -830,11 +839,20 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, join rows = distinct (doc, span) pairs — linear in corpus at
     any scale, no cross-doc pair generation anywhere (unlike candidate-
     pair dedup, a span profile never needs the quadratic join, which is
-    why it needs no max_bucket guard)."""
+    why it needs no max_bucket guard). Span keys are hashed before the
+    exchange (see SPAN_EXACT_ORACLE's comment); the per-doc distinct is
+    taken over the HASHES in both engines so an intra-doc collision
+    dedups identically."""
+    from iot_database_spark.operators.hashing import hash64
+
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
     spans = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(dd.shingles(F.col("text"), SPAN_N))).alias("s"),
+        F.explode(
+            F.array_distinct(
+                F.transform(dd.shingles(F.col("text"), SPAN_N), hash64)
+            )
+        ).alias("s"),
     )
     dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -864,7 +882,7 @@ SPAN_REMOVAL_ORACLE = f"""
         FROM documents
     ),
     sp AS (
-        SELECT id, u['p'] AS pos, u['s'] AS s
+        SELECT id, u['p'] AS pos, {duck_hash64("u['s']")} AS s
         FROM (
             SELECT id, unnest(list_transform(range(1, len(ws) - {SPAN_N - 2}),
                        i -> {{'p': i, 's': {" || ' ' || ".join(f"ws[i+{k}]" for k in range(SPAN_N))}}})) AS u
@@ -929,15 +947,22 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere — removal is linear in corpus size at any scale, which is
     exactly why Lee et al. repair spans rather than joining candidate
     document pairs."""
+    from iot_database_spark.operators.hashing import hash64
+
     tables = load_views(spark, sf_dir)
     alld = tables["documents"].select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws"),
     )
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
+    # span keys hashed before any exchange (SPAN_EXACT_ORACLE's comment:
+    # the string-keyed exchange measured super-linear; the oracle hashes
+    # in lockstep so a collision repairs identically on both sides)
     sp = docs.select(
         "doc_id",
-        F.posexplode(dd.shingles(F.col("text"), SPAN_N)).alias("p0", "s"),
+        F.posexplode(
+            F.transform(dd.shingles(F.col("text"), SPAN_N), hash64)
+        ).alias("p0", "s"),
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "s")
     occ_key = F.col("doc_id") * _SPAN_KEY + F.col("pos")
     stats = sp.groupBy("s").agg(
