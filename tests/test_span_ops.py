@@ -95,3 +95,44 @@ def test_graded_sf_block_widths_under_cap(sf):
         f"'/root/testdata/sf{sf}/embeddings.parquet' GROUP BY label)"
     ).fetchone()[0]
     assert widest_label <= 4096
+
+
+def test_stream_state_config_routing(tmp_path, monkeypatch):
+    """The stream-state crossover routing (SCALE_r11.md): env pins win,
+    big sources pick RocksDB at the measured partition count, small
+    sources keep the HDFS-map/8 optimum, and a missing source falls
+    back to small-state."""
+    from iot_database_spark.operators import streaming_queries as sq
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PROVIDER", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    small = tmp_path / "events.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert sq._stream_state_config(str(tmp_path), "events.parquet") == (
+        "",
+        sq._STREAM_STATE_PARTITIONS,
+    )
+    big = tmp_path / "big" / "events.parquet"
+    big.mkdir(parents=True)
+    (big / "part-0.parquet").write_bytes(b"x" * (sq._BIG_STATE_SOURCE_BYTES))
+    assert sq._stream_state_config(str(tmp_path / "big"), "events.parquet") == (
+        "rocksdb",
+        sq._BIG_STATE_PARTITIONS,
+    )
+    # absent source -> small-state default, never an exception
+    assert sq._stream_state_config(str(tmp_path / "nope"), "events.parquet") == (
+        "",
+        sq._STREAM_STATE_PARTITIONS,
+    )
+    # env pins override the size routing entirely
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PROVIDER", "rocksdb")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "19")
+    assert sq._stream_state_config(str(tmp_path), "events.parquet") == (
+        "rocksdb",
+        19,
+    )
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    assert sq._stream_state_config(str(tmp_path / "big"), "events.parquet") == (
+        "rocksdb",
+        sq._STREAM_STATE_PARTITIONS,
+    )
