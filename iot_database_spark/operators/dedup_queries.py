@@ -844,54 +844,36 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken over the HASHES in both engines so an intra-doc collision
     dedups identically.
 
-    Join-side asymmetry: n_spans is pure NARROW per-row arithmetic
-    (array size — it never touches an exchange), and the join back
-    carries only the DUPLICATED spans (df >= 2 — the tiny minority on
-    any non-degenerate corpus, broadcastable under AQE; a
-    boilerplate-heavy corpus where it isn't small degrades to the plain
-    shuffle join, never worse than joining the full frequency table).
-    The doc-axis aggregation then processes only the duplicate HITS,
-    not the corpus's whole span stream (22.1 -> 19.6 s at sf10 on a
-    LOADED window — the structural claim, strictly less shuffled work,
-    is the load-independent part). The oracle computes the identical
-    values from the full join (COUNT CASE df>=2); values agree
-    exactly."""
+    Shape note, measured both ways: a "join only the df>=2 spans"
+    variant (narrow n_spans + broadcast dup-set probe) was tried and
+    REVERTED — the broadcast probe recomputes the shingle+md5 span
+    stream a second time, while this full join reuses the groupBy's
+    shuffled exchange (ReusedExchange), computing spans ONCE. The
+    recompute lost at every SF (sf0.1: 0.95 -> 1.78 s; sf1: 3.59 ->
+    7.57 s) for at best ~10% at sf10; span COMPUTE dominates span
+    SHUFFLE once the keys are 8-byte hashes."""
     from iot_database_spark.operators.hashing import hash64
 
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
-    base = docs.select(
+    spans = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(dd.shingles(F.col("text"), SPAN_N), hash64)
-        ).alias("hs"),
+        F.explode(
+            F.array_distinct(
+                F.transform(dd.shingles(F.col("text"), SPAN_N), hash64)
+            )
+        ).alias("s"),
     )
-    spans = base.select("doc_id", F.explode("hs").alias("s"))
-    dup = (
-        spans.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("s")
-    )
-    hits = (
-        spans.join(dup, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"))
-    )
+    dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
-        base.select(
-            "doc_id", F.size("hs").cast("bigint").alias("n_spans")
+        spans.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count(F.when(F.col("df") >= 2, 1)).cast("bigint").alias("n_dup_spans"),
         )
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("bigint")).alias(
-                "n_dup_spans"
-            ),
-            (
-                F.coalesce(F.col("n_dup_spans"), F.lit(0))
-                / F.col("n_spans").cast("double")
-            ).alias("dup_fraction"),
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"),
         )
     )
 
