@@ -29,6 +29,24 @@ def _gram_sql(n: int) -> str:
     return f"list_transform(range(1, len(ws) - {n - 2}), i -> {parts})"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) spread across cores — the gram-explode queries
+    here amplify each row ~100x, so a small single-file corpus must not
+    run its explode stages on 1-2 scan splits; spread_small_input fans
+    out by data volume and no-ops at scale (dedup_queries._docs'
+    rationale)."""
+    from iot_database_spark.session import spread_small_input
+
+    tables = load_views(spark, sf_dir)
+    return spread_small_input(
+        tables["documents"].select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        ),
+        spark,
+        cache_key=f"documents:{sf_dir}",
+    )
+
+
 _DECON_ORACLE = f"""
     WITH docs AS (
         SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
@@ -54,10 +72,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any 8-gram with the held-out eval slice (doc_id % 50 == 0).
     The eval gram set is broadcast — the corpus side is never shuffled;
     the only exchange is the final per-doc count."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
     return cu.ngram_decontaminate(train, eval_set, n=8)
@@ -129,11 +144,7 @@ def heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stop-gram/boilerplate detector. One hash-groupBy + top-k as
     TakeOrderedAndProject; the (count, gram) sort key is unique so the
     cut is deterministic."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return cu.heavy_hitters(docs, n=2, k=20)
+    return cu.heavy_hitters(_docs(spark, sf_dir), n=2, k=20)
 
 
 def _sv_sql(dim: int = 64) -> str:
@@ -470,11 +481,7 @@ def text_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject for the top-1000, which then BROADCASTS into
     a left-semi join — the corpus never re-shuffles on the doc axis,
     and the model table is 1000 rows no matter how big the corpus."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return cu.trigram_coverage(docs, k=1000)
+    return cu.trigram_coverage(_docs(spark, sf_dir), k=1000)
 
 
 _TRIM_ORACLE = """
@@ -513,11 +520,7 @@ def text_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window width 2 is deliberate on this corpus: the synthetic docs
     draw from a small vocabulary, so bigram windows actually collide
     and the trim does real work here."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return cu.trim_repeated_windows(docs, n=2)
+    return cu.trim_repeated_windows(_docs(spark, sf_dir), n=2)
 
 
 _ZIPF_ORACLE = """

@@ -37,10 +37,55 @@ for unseen grams instead of dropping them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_lm_counts", "ngram_lm_score"]
+
+# Scoring-join strategy gate (r11). The scoring join's probe side is
+# the corpus-sized (doc, gram) stream; its build side is the PRUNED
+# model (vocabulary-sized, sublinear under min_count — at order 3
+# nearly all grams are singletons). Left to Catalyst the build side's
+# size is estimated through two aggregations and a join, so the
+# optimizer plans a sort-merge join that shuffles the whole probe
+# stream on the (ctx, w) string key — the single largest exchange in
+# the LM family. Broadcasting the model instead makes scoring a
+# map-side hash join: the corpus never shuffles on the gram axis, and
+# the per-doc aggregation's map-side combine leaves only a
+# doc-count-bounded exchange. Output is IDENTICAL either way (a join
+# strategy, not a semantics change).
+#
+# The gate is the train corpus's on-disk bytes (same local-fs stat the
+# stream-state router uses): the pruned model measures ~2% of corpus
+# bytes serialized (sf1 trigram min_count=2), so 4 GiB of corpus keeps
+# the broadcast under ~100 MB — far under Spark's 8 GB broadcast cap
+# and a trivial per-executor cost next to shuffling the corpus. Above
+# the gate (or when the source can't be statted cheaply: in-memory
+# frames, object stores) the sort-merge plan stands — at 100 TB the
+# model is billions of rows and the shuffle is the right call.
+# SPARK_GRAFT_LM_BROADCAST=0/1 overrides (A/B + deployment pin).
+_BROADCAST_MODEL_MAX_SOURCE_BYTES = 4 << 30
+
+
+def _broadcast_model(df: DataFrame) -> bool:
+    env = os.environ.get("SPARK_GRAFT_LM_BROADCAST")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    total = 0
+    for uri in files:
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        if not os.path.exists(path):
+            return False
+        total += os.path.getsize(path)
+    return total <= _BROADCAST_MODEL_MAX_SOURCE_BYTES
 
 # Add-one (Laplace) smoothing: p(w | ctx) = (c_gram + 1) / (c_ctx + V).
 # Simple, zero-free, and exactly reproducible in ANSI SQL — Kneser-Ney
@@ -160,9 +205,10 @@ def ngram_lm_score(
     the ctx table a second time (the exact exchange the r8 27x->3x fix
     removed); backoff-to-uniform keeps scoring at ONE model exchange
     and the DuckDB oracle mirrors it operation-for-operation."""
-    ctx, grams, vocab = ngram_lm_counts(
-        train_df if train_df is not None else df, text, n
-    )
+    corpus = train_df if train_df is not None else df
+    ctx, grams, vocab = ngram_lm_counts(corpus, text, n)
+    # build-side strategy for the scoring join — see _broadcast_model
+    model = F.broadcast if _broadcast_model(corpus) else (lambda m: m)
     if min_count > 1:
         grams = grams.filter(F.col("c2") >= min_count)
     # per-DISTINCT-gram partial: one division -> one ln -> floor-scale;
@@ -203,7 +249,8 @@ def ngram_lm_score(
         if min_count <= 1:
             return (
                 doc_grams.join(
-                    partials.select("ctx", "w", "lp_micro"), ["ctx", "w"]
+                    model(partials.select("ctx", "w", "lp_micro")),
+                    ["ctx", "w"],
                 )
                 .groupBy(id_col)
                 .agg(
@@ -224,7 +271,9 @@ def ngram_lm_score(
         )
         return (
             doc_grams.join(
-                partials.select("ctx", "w", "lp_micro"), ["ctx", "w"], "left"
+                model(partials.select("ctx", "w", "lp_micro")),
+                ["ctx", "w"],
+                "left",
             )
             .crossJoin(F.broadcast(vocab))
             .select(id_col, F.coalesce("lp_micro", uni_lp).alias("lp_micro"))
@@ -248,8 +297,8 @@ def ngram_lm_score(
         .cast("bigint")
     )
     return (
-        doc_grams.join(partials, ["ctx", "w"], "left")
-        .join(ctx, "ctx", "left")
+        doc_grams.join(model(partials), ["ctx", "w"], "left")
+        .join(model(ctx), "ctx", "left")
         .crossJoin(F.broadcast(vocab))
         .select(id_col, F.coalesce("lp_micro", oov_lp).alias("lp_micro"))
         .groupBy(id_col)

@@ -10,6 +10,25 @@ from iot_database_spark.operators.hashing import duck_hash64
 from iot_database_spark.registry import load_views, register
 
 
+def _docs(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """(doc_id, text[, extra...]) spread across cores. The gram-explode
+    queries amplify every input row ~100x (one row per token position),
+    so a small single-file corpus that scans fine in 1-2 splits still
+    starves the explode+aggregate stages; spread_small_input fans the
+    scan out by DATA VOLUME and no-ops at scale (>= cores natural
+    splits) — same shape as dedup_queries._docs."""
+    from iot_database_spark.session import spread_small_input
+
+    tables = load_views(spark, sf_dir)
+    return spread_small_input(
+        tables["documents"].select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text", *extra
+        ),
+        spark,
+        cache_key=f"documents:{','.join(extra)}:{sf_dir}",
+    )
+
+
 @register(
     "text_quality_scores",
     oracle="""
@@ -233,10 +252,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle-checked operator used standalone elsewhere; composed,
     they stay a single declarative DataFrame flow (one scan of
     documents, one dedup exchange, one final agg)."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     feat = docs.select(
         "doc_id",
@@ -321,11 +337,7 @@ _GOPHER_ORACLE = f"""
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-rule signals + pass flag per document — the
     standard pre-training filter battery, as pure column expressions."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return tx.gopher_rules(docs).drop("text")
+    return tx.gopher_rules(_docs(spark, sf_dir)).drop("text")
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -503,10 +515,7 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
     accounting, composed from the standalone oracle-checked operators
     into ONE declarative plan (one documents scan, one dedup exchange,
     one Generate for chunks, one final agg)."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     feat = docs.select(
         "doc_id",
@@ -794,11 +803,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the r8 verdict's scale fix, mirrored in the oracle."""
     from iot_database_spark.operators import lm
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return lm.ngram_lm_score(docs, min_count=2)
+    return lm.ngram_lm_score(_docs(spark, sf_dir), min_count=2)
 
 
 @register(
@@ -862,11 +867,7 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unpruned table."""
     from iot_database_spark.operators import lm
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return lm.ngram_lm_score(docs, n=3, min_count=2)
+    return lm.ngram_lm_score(_docs(spark, sf_dir), n=3, min_count=2)
 
 
 _CCNET_ORACLE = """
@@ -954,10 +955,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iot_database_spark.operators import lm
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
-    )
+    docs = _docs(spark, sf_dir, "lang")
     scored = lm.ngram_lm_score(docs.select("doc_id", "text"), min_count=2).select(
         "doc_id",
         F.floor(
