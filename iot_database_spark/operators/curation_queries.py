@@ -309,10 +309,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a monotone transform changes neither ranking nor buckets."""
     from iot_database_spark.operators import textstats as tx
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     nw = F.greatest(F.size(toks), F.lit(1)).cast("double")
     feat = docs.select(
@@ -729,9 +726,12 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trim carries (lang, source) through as passthrough columns so
     nothing re-joins on doc_id. All graded aggregates are integer sums
     plus one final double division."""
-    tables = load_views(spark, sf_dir)
     from pyspark.sql import Window
 
+    tables = load_views(spark, sf_dir)
+    # deliberately NOT spread: the canonical-url window shuffle right
+    # below repartitions anyway, so a spread exchange is pure cost
+    # (measured 1.59 -> 1.81 s at sf1)
     d = tables["documents"].select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang", "source"
     ).withColumn("url", _spark_messy_url())

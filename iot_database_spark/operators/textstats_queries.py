@@ -53,11 +53,7 @@ def _docs(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation quality features: char/token counts, mean token
     length, uniqueness, stopword ratio."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
-    return tx.quality_scores(docs).drop("text")
+    return tx.quality_scores(_docs(spark, sf_dir)).drop("text")
 
 
 @register(
@@ -112,8 +108,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID vs the labeled lang column (the
     heuristic is deterministic; plug fastText via pandas_udf for real)."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"]
+    docs = _docs(spark, sf_dir, "lang")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("lang").alias("labeled_lang"),
@@ -398,9 +393,15 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 256).cast("string"),
         F.lit(".0.1"),
     )
-    docs = tables["customer"].select(
-        F.col("c_custkey").cast("bigint").alias("c_custkey"),
-        contact.alias("contact"),
+    from iot_database_spark.session import spread_small_input
+
+    docs = spread_small_input(
+        tables["customer"].select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            contact.alias("contact"),
+        ),
+        spark,
+        cache_key=f"customer:{sf_dir}",
     )
     out = tx.scrub_pii(docs, text="contact")
     return out.select(
@@ -592,12 +593,10 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     script/style elision, entity decode, whitespace collapse) — the
     first stage of every HTML-sourced training pipeline. The whole pass
     is a regexp_replace/replace chain inside whole-stage codegen: one
-    scan, zero shuffles, trivially linear at 100 TB. Hash-checked
-    end-to-end via an md5 digest of the cleaned text."""
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    scan, no data-sized shuffle (the small-input spread no-ops at
+    scale), trivially linear at 100 TB. Hash-checked end-to-end via an
+    md5 digest of the cleaned text."""
+    docs = _docs(spark, sf_dir)
     html = F.expr(_HTMLIFY.format(cast="STRING"))
     out = docs.select("doc_id", html.alias("html"))
     return out.select(
@@ -626,10 +625,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     COVERAGE.md "Driver-evidence policy"."""
     from iot_database_spark.operators import bpe
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    )
+    docs = _docs(spark, sf_dir)
     merges = bpe.train_bpe(bpe.word_counts(docs, "text"), num_merges=100)
     return bpe.bpe_token_count(docs, merges, "text", "doc_id").orderBy(
         "doc_id"
@@ -739,11 +735,9 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE encoder over the same pinned merge table."""
     from iot_database_spark.operators import bpe
 
-    tables = load_views(spark, sf_dir)
-    docs = tables["documents"].select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    return bpe.bpe_token_count(
+        _docs(spark, sf_dir), _BPE_FIXED_MERGES, "text", "doc_id"
     )
-    return bpe.bpe_token_count(docs, _BPE_FIXED_MERGES, "text", "doc_id")
 
 
 @register(
