@@ -2431,3 +2431,42 @@ def test_ngram_lm_array_contexts_no_separator_collision(spark):
     # A string-joined context would have merged both to c1=2.
     lp = math.floor(math.log((1 + 1.0) / (1 + 5.0)) * 1e6)
     assert got == {1: lp, 2: lp}
+
+
+def test_lm_broadcast_gate_routing(spark, monkeypatch, sf_dir):
+    """The scoring-join strategy gate (r11): env pin wins, then the
+    corpus-bytes stat; in-memory frames (no inputFiles) never
+    broadcast; and under the gate the executed plan actually contains
+    a broadcast join while output is identical either way."""
+    from iot_database_spark.operators import lm
+    from iot_database_spark.registry import load_views
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id bigint, text string")
+    # in-memory frame: no files to stat -> sort-merge default
+    monkeypatch.delenv("SPARK_GRAFT_LM_BROADCAST", raising=False)
+    assert lm._broadcast_model(docs) is False
+    # env pin overrides in both directions
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "1")
+    assert lm._broadcast_model(docs) is True
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "0")
+    assert lm._broadcast_model(docs) is False
+    monkeypatch.delenv("SPARK_GRAFT_LM_BROADCAST", raising=False)
+
+    # a statted parquet corpus under the 4 GiB gate broadcasts
+    tbl = load_views(spark, sf_dir)["documents"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    assert lm._broadcast_model(tbl) is True
+    plan = lm.ngram_lm_score(tbl, min_count=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # identical output under both strategies (join strategy, not
+    # semantics): compare the two full result sets
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "0")
+    smj = {(r.doc_id, r.n_ngrams, r.lm_logprob_micro)
+           for r in lm.ngram_lm_score(tbl, min_count=2).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "1")
+    bc = {(r.doc_id, r.n_ngrams, r.lm_logprob_micro)
+          for r in lm.ngram_lm_score(tbl, min_count=2).collect()}
+    assert smj == bc and len(smj) > 0
