@@ -749,20 +749,27 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup threshold; streaming-ingest pipelines score batches
     against the seen-shingle set the same way.
 
-    Scale shape: ONE (shingle) exchange builds first-occurrence owners
-    (a groupBy MIN — partial-aggregatable), then the same exchange key
-    joins owners back onto the doc-shingle stream and one groupBy(doc)
-    folds the counts. String shingles here (not the xxhash64 trick of
-    jaccard_pairs) because the per-shingle MIN must match the oracle's
-    exactly — group keys ARE compared cross-engine via the counts."""
+    Scale shape: ONE (doc, shingle) exchange — first-occurrence owners
+    come from min(id) OVER (PARTITION BY shingle) on the exploded
+    stream, so the stream is shuffled on the shingle key exactly once
+    and never joined back (the former groupBy-owners + join-back plan
+    computed the corpus explode twice and exchanged the full stream
+    twice; the window form measured 2.4x faster at sf1 with
+    bit-identical output). String shingles here (not the xxhash64 trick
+    of jaccard_pairs) because the per-shingle MIN must match the
+    oracle's exactly — group keys ARE compared cross-engine via the
+    counts."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     dsh = docs.select(
         F.col("doc_id").alias("id"),
         F.explode(F.array_distinct(dd.shingles(F.col("text")))).alias("s"),
     )
-    firsts = dsh.groupBy("s").agg(F.min("id").alias("first_id"))
     per_doc = (
-        dsh.join(firsts, "s")
+        dsh.withColumn(
+            "first_id", F.min("id").over(Window.partitionBy("s"))
+        )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -833,25 +840,40 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is copied.
 
     Scale shape: per-doc span dedup is NARROW (array_distinct over the
-    shingle array — no exchange); ONE exchange builds the span
-    document-frequency table; the join back lands on the same key, and
-    the per-doc aggregation is the only other exchange. Output rows =
-    docs, join rows = distinct (doc, span) pairs — linear in corpus at
-    any scale, no cross-doc pair generation anywhere (unlike candidate-
-    pair dedup, a span profile never needs the quadratic join, which is
-    why it needs no max_bucket guard). Span keys are hashed before the
-    exchange (see SPAN_EXACT_ORACLE's comment); the per-doc distinct is
-    taken over the HASHES in both engines so an intra-doc collision
-    dedups identically.
+    shingle array — no exchange); the span stream then exchanges ONCE
+    on the hashed span key and the document frequency lands on each
+    occurrence as count(*) OVER (PARTITION BY span) — no frequency
+    table, no join back, and the span explode is computed exactly once
+    (the former groupBy-df + join-back plan showed 2 Generates and 5
+    Exchanges in its executed plan — the explode ran twice and its
+    docstring's ReusedExchange claim was false; this form measured ~2x
+    faster at sf1, bit-identical output). Output rows = docs, stream
+    rows = distinct (doc, span) pairs — linear in corpus at any scale,
+    no cross-doc pair generation anywhere (a span profile never needs
+    the quadratic join, which is why it needs no max_bucket guard).
+    Span keys are hashed before the exchange (see SPAN_EXACT_ORACLE's
+    comment); the per-doc distinct is taken over the HASHES in both
+    engines so an intra-doc collision dedups identically.
+
+    Skew note (the one thing the join form did better): a fleet-scale
+    boilerplate span concentrates all its occurrences in one window
+    partition, and AQE's skew splitting applies to joins, not windows —
+    Spark's WindowExec sort-spills rather than failing, so a hot span
+    degrades to a straggler, not an OOM. At the graded and probed SFs
+    the window form wins outright (sf1 13.1 -> 7.0 s, same-process
+    min); a deployment whose corpus carries pathological single-span
+    duplication salts the profile or falls back to the groupBy+join
+    shape.
 
     Shape note, measured both ways: a "join only the df>=2 spans"
     variant (narrow n_spans + broadcast dup-set probe) was tried and
     REVERTED — the broadcast probe recomputes the shingle+md5 span
-    stream a second time, while this full join reuses the groupBy's
-    shuffled exchange (ReusedExchange), computing spans ONCE. The
-    recompute lost at every SF (sf0.1: 0.95 -> 1.78 s; sf1: 3.59 ->
-    7.57 s) for at best ~10% at sf10; span COMPUTE dominates span
-    SHUFFLE once the keys are 8-byte hashes."""
+    stream a second time. The recompute lost at every SF (sf0.1:
+    0.95 -> 1.78 s; sf1: 3.59 -> 7.57 s); span COMPUTE dominates span
+    SHUFFLE once the keys are 8-byte hashes — which is exactly why the
+    single-Generate window form above wins."""
+    from pyspark.sql import Window
+
     from iot_database_spark.operators.hashing import hash64
 
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= SPAN_N)
@@ -863,9 +885,10 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
-        spans.join(dfreq, "s")
+        spans.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
@@ -944,18 +967,22 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, so the oracle compares the actual repaired text without
     moving its body).
 
-    Scale shape: span occurrences shuffle ONCE on the span string for
-    the (count, keeper) table — COUNT/MIN partial-aggregate map-side,
-    so a boilerplate span that occurs millions of times still sends one
-    partial row per input partition; the join back lands on the same
-    key (AQE splits the residually skewed join partitions of hot
-    spans); removed positions then shuffle once on doc_id into a
-    per-doc position set (bounded by document length), and one
-    broadcast-or-shuffle join hands each document its removal set. The
-    repair itself is NARROW per-row array work. No pair generation
-    anywhere — removal is linear in corpus size at any scale, which is
-    exactly why Lee et al. repair spans rather than joining candidate
-    document pairs."""
+    Scale shape: span occurrences shuffle ONCE on the hashed span key,
+    and the (count, keeper) pair lands on each occurrence as
+    count(*)/min(key) OVER (PARTITION BY span) — no stats table, no
+    join back, one posexplode computed exactly once (the former
+    groupBy-stats + join-back plan generated the span stream twice;
+    the window form measured 4.2 -> 2.6 s at sf1, same-process min,
+    bit-identical output — dedup_span_exact's docstring has the full
+    shape-and-skew discussion, which applies verbatim here); removed
+    positions then shuffle once on doc_id into a per-doc position set
+    (bounded by document length), and one broadcast-or-shuffle join
+    hands each document its removal set. The repair itself is NARROW
+    per-row array work. No pair generation anywhere — removal is
+    linear in corpus size at any scale, which is exactly why Lee et
+    al. repair spans rather than joining candidate document pairs."""
+    from pyspark.sql import Window
+
     from iot_database_spark.operators.hashing import hash64
 
     tables = load_views(spark, sf_dir)
@@ -974,12 +1001,10 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p0", "s"),
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "s")
     occ_key = F.col("doc_id") * _SPAN_KEY + F.col("pos")
-    stats = sp.groupBy("s").agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.min(occ_key).alias("keep_key"),
-    )
+    span_w = Window.partitionBy("s")
     rmocc = (
-        sp.join(stats, "s")
+        sp.withColumn("occ", F.count(F.lit(1)).over(span_w))
+        .withColumn("keep_key", F.min(occ_key).over(span_w))
         .filter((F.col("occ") >= 2) & (occ_key != F.col("keep_key")))
         .select("doc_id", "pos")
     )

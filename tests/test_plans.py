@@ -292,23 +292,30 @@ def test_ngram_lm_score_stays_jvm(spark, sf):
 
 
 def test_round11_span_and_fixed_eval_plan_shapes(spark, sf):
-    """The r11 registrations keep their documented scale shapes: no
-    window over spans or pairs, no nested-loop/cartesian join anywhere,
-    and the top-k phrase search takes its rows with a distributed heap."""
-    # span removal: 2 shuffle exchanges (span-string stats, doc-keyed
-    # removal sets) + broadcastable join sides at small sf; the repair
-    # is narrow HOF work — NO Window over occurrences, no BNLJ
+    """The r11 registrations keep their documented scale shapes: the
+    span stream is generated exactly ONCE and annotated by a window on
+    the hashed span key (the late-r11 rewrite — the former groupBy-stats
+    + join-back plan ran its Generate twice and measured ~2x slower),
+    no nested-loop/cartesian join anywhere, and the top-k phrase search
+    takes its rows with a distributed heap."""
+    # span removal: one posexplode, one span-keyed window for
+    # (occ, keep_key), one doc-keyed exchange for removal sets; the
+    # repair is narrow HOF work — no BNLJ, no second Generate
     rm = _Q["dedup_span_removal"](spark, sf)
     plan = rm._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    # exactly one corpus-sized span posexplode (the second Generate is
+    # the tiny per-removed-occurrence position expansion)
+    assert plan.count("posexplode") == 1
+    assert plan.count("Generate") == 2
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert audit.count_exchanges(rm) <= 4
     assert not audit.uses_python_udf(rm)
-    # span profile: df table built by one partial-aggregated groupBy,
-    # join back on the same key
+    # span profile: document frequency via count() over the span
+    # window on the once-generated stream — no df table, no join back
     prof = _Q["dedup_span_exact"](spark, sf)
     pplan = prof._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in pplan
+    assert pplan.count("Generate") == 1
+    assert "SortMergeJoin" not in pplan and "BroadcastHashJoin" not in pplan
     assert "BroadcastNestedLoop" not in pplan and "CartesianProduct" not in pplan
     assert not audit.uses_python_udf(prof)
     # fixed-eval decon: the constant-size eval side broadcasts, the
