@@ -57,35 +57,50 @@ __all__ = ["ngram_lm_counts", "ngram_lm_score"]
 # doc-count-bounded exchange. Output is IDENTICAL either way (a join
 # strategy, not a semantics change).
 #
-# The gate is the train corpus's on-disk bytes (same local-fs stat the
-# stream-state router uses): the pruned model measures ~2% of corpus
-# bytes serialized (sf1 trigram min_count=2), so 4 GiB of corpus keeps
-# the broadcast under ~100 MB — far under Spark's 8 GB broadcast cap
-# and a trivial per-executor cost next to shuffling the corpus. Above
-# the gate (or when the source can't be statted cheaply: in-memory
-# frames, object stores) the sort-merge plan stands — at 100 TB the
-# model is billions of rows and the shuffle is the right call.
-# SPARK_GRAFT_LM_BROADCAST=0/1 overrides (A/B + deployment pin).
+# The gate is the train corpus's on-disk bytes (session.source_bytes —
+# the same stat helper the spread router uses), scaled by whether the
+# model is PRUNED: at min_count >= 2 the model measures ~2% of corpus
+# bytes serialized (sf1 trigram), so 4 GiB of corpus keeps the
+# broadcast under ~100 MB — far under Spark's 8 GB broadcast cap and a
+# trivial per-executor cost next to shuffling the corpus. At the
+# min_count=1 DEFAULT the model is every distinct corpus n-gram —
+# near-corpus-scale serialized (the module's n·log n note), so the 2%
+# measurement does not apply and the gate drops to 128 MiB of source
+# (worst-case ~a same-order broadcast, still executor-safe) rather
+# than risking a multi-GiB broadcast at the 4 GiB line (r11 advice).
+# Above the gate (or when the source can't be statted cheaply:
+# in-memory frames, object stores) the sort-merge plan stands — at
+# 100 TB the model is billions of rows and the shuffle is the right
+# call. SPARK_GRAFT_LM_BROADCAST overrides (A/B + deployment pin):
+# truthy/falsy spellings are normalized and anything unrecognized
+# falls back to the measured gate instead of silently forcing a
+# strategy (=off must not mean "on").
 _BROADCAST_MODEL_MAX_SOURCE_BYTES = 4 << 30
+_BROADCAST_MODEL_MAX_SOURCE_BYTES_UNPRUNED = 128 << 20
+_ENV_TRUTHY = frozenset({"1", "true", "yes", "on"})
+_ENV_FALSY = frozenset({"0", "false", "no", "off", ""})
 
 
-def _broadcast_model(df: DataFrame) -> bool:
+def _broadcast_model(df: DataFrame, min_count: int = 1) -> bool:
     env = os.environ.get("SPARK_GRAFT_LM_BROADCAST")
     if env is not None:
-        return env not in ("0", "false", "")
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return False
-    if not files:
-        return False
-    total = 0
-    for uri in files:
-        path = uri[len("file:") :] if uri.startswith("file:") else uri
-        if not os.path.exists(path):
+        val = env.strip().lower()
+        if val in _ENV_TRUTHY:
+            return True
+        if val in _ENV_FALSY:
             return False
-        total += os.path.getsize(path)
-    return total <= _BROADCAST_MODEL_MAX_SOURCE_BYTES
+        # unrecognized spelling: ignore the pin, use the measured gate
+    from iot_database_spark.session import source_bytes
+
+    total = source_bytes(df)
+    if total is None:
+        return False
+    gate = (
+        _BROADCAST_MODEL_MAX_SOURCE_BYTES
+        if min_count > 1
+        else _BROADCAST_MODEL_MAX_SOURCE_BYTES_UNPRUNED
+    )
+    return total <= gate
 
 # Add-one (Laplace) smoothing: p(w | ctx) = (c_gram + 1) / (c_ctx + V).
 # Simple, zero-free, and exactly reproducible in ANSI SQL — Kneser-Ney
@@ -208,7 +223,7 @@ def ngram_lm_score(
     corpus = train_df if train_df is not None else df
     ctx, grams, vocab = ngram_lm_counts(corpus, text, n)
     # build-side strategy for the scoring join — see _broadcast_model
-    model = F.broadcast if _broadcast_model(corpus) else (lambda m: m)
+    model = F.broadcast if _broadcast_model(corpus, min_count) else (lambda m: m)
     if min_count > 1:
         grams = grams.filter(F.col("c2") >= min_count)
     # per-DISTINCT-gram partial: one division -> one ln -> floor-scale;

@@ -25,7 +25,11 @@ def _docs(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
             F.col("doc_id").cast("bigint").alias("doc_id"), "text", *extra
         ),
         spark,
-        cache_key=f"documents:{','.join(extra)}:{sf_dir}",
+        # keyed on source table + sf_dir ONLY: the cached value (spread
+        # partition count) depends on the source files, not the
+        # projection, so all three _docs helpers (this, dedup_queries,
+        # curation_queries) share one stat pass per corpus (r11 advice)
+        cache_key=f"documents:{sf_dir}",
     )
 
 

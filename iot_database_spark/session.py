@@ -157,20 +157,39 @@ def spread_small_input(
     return df.repartition(n) if n else df
 
 
+def source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of `df`'s file-backed source, or None when
+    the frame is fileless (in-memory) or backed by a store this process
+    can't stat locally (hdfs:/s3a:/...). ONE copy of the file-URI stat
+    loop, shared by the spread router below and the LM scoring-join
+    broadcast gate (operators/lm._broadcast_model) so scheme handling
+    can't drift between them (r11 advice)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        if not os.path.exists(path):
+            return None
+        total += os.path.getsize(path)
+    return total
+
+
 def _spread_partitions(df: DataFrame, spark: SparkSession, cores: int) -> int:
     """Partition count to spread `df` to, or 0 for leave-as-is."""
     files = df.inputFiles()
     if not files:
         # in-memory frame: physical partition probe, old behavior
         return cores if df.rdd.getNumPartitions() < cores else 0
-    total = 0
-    for uri in files:
-        path = uri[len("file:") :] if uri.startswith("file:") else uri
-        if not os.path.exists(path):
-            # remote store we can't stat: at that scale the source's own
-            # split planning is authoritative — don't add a shuffle
-            return 0
-        total += os.path.getsize(path)
+    total = source_bytes(df)
+    if total is None:
+        # remote store we can't stat: at that scale the source's own
+        # split planning is authoritative — don't add a shuffle
+        return 0
     try:
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
     except Exception:

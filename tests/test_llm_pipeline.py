@@ -2451,6 +2451,17 @@ def test_lm_broadcast_gate_routing(spark, monkeypatch, sf_dir):
     assert lm._broadcast_model(docs) is True
     monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "0")
     assert lm._broadcast_model(docs) is False
+    # r11 advice: falsy spellings beyond "0" must NOT force broadcast on
+    for spelling in ("False", "no", "off", " OFF "):
+        monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", spelling)
+        assert lm._broadcast_model(docs) is False, spelling
+    for spelling in ("True", "YES", " on "):
+        monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", spelling)
+        assert lm._broadcast_model(docs) is True, spelling
+    # unrecognized spelling falls back to the measured gate (in-memory
+    # frame -> no stat -> no broadcast), not to either forced strategy
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST", "maybe")
+    assert lm._broadcast_model(docs) is False
     monkeypatch.delenv("SPARK_GRAFT_LM_BROADCAST", raising=False)
 
     # a statted parquet corpus under the 4 GiB gate broadcasts
@@ -2458,6 +2469,18 @@ def test_lm_broadcast_gate_routing(spark, monkeypatch, sf_dir):
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     assert lm._broadcast_model(tbl) is True
+    # min_count factors into the gate (r11 advice): at the min_count=1
+    # default the model is UNPRUNED (near-corpus-scale), so the byte
+    # threshold drops from 4 GiB to 128 MiB — a corpus between the two
+    # gates broadcasts only when pruned
+    saved = lm._BROADCAST_MODEL_MAX_SOURCE_BYTES_UNPRUNED
+    try:
+        lm._BROADCAST_MODEL_MAX_SOURCE_BYTES_UNPRUNED = 0
+        assert lm._broadcast_model(tbl, min_count=2) is True
+        assert lm._broadcast_model(tbl, min_count=1) is False
+        assert lm._broadcast_model(tbl) is False  # default = unpruned
+    finally:
+        lm._BROADCAST_MODEL_MAX_SOURCE_BYTES_UNPRUNED = saved
     plan = lm.ngram_lm_score(tbl, min_count=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
