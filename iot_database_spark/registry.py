@@ -44,87 +44,81 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-11 window (exactly 50 slots). The planner's raw oldest-first
-# list is 46 r8-vintage greens + r9 tail; the hand adjustments, with the
-# arithmetic shown because r10's "47 r8 greens" note was off by one:
-#   - 5 NEVER-GRADED queries lead: the three r10-staged operators
-#     (dedup_span_exact, corpus_quality_resample, search_phrase_topk —
-#     operators/staged_r11.py dissolved into their home modules this
-#     round) plus the two new r11 builds (dedup_span_removal — r10
-#     verdict #3; decontaminate_fixed_eval — r10 verdict #4).
-#   - dedup_fuzzy_name_match follows: its registered shape changed r10
-#     (_FUZZY_MAX_BLOCK cap) and the repo's rule is semantics-changed
-#     queries re-grade in the NEXT window (r10 verdict finding #1).
-#   - 44 of the 46 r8-vintage greens fill the rest. 5 + 1 + 44 = 50, so
-#     TWO r8 greens must wait: stream_sessionization and
-#     stream_stream_time_join (the planner's tail two; code untouched
-#     since r8, suite-tested green every round) defer to r12, where the
-#     arithmetic closes exactly — 48 remaining r9-vintage greens
-#     (49 minus fuzzy, re-graded here) + these 2 = 50. The alternative
-#     (staging the two r11 builds like r10 did) was rejected: r10's
-#     verdict required both new operators to land a CORRECTNESS_r11 row.
+# Round-12 window (exactly 50 slots) — the planner's output verbatim,
+# no hand adjustments needed this round: the r11 deferral arithmetic
+# (recorded in that round's version of this comment, git history)
+# closes exactly as planned.
+#   - The TWO r8-vintage deferrals lead: stream_sessionization and
+#     stream_stream_time_join (newest green r8 — the only queries
+#     whose driver evidence reached the 3-round age limit; r11
+#     verdict: "r12 MUST grade them").
+#   - The 48 remaining r9-vintage greens fill the rest (49 r9 greens
+#     minus dedup_fuzzy_name_match, which re-graded at r11 after its
+#     r10 semantics change). 2 + 48 = 50.
+# SATURATION: at 150 registered queries, a 50-slot window, and the
+# 3-round evidence-age limit, the rotation is exactly full with ZERO
+# slack. Steady state from here: r13 = the 50 r10
+# greens, r14 = the 50 r11 greens, r15 = the 50 r12 greens, keeping
+# every query's newest green row <= 3 rounds old with zero slack. Any
+# NEW registration (or same-round re-grade after a semantics change)
+# needs a slot freed by RETIRING a query first — the policy is now
+# mechanical: scripts/plan_rotation.py (r11 verdict task #6).
 #
-# SATURATION NOTE for r12+: at 150 registered queries and a 50-slot
-# window the rotation is exactly full — steady state grades each cohort
-# every 3rd round (r12 = 48 r9 + 2 r8; r13 = the 50 r10 greens; r14 =
-# the 50 r11 greens; ...), which holds every query at the <=3-rounds-old
-# evidence limit with ZERO slack. Any future registration needs a
-# same-round slot, which now requires RETIRING a query first (the
-# dedup_ngram_jaccard_absolute precedent: keep the library function +
-# the bit-exact local gate, drop the driver row). New capabilities that
-# don't need a driver row should land as library + suite evidence
-# (MinHashIndex / QuantizedStore / framestore precedent) instead.
+# corpus_ngram_novelty and the two span queries carry the r12
+# skew-proof rewrite — PLAN-only changes (bit-identical output,
+# verified against the oracle in-round), so no same-round re-grade is
+# required; novelty happens to re-grade here anyway by age.
 _PRIORITY: tuple[str, ...] = (
-    "dedup_span_exact",  # never graded (staged r10, registered r11)
-    "corpus_quality_resample",  # never graded (staged r10, registered r11)
-    "search_phrase_topk",  # never graded (staged r10, registered r11)
-    "dedup_span_removal",  # never graded (new r11 — r10 verdict #3)
-    "decontaminate_fixed_eval",  # never graded (new r11 — r10 verdict #4)
-    "dedup_fuzzy_name_match",  # r9 green, SEMANTICS CHANGED r10 (max_block cap) - must re-grade
-    "join_part_promo_monthly",  # r8 green
-    "set_intersect",  # r8 green
-    "set_except",  # r8 green
-    "cube_agg",  # r8 green
-    "pivot_status_by_segment",  # r8 green
-    "grouping_sets_agg",  # r8 green
-    "event_sessionization",  # r8 green
-    "skew_salted_agg",  # r8 green
-    "event_funnel",  # r8 green
-    "event_cohort_retention",  # r8 green
-    "approx_sketch_accuracy",  # r8 green
-    "event_transition_matrix",  # r8 green
-    "string_funcs",  # r8 green
-    "string_format_regex",  # r8 green
-    "date_funcs",  # r8 green
-    "json_extract",  # r8 green
-    "iot_write_gating",  # r8 green
-    "ts_seasonal_baseline",  # r8 green
-    "vector_cosine_topk",  # r8 green
-    "vector_l2_topk",  # r8 green
-    "vector_upsert_dedup",  # r8 green
-    "ann_ivf_cosine",  # r8 green
-    "ann_two_stage_rerank",  # r8 green
-    "dedup_simhash",  # r8 green
-    "dedup_embedding_cosine",  # r8 green, max_block cap added r10 (no-op at graded SFs - tests/test_span_ops.py enforces)
-    "text_quality_scores",  # r8 green
-    "text_token_count",  # r8 green
-    "text_langid",  # r8 green
-    "text_gopher_rules",  # r8 green
-    "text_scrub_pii",  # r8 green
-    "decontaminate_ngram_overlap",  # r8 green
-    "embedding_outliers",  # r8 green
-    "text_repetition_trim",  # r8 green
-    "corpus_zipf_stats",  # r8 green
-    "dedup_url_canonical",  # r8 green
-    "pipeline_web_ingest",  # r8 green
-    "embedding_quantize_int8",  # r8 green
-    "ann_int8_cosine",  # r8 green
-    "nl_find_filter_sort_limit",  # r8 green
-    "nl_find_dual_join",  # r8 green
-    "nl_find_dual_fk_inference",  # r8 green
-    "nl_find_triple_join",  # r8 green
-    "nl_find_include_digest",  # r8 green
-    "remote_serialized_find",  # r8 green
+    "stream_sessionization",  # r8 green - evidence at 3-round age limit
+    "stream_stream_time_join",  # r8 green - evidence at 3-round age limit
+    "scan_filter_project",  # r9 green
+    "filter_in",  # r9 green
+    "ts_cusum_drift",  # r9 green
+    "event_path_topk",  # r9 green
+    "conditional_cast",  # r9 green
+    "array_higher_order",  # r9 green
+    "try_cast_predicates",  # r9 green
+    "sha256_hash",  # r9 green
+    "map_functions",  # r9 green
+    "iot_password_hash",  # r9 green
+    "unit_convert_bulk",  # r9 green
+    "cagg_incremental_refresh",  # r9 green
+    "ts_range_join",  # r9 green
+    "ts_ewma_smooth",  # r9 green
+    "ts_anomaly_mad",  # r9 green
+    "ts_threshold_alerts",  # r9 green
+    "chain_verify",  # r9 green
+    "vector_l2_radius",  # r9 green
+    "vector_filtered_topk",  # r9 green
+    "vector_multi_query_topk",  # r9 green
+    "dedup_minhash_lsh",  # r9 green
+    "dedup_ngram_jaccard",  # r9 green
+    "dedup_ngram_jaccard_capped",  # r9 green
+    "dedup_cluster_assign",  # r9 green
+    "dedup_repeated_ngrams",  # r9 green
+    "dedup_ngram_containment",  # r9 green
+    "corpus_ngram_novelty",  # r9 green - r12 skew-proof plan, same hash
+    "text_chunk_windows",  # r9 green
+    "corpus_train_val_test_split",  # r9 green
+    "text_strip_html",  # r9 green
+    "text_bpe_token_count_fixed",  # r9 green
+    "text_ngram_lm_score",  # r9 green
+    "text_trigram_lm_score",  # r9 green
+    "corpus_ccnet_buckets",  # r9 green
+    "corpus_mixture_sample",  # r9 green
+    "heavy_hitter_ngrams",  # r9 green
+    "ann_lsh_cosine",  # r9 green
+    "text_quality_classifier",  # r9 green
+    "zorder_key_events",  # r9 green
+    "text_trigram_coverage",  # r9 green
+    "stream_rollup_to_table",  # r9 green
+    "stream_exact_dedup",  # r9 green
+    "stream_threshold_alerts",  # r9 green
+    "timetravel_asof_digest",  # r9 green
+    "evolution_nullfill_digest",  # r9 green
+    "txn_atomicity_digest",  # r9 green
+    "fk_cascade_digest",  # r9 green
+    "continuous_slot14_digest",  # r9 green
 )
 
 

@@ -292,32 +292,47 @@ def test_ngram_lm_score_stays_jvm(spark, sf):
 
 
 def test_round11_span_and_fixed_eval_plan_shapes(spark, sf):
-    """The r11 registrations keep their documented scale shapes: the
-    span stream is generated exactly ONCE and annotated by a window on
-    the hashed span key (the late-r11 rewrite — the former groupBy-stats
-    + join-back plan ran its Generate twice and measured ~2x slower),
-    no nested-loop/cartesian join anywhere, and the top-k phrase search
-    takes its rows with a distributed heap."""
-    # span removal: one posexplode, one span-keyed window for
-    # (occ, keep_key), one doc-keyed exchange for removal sets; the
-    # repair is narrow HOF work — no BNLJ, no second Generate
+    """The span registrations keep their documented scale shapes —
+    updated for the r12 SKEW-PROOF rewrite (r11 verdict finding #1):
+    per-span stats now come from partial-aggregated groupBy over a
+    once-materialized stream, NEVER from a window partitioned by the
+    Zipf-distributed span key (AQE cannot skew-split windows, so the
+    r11 window form stragglered on hot spans —
+    scripts/probe_span_skew.py measures the cliff). No nested-loop or
+    cartesian join anywhere; the top-k phrase search takes its rows
+    with a distributed heap."""
+    # span removal: the corpus posexplode runs ONCE, at
+    # localCheckpoint materialization — so it appears NOWHERE in the
+    # final plan, which reads Scan ExistingRDD blocks; the only
+    # Generate left is the tiny per-removed-occurrence position
+    # expansion. Stats join back via a skew-splittable (or
+    # AQE-broadcast) join, never a window.
     rm = _Q["dedup_span_removal"](spark, sf)
     plan = rm._jdf.queryExecution().executedPlan().toString()
-    # exactly one corpus-sized span posexplode (the second Generate is
-    # the tiny per-removed-occurrence position expansion)
-    assert plan.count("posexplode") == 1
-    assert plan.count("Generate") == 2
+    assert plan.count("posexplode") == 0
+    assert plan.count("Generate") == 1
+    assert plan.count("Window") == 0
+    assert plan.count("Scan ExistingRDD") >= 2  # materialized stream, read twice
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert audit.count_exchanges(rm) <= 4
     assert not audit.uses_python_udf(rm)
-    # span profile: document frequency via count() over the span
-    # window on the once-generated stream — no df table, no join back
+    # span profile: doc-level hash arrays materialize once; df stats
+    # via partial-agg groupBy; the min_doc trick makes the only join
+    # doc-sized vs doc-sized — no window, no full-stream join-back
     prof = _Q["dedup_span_exact"](spark, sf)
     pplan = prof._jdf.queryExecution().executedPlan().toString()
-    assert pplan.count("Generate") == 1
-    assert "SortMergeJoin" not in pplan and "BroadcastHashJoin" not in pplan
+    assert pplan.count("Generate") == 1  # one explode, from materialized arrays
+    assert pplan.count("Window") == 0
+    assert pplan.count("Scan ExistingRDD") >= 2
     assert "BroadcastNestedLoop" not in pplan and "CartesianProduct" not in pplan
     assert not audit.uses_python_udf(prof)
+    # novelty: same two-phase shape (explode ran at materialization)
+    nv = _Q["corpus_ngram_novelty"](spark, sf)
+    nplan = nv._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("Window") == 0
+    assert nplan.count("Generate") == 0
+    assert "BroadcastNestedLoop" not in nplan and "CartesianProduct" not in nplan
+    assert not audit.uses_python_udf(nv)
     # fixed-eval decon: the constant-size eval side broadcasts, the
     # train corpus never re-shuffles onto the eval axis
     fx = _Q["decontaminate_fixed_eval"](spark, sf)

@@ -46,3 +46,42 @@ def test_live_plan_is_valid_window():
     assert set(never) <= set(window), set(never) - set(window)
     # reds, if any ever appear, must be in the window too
     assert set(red) <= set(window)
+
+
+def test_retirement_policy_capacity():
+    """The saturation invariant is mechanical (r11 verdict task #6):
+    capacity = slots * evidence-age limit; the live registry must never
+    exceed it, and same-round slot demands name retirements from the
+    ordered candidate list."""
+    from iot_database_spark import registry
+
+    assert pr.capacity() == pr.SLOTS * pr.EVIDENCE_AGE_LIMIT == 150
+    registered = len(registry.queries())
+    assert registered <= pr.capacity(), (
+        f"{registered} registered queries exceed the {pr.capacity()} "
+        "evidence capacity — a query must be retired"
+    )
+    # at exact saturation, zero new demands need zero retirements...
+    assert pr.plan_registrations(0)["retire"] == []
+    # ...and each new demand takes the next named candidate in order
+    over = pr.capacity() - registered  # free slots today (0 at saturation)
+    need_one = pr.plan_registrations(over + 1)
+    assert need_one["retire"] == [pr.RETIREMENT_CANDIDATES[0]]
+    need_two = pr.plan_registrations(over + 2)
+    assert need_two["retire"] == list(pr.RETIREMENT_CANDIDATES[:2])
+
+
+def test_retirement_candidates_are_registered_variants():
+    """Every named candidate must currently hold a driver slot (else the
+    list is stale), and demands beyond the candidate list must raise —
+    picking an unnamed victim is a design decision, never mechanical."""
+    import pytest
+
+    from iot_database_spark import registry
+
+    qs = registry.queries()
+    for name in pr.RETIREMENT_CANDIDATES:
+        assert name in qs, f"stale retirement candidate: {name}"
+    over = pr.capacity() - len(qs)
+    with pytest.raises(RuntimeError, match="deliberately"):
+        pr.plan_registrations(over + len(pr.RETIREMENT_CANDIDATES) + 1)
