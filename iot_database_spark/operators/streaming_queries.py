@@ -61,16 +61,26 @@ _ROCKSDB_PROVIDER = (
 #   - small sources (sf0.1-scale, events ~2 MB): HDFS-map state at 8
 #     partitions wins (11.6 s vs RocksDB-19's 18.4 s family total) —
 #     RocksDB's per-store fixed cost dominates near-empty state.
-#   - big sources (sf10, events ~157 MB): RocksDB at 19 partitions wins
-#     2.7x (59 s vs 166 s family total; the worst curve,
-#     applyInPandasWithState threshold alerts, goes 96 -> 30 s), and 19
-#     beats both 8 (119 s) and 32 (66 s) under RocksDB.
+#   - big sources (sf10, events ~157 MB): RocksDB wins big over
+#     HDFS-map, and the partition pin was re-measured on a QUIET host
+#     in r12 (the r11 batches ran under ~10x load spikes;
+#     scripts/probe_stream_state.py, SCALE_r12.md): rocksdb-32 beats
+#     rocksdb-19 on the family (99.2 vs 105.0 s) and decisively on the
+#     worst query, applyInPandasWithState threshold alerts (29.3 vs
+#     38.3 s; hdfs-8 = 84.4 s). 32 == this host's core count — at
+#     RocksDB the per-store fixed cost is low enough that state
+#     parallelism should simply match compute parallelism; a
+#     deployment sizes it to its own cores via the env pin.
 #   - the crossover sits near sf1 (events ~16 MB: 18.0 vs 16.4 s) —
 #     the 8 MiB threshold puts sf1 on the RocksDB side it already wins.
+#   - exception, measured each round: stream_stream_time_join keeps the
+#     small-state config at every scale (watermark-evicted state never
+#     grows with the source; quiet-host hdfs-8 = 7.7 s vs 21.5-37.1 s
+#     under every RocksDB config).
 # SPARK_GRAFT_STREAM_STATE_{PROVIDER,PARTITIONS} override both (the A/B
 # reproduction knobs; a deployment pins its own measured optimum).
 _BIG_STATE_SOURCE_BYTES = 8 << 20
-_BIG_STATE_PARTITIONS = 19
+_BIG_STATE_PARTITIONS = 32
 
 
 def _source_bytes(sf_dir: str, glob: str) -> int:
