@@ -61,26 +61,33 @@ _ROCKSDB_PROVIDER = (
 #   - small sources (sf0.1-scale, events ~2 MB): HDFS-map state at 8
 #     partitions wins (11.6 s vs RocksDB-19's 18.4 s family total) —
 #     RocksDB's per-store fixed cost dominates near-empty state.
-#   - big sources (sf10, events ~157 MB): RocksDB wins big over
-#     HDFS-map, and the partition pin was re-measured on a QUIET host
-#     in r12 (the r11 batches ran under ~10x load spikes;
-#     scripts/probe_stream_state.py, SCALE_r12.md): rocksdb-32 beats
-#     rocksdb-19 on the family (99.2 vs 105.0 s) and decisively on the
-#     worst query, applyInPandasWithState threshold alerts (29.3 vs
-#     38.3 s; hdfs-8 = 84.4 s). 32 == this host's core count — at
-#     RocksDB the per-store fixed cost is low enough that state
-#     parallelism should simply match compute parallelism; a
-#     deployment sizes it to its own cores via the env pin.
-#   - the crossover sits near sf1 (events ~16 MB: 18.0 vs 16.4 s) —
-#     the 8 MiB threshold puts sf1 on the RocksDB side it already wins.
+#   - big sources: RocksDB wins big over HDFS-map, and the partition
+#     count should GROW with state size — both ends re-measured on a
+#     QUIET host in r12 (the r11 batches ran under ~10x load spikes;
+#     scripts/probe_stream_state.py, SCALE_r12.md):
+#       sf1  (events ~16 MB):  rocksdb-19 family 19.2 s vs rocksdb-32
+#         31.4 s (threshold alerts 6.2 vs 11.5 s) — near-empty stores
+#         still punish extra partitions;
+#       sf10 (events ~157 MB): rocksdb-32 family 99.2 s vs rocksdb-19
+#         105.0 s (threshold alerts 29.3 vs 38.3 s; hdfs-8 = 84.4 s) —
+#         at real state size parallelism should match compute
+#         parallelism (32 == this host's cores).
+#     Hence the two-tier route below: >= 8 MiB -> RocksDB @ 19,
+#     >= 64 MiB -> RocksDB @ cores-scale 32 (64 MiB splits the two
+#     measured points on the winning side of each).
+#   - the HDFS/RocksDB crossover sits near sf1 (events ~16 MB: 18.0 vs
+#     16.4 s) — the 8 MiB threshold puts sf1 on the RocksDB side it
+#     already wins.
 #   - exception, measured each round: stream_stream_time_join keeps the
 #     small-state config at every scale (watermark-evicted state never
-#     grows with the source; quiet-host hdfs-8 = 7.7 s vs 21.5-37.1 s
-#     under every RocksDB config).
+#     grows with the source; quiet-host sf10 hdfs-8 = 7.7 s vs
+#     21.5-37.1 s under every RocksDB config).
 # SPARK_GRAFT_STREAM_STATE_{PROVIDER,PARTITIONS} override both (the A/B
 # reproduction knobs; a deployment pins its own measured optimum).
 _BIG_STATE_SOURCE_BYTES = 8 << 20
-_BIG_STATE_PARTITIONS = 32
+_BIG_STATE_PARTITIONS = 19
+_HUGE_STATE_SOURCE_BYTES = 64 << 20
+_HUGE_STATE_PARTITIONS = 32
 
 
 def _source_bytes(sf_dir: str, glob: str) -> int:
@@ -107,8 +114,12 @@ def _stream_state_config(sf_dir: str | None, glob: str) -> tuple[str, int]:
             (env_prov or "").lower(),
             int(env_parts) if env_parts else _STREAM_STATE_PARTITIONS,
         )
-    if sf_dir and _source_bytes(sf_dir, glob) >= _BIG_STATE_SOURCE_BYTES:
-        return ("rocksdb", _BIG_STATE_PARTITIONS)
+    if sf_dir:
+        nbytes = _source_bytes(sf_dir, glob)
+        if nbytes >= _HUGE_STATE_SOURCE_BYTES:
+            return ("rocksdb", _HUGE_STATE_PARTITIONS)
+        if nbytes >= _BIG_STATE_SOURCE_BYTES:
+            return ("rocksdb", _BIG_STATE_PARTITIONS)
     return ("", _STREAM_STATE_PARTITIONS)
 
 

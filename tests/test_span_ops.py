@@ -155,6 +155,15 @@ def test_stream_state_config_routing(tmp_path, monkeypatch):
         "rocksdb",
         sq._BIG_STATE_PARTITIONS,
     )
+    # the r12 two-tier route: past the huge threshold the partition
+    # count scales to compute parallelism (sf1 vs sf10 A/B, SCALE_r12)
+    huge = tmp_path / "huge" / "events.parquet"
+    huge.mkdir(parents=True)
+    (huge / "part-0.parquet").write_bytes(b"x" * (sq._HUGE_STATE_SOURCE_BYTES))
+    assert sq._stream_state_config(str(tmp_path / "huge"), "events.parquet") == (
+        "rocksdb",
+        sq._HUGE_STATE_PARTITIONS,
+    )
     # absent source -> small-state default, never an exception
     assert sq._stream_state_config(str(tmp_path / "nope"), "events.parquet") == (
         "",
