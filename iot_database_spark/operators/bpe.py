@@ -30,6 +30,7 @@ marker); unseen characters remain single-character tokens.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, functions as F
@@ -170,19 +171,28 @@ _BROADCAST_MAX_WORDS = 1_000_000
 # returned plan references it lazily and the CALLER materializes it), so
 # it cannot be unpersisted here. Without cleanup every bpe_tokenize /
 # bpe_token_count call would leak one cached frame for the session
-# lifetime (r6 advice). Track the live handle and release the previous
-# one when the next call persists a fresh vocab — by then the previous
-# job has been materialized — so at most ONE vocabulary-sized frame
-# (tens of MB) stays cached.
+# lifetime (r6 advice). Track the live handles as a tiny LRU and
+# release the OLDEST when a fresh vocab pushes the list past capacity —
+# by then that plan has long been materialized — so at most
+# _VOCAB_CACHE_SLOTS vocabulary-sized frames (tens of MB each) stay
+# cached. Capacity is >1 on purpose (r12 verdict task #1): the r12
+# bench showed a single-slot cache makes a query's steady-state time
+# depend on CALL ORDER — any other vocab consumer running between a
+# query's warm-up and timed pass evicted its vocab, and the timed pass
+# re-shuffled the corpus. Two slots cover the alternating-consumer
+# pattern; SPARK_GRAFT_BPE_VOCAB_SLOTS overrides for workloads cycling
+# through more tokenizers.
 #
-# ONE-PLAN-IN-FLIGHT ASSUMPTION (r7 advice): the deferred release is
-# correct only when each bpe_tokenize / bpe_token_count plan is
-# materialized before the NEXT call builds a new one. A caller that
-# builds two plans and then collects the first sees it silently
+# PLAN-IN-FLIGHT ASSUMPTION (r7 advice, now per-slot): the deferred
+# release is correct only when a plan is materialized before
+# _VOCAB_CACHE_SLOTS newer DISTINCT vocabs are built. A caller holding
+# more un-materialized plans than slots sees the oldest silently
 # recompute its vocab (correctness is unaffected — unpersist never
-# changes results — only the cached scan is lost). Callers holding
-# multiple un-materialized plans should call release_vocab_cache()
-# themselves after each materialization instead.
+# changes results — only the cached scan is lost); such callers should
+# call release_vocab_cache() after each materialization instead.
+_VOCAB_CACHE_SLOTS = max(
+    1, int(os.environ.get("SPARK_GRAFT_BPE_VOCAB_SLOTS", "2") or 2)
+)
 _LAST_PERSISTED: list = []
 _LAST_PERSISTED_LOCK = threading.Lock()
 
@@ -227,15 +237,17 @@ def _encoded_vocab(
     # Steady-state reuse (r7 verdict: the release-at-next-call design
     # cost the repeated-query path ~0.35 s at sf0.1 by recomputing a
     # vocab Spark had already cached): when the new vocab plan is
-    # semantically the SAME as the one still cached, keep that handle —
+    # semantically the SAME as one still cached, keep that handle —
     # re-running the same tokenize query (dashboards, the bench's
     # warm-up → measured passes) hits the cached distinct instead of
-    # re-shuffling the corpus. Only a genuinely different vocab releases
-    # the previous frame, so at most ONE vocabulary-sized cache lives at
-    # any time either way.
+    # re-shuffling the corpus. The cache is a _VOCAB_CACHE_SLOTS-deep
+    # LRU keyed by plan semantics (sameSemantics scan, newest first) so
+    # a DIFFERENT vocab consumer interleaving between two calls of the
+    # same query can no longer evict the warm entry (the r12 bench
+    # order artifact); only a vocab older than every slot releases.
     with _LAST_PERSISTED_LOCK:
-        prev = _LAST_PERSISTED[-1] if _LAST_PERSISTED else None
-    if prev is not None:
+        handles = list(_LAST_PERSISTED)
+    for prev in reversed(handles):  # newest first
         try:
             # reuse only a handle OWNED by this session: the registry is
             # process-global, and building a plan on another session's
@@ -250,17 +262,33 @@ def _encoded_vocab(
             ):
                 n_words = prev.count()
                 encoded = _encoded_words(prev, merges)
+                with _LAST_PERSISTED_LOCK:
+                    # LRU bump by identity (DataFrame __eq__ builds a
+                    # Column — list.remove's == would misfire)
+                    _LAST_PERSISTED[:] = [
+                        h for h in _LAST_PERSISTED if h is not prev
+                    ] + [prev]
                 return (
                     F.broadcast(encoded)
                     if n_words <= broadcast_max_words
                     else encoded
                 )
         except Exception:
-            pass  # prev belongs to a stopped session — fall through
-    release_vocab_cache()  # previous call's frame is materialized by now
+            # prev belongs to a stopped session — drop the dead handle
+            with _LAST_PERSISTED_LOCK:
+                _LAST_PERSISTED[:] = [
+                    h for h in _LAST_PERSISTED if h is not prev
+                ]
     distinct = distinct.persist(StorageLevel.MEMORY_AND_DISK)
     with _LAST_PERSISTED_LOCK:
         _LAST_PERSISTED.append(distinct)
+        evicted = _LAST_PERSISTED[:-_VOCAB_CACHE_SLOTS]
+        _LAST_PERSISTED[:] = _LAST_PERSISTED[-_VOCAB_CACHE_SLOTS:]
+    for h in evicted:  # oldest slots: materialized long ago
+        try:
+            h.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
     n_words = distinct.count()
     encoded = _encoded_words(distinct, merges)
     return F.broadcast(encoded) if n_words <= broadcast_max_words else encoded

@@ -55,20 +55,60 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_mode(master: str | None) -> str:
+    """Resolve the span-stream materialization strategy (r12 verdict
+    task #4 — the r11 design hard-coded localCheckpoint, which is a
+    job-failing liability on executor loss in a multi-executor fleet).
+
+    SPARK_GRAFT_MATERIALIZE pins it explicitly:
+      local    — localCheckpoint (fastest; blocks die with an executor)
+      reliable — checkpoint() to the reliable checkpoint dir
+      persist2 — persist(MEMORY_AND_DISK_2), eager (replicated blocks)
+    Default ("auto", read at CALL time): local[*] masters — where every
+    "executor" is a thread in the one JVM and executor loss means the
+    whole job is gone anyway — keep localCheckpoint; any other master
+    gets persist2, so a cluster deployment is recompute-safe without
+    editing the module."""
+    mode = (os.environ.get("SPARK_GRAFT_MATERIALIZE") or "auto").lower()
+    if mode == "auto":
+        return "local" if (master or "").startswith("local") else "persist2"
+    if mode not in ("local", "reliable", "persist2"):
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected "
+            "local | reliable | persist2 (or unset for auto)"
+        )
+    return mode
+
+
 def _materialize_once(df: DataFrame) -> DataFrame:
-    """Eagerly localCheckpoint an exploded span/shingle stream so every
-    downstream consumer reads executor-local materialized blocks
-    instead of re-running the explode (the exact recompute that sank
-    the r11 groupBy+join-back A/B: 2 Generates, 5 Exchanges). Local —
-    not reliable — checkpointing is deliberate: the stream is
-    shuffle-input-sized scratch data, written node-locally with no
-    network hop, and freed by the ContextCleaner when the returned
-    frame is GC'd. Fleet note: on a multi-executor cluster an executor
-    loss forfeits its blocks and fails the job (lineage is truncated);
-    a deployment that can't afford the retry swaps this for
-    checkpoint() against a reliable dir or persist(MEMORY_AND_DISK_2)
-    — same plan shape either way."""
-    return df.localCheckpoint(eager=True)
+    """Eagerly materialize an exploded span/shingle stream so every
+    downstream consumer reads stored blocks instead of re-running the
+    explode (the exact recompute that sank the r11 groupBy+join-back
+    A/B: 2 Generates, 5 Exchanges). The stream is shuffle-input-sized
+    scratch data, so the default strategy on local masters is
+    localCheckpoint — written node-locally with no network hop, freed
+    by the ContextCleaner when the returned frame is GC'd. On any
+    non-local master the default switches to replicated persist, and
+    SPARK_GRAFT_MATERIALIZE overrides either way (_materialize_mode):
+    the plan shape downstream is identical across strategies, only the
+    executor-loss story differs."""
+    spark = df.sparkSession
+    mode = _materialize_mode(spark.sparkContext.master)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            sc.setCheckpointDir(f"{wh}/_span_checkpoints")
+        return df.checkpoint(eager=True)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    out.count()  # eager, mirroring the checkpoint modes
+    return out
 
 
 @register(
@@ -1126,18 +1166,36 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The held-out benchmark table the registered query decontaminates
 # against. The grading default is the driver sandbox's fixed sf0.001
 # table; a deployment points SPARK_GRAFT_DECON_EVAL_PATH at its real
-# benchmark parquet (read at import time so the DuckDB oracle below —
-# which embeds the path — stays in lockstep with the Spark side), or
-# skips paths entirely and hands decontaminate_against() an eval
-# DataFrame (r11 verdict task #4).
-_FIXED_EVAL_PATH = os.environ.get(
-    "SPARK_GRAFT_DECON_EVAL_PATH", "/root/testdata/sf0.001/documents.parquet"
-)
+# benchmark parquet, or skips paths entirely and hands
+# decontaminate_against() an eval DataFrame (r11 verdict task #4).
+# The env var is resolved at CALL time — both when the registered query
+# runs and when the (lazy) oracle SQL is built — so repointing it in a
+# long-lived session takes effect, and the two sides can never read
+# different values (r12 verdict task #5; the r11 form read it once at
+# import, silently ignoring later changes).
+_DEFAULT_EVAL_PATH = "/root/testdata/sf0.001/documents.parquet"
 
-_DUCK_EVAL_SHINGLES = f"""
+
+def _fixed_eval_path() -> str:
+    """Current held-out-eval parquet path, validated for safe embedding
+    in the DuckDB oracle string (single quotes would terminate the SQL
+    literal — an injection/divergence, not a legal parquet path on any
+    deployment we support, so reject loudly rather than guess at
+    escaping; same for newlines)."""
+    path = os.environ.get("SPARK_GRAFT_DECON_EVAL_PATH") or _DEFAULT_EVAL_PATH
+    if "'" in path or "\n" in path or "\r" in path or "\x00" in path:
+        raise ValueError(
+            "SPARK_GRAFT_DECON_EVAL_PATH contains a quote/newline/NUL — "
+            f"refusing to embed it in oracle SQL: {path!r}"
+        )
+    return path
+
+
+def _duck_eval_shingles(path: str) -> str:
+    return f"""
     ewords AS (
         SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
-        FROM '{_FIXED_EVAL_PATH}'
+        FROM '{path}'
         WHERE len(string_split(text, ' ')) >= 3
     ),
     esh AS (
@@ -1147,9 +1205,11 @@ _DUCK_EVAL_SHINGLES = f"""
         FROM ewords
     )"""
 
-_DECON_FIXED_ORACLE = f"""
+
+def _decon_fixed_oracle() -> str:
+    return f"""
     WITH {_DUCK_SHINGLES},
-    {_DUCK_EVAL_SHINGLES},
+    {_duck_eval_shingles(_fixed_eval_path())},
     mh AS (SELECT id, {_minhash_cols_sql()} FROM sh GROUP BY id),
     emh AS (SELECT id, {_minhash_cols_sql()} FROM esh GROUP BY id),
     bands AS ({_decon_band_selects_sql("mh")}),
@@ -1200,21 +1260,22 @@ def _banded(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("decontaminate_fixed_eval", oracle=_DECON_FIXED_ORACLE)
+@register("decontaminate_fixed_eval", oracle=_decon_fixed_oracle)
 def decontaminate_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-doc leak report against a FIXED external held-out table
     (the production decontamination shape — see the section comment):
     which benchmark documents collide with ANY training document, with
     the 0..{K} minhash-signature agreement grading severity.
 
-    The eval table is _FIXED_EVAL_PATH — the grading default, or
-    whatever SPARK_GRAFT_DECON_EVAL_PATH pointed at when this module
-    imported (the oracle embeds the same path). Library callers with a
+    The eval table is _fixed_eval_path() — the grading default, or
+    whatever SPARK_GRAFT_DECON_EVAL_PATH points at WHEN THE QUERY RUNS
+    (the lazy oracle resolves the same env var when the driver asks for
+    its SQL, so the two sides stay in lockstep). Library callers with a
     benchmark table already loaded skip paths entirely:
     decontaminate_against(train_docs, eval_docs) is this exact shape
     with both sides as DataFrames (r11 verdict task #4)."""
     eval_docs = (
-        spark.read.parquet(_FIXED_EVAL_PATH)
+        spark.read.parquet(_fixed_eval_path())
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
         .filter(F.size(F.split("text", " ")) >= 3)
     )

@@ -87,6 +87,12 @@ _ROCKSDB_PROVIDER = (
 _BIG_STATE_SOURCE_BYTES = 8 << 20
 _BIG_STATE_PARTITIONS = 19
 _HUGE_STATE_SOURCE_BYTES = 64 << 20
+# Fallback for the huge tier when the caller can't supply the session's
+# parallelism (the measured optimum on the 32-core bench host). The live
+# route derives the tier from spark.sparkContext.defaultParallelism
+# instead — "state parallelism should match compute parallelism" is the
+# measured conclusion, and a literal 32 would pin this host's core count
+# onto any other deployment (r12 advice).
 _HUGE_STATE_PARTITIONS = 32
 
 
@@ -104,9 +110,14 @@ def _source_bytes(sf_dir: str, glob: str) -> int:
         return 0
 
 
-def _stream_state_config(sf_dir: str | None, glob: str) -> tuple[str, int]:
+def _stream_state_config(
+    sf_dir: str | None, glob: str, parallelism: int | None = None
+) -> tuple[str, int]:
     """(provider, partitions) for a stream over {sf_dir}/{glob} — env
-    pins first, then the measured size crossover above."""
+    pins first, then the measured size crossover above. `parallelism`
+    is the session's compute parallelism (defaultParallelism); the huge
+    tier tracks it (never below the big tier's count) so a deployment
+    with a different core count isn't pinned to this bench host's 32."""
     env_prov = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
     env_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env_prov is not None or env_parts is not None:
@@ -117,7 +128,12 @@ def _stream_state_config(sf_dir: str | None, glob: str) -> tuple[str, int]:
     if sf_dir:
         nbytes = _source_bytes(sf_dir, glob)
         if nbytes >= _HUGE_STATE_SOURCE_BYTES:
-            return ("rocksdb", _HUGE_STATE_PARTITIONS)
+            huge = (
+                max(parallelism, _BIG_STATE_PARTITIONS)
+                if parallelism
+                else _HUGE_STATE_PARTITIONS
+            )
+            return ("rocksdb", huge)
         if nbytes >= _BIG_STATE_SOURCE_BYTES:
             return ("rocksdb", _BIG_STATE_PARTITIONS)
     return ("", _STREAM_STATE_PARTITIONS)
@@ -157,7 +173,9 @@ def _stream_session(
 
         _apply_runtime_confs(clone)
         _STREAM_SESSIONS[spark] = clone
-    provider, n = _stream_state_config(sf_dir, glob)
+    provider, n = _stream_state_config(
+        sf_dir, glob, parallelism=spark.sparkContext.defaultParallelism
+    )
     # (re)pin after any conf application — load-order independent
     clone.conf.set("spark.sql.shuffle.partitions", str(n))
     if provider == "rocksdb":

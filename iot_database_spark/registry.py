@@ -21,12 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# oracle values are SQL strings, or zero-arg callables producing one —
+# the lazy form exists for oracles parameterized by call-time state
+# (e.g. SPARK_GRAFT_DECON_EVAL_PATH, resolved when the driver asks for
+# the oracle rather than baked at import — r12 verdict task #5)
 _QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
+_ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a driver-visible query (and optional oracle SQL)."""
+def register(
+    name: str, oracle: "str | Callable[[], str] | None" = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a driver-visible query (and optional oracle
+    SQL — a string, or a zero-arg callable resolved at oracles() time)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
@@ -135,7 +142,10 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     _ensure_loaded()
-    return _ordered(_ORACLES)
+    return {
+        name: (v() if callable(v) else v)
+        for name, v in _ordered(_ORACLES).items()
+    }
 
 
 _LOADED = False

@@ -112,7 +112,8 @@ def load_tables(
     return out
 
 
-_SPREAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, bool]]" = (
+# cache_key -> chosen repartition count (0 = leave as-is)
+_SPREAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, int]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -157,17 +158,22 @@ def spread_small_input(
     return df.repartition(n) if n else df
 
 
-def source_bytes(df: DataFrame) -> int | None:
+def source_bytes(
+    df: DataFrame, files: list[str] | None = None
+) -> int | None:
     """Total on-disk bytes of `df`'s file-backed source, or None when
     the frame is fileless (in-memory) or backed by a store this process
     can't stat locally (hdfs:/s3a:/...). ONE copy of the file-URI stat
     loop, shared by the spread router below and the LM scoring-join
     broadcast gate (operators/lm._broadcast_model) so scheme handling
-    can't drift between them (r11 advice)."""
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
+    can't drift between them (r11 advice). A caller that already fetched
+    df.inputFiles() passes it as `files` so the decision costs one JVM
+    round-trip, not two (r12 advice)."""
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
     if not files:
         return None
     total = 0
@@ -185,7 +191,7 @@ def _spread_partitions(df: DataFrame, spark: SparkSession, cores: int) -> int:
     if not files:
         # in-memory frame: physical partition probe, old behavior
         return cores if df.rdd.getNumPartitions() < cores else 0
-    total = source_bytes(df)
+    total = source_bytes(df, files=files)
     if total is None:
         # remote store we can't stat: at that scale the source's own
         # split planning is authoritative — don't add a shuffle

@@ -1716,6 +1716,49 @@ def test_bpe_tokenizer_end_to_end(spark, sf_dir):
         assert et[did] == [] and ec[did] == 0
 
 
+def test_bpe_vocab_cache_survives_interleaved_consumer(spark, sf_dir):
+    """r12 bench artifact: the single-slot vocab cache made a query's
+    steady-state time depend on CALL ORDER — any other vocab consumer
+    between a query's warm-up and timed pass evicted its cached
+    distinct-vocab frame. The cache is now a small LRU: an interleaved
+    DIFFERENT vocab must not evict the warm entry, the same plan must
+    reuse its handle (identity-preserved), and capacity still bounds
+    the number of persisted frames."""
+    from iot_database_spark.operators import bpe
+
+    bpe.release_vocab_cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_a, docs_b, docs_c = docs.limit(40), docs.limit(20), docs.limit(10)
+    merges = [("e", "r")]
+
+    bpe.bpe_token_count(docs_a, merges, "text", "doc_id").collect()
+    with bpe._LAST_PERSISTED_LOCK:
+        assert len(bpe._LAST_PERSISTED) == 1
+        a_handle = bpe._LAST_PERSISTED[-1]
+
+    # an interleaved consumer with a different vocab must NOT evict A
+    bpe.bpe_token_count(docs_b, merges, "text", "doc_id").collect()
+    with bpe._LAST_PERSISTED_LOCK:
+        assert any(h is a_handle for h in bpe._LAST_PERSISTED)
+        b_handle = bpe._LAST_PERSISTED[-1]
+        assert b_handle is not a_handle
+
+    # A again: cache hit — the SAME handle, bumped to newest slot
+    bpe.bpe_token_count(docs_a, merges, "text", "doc_id").collect()
+    with bpe._LAST_PERSISTED_LOCK:
+        assert bpe._LAST_PERSISTED[-1] is a_handle
+        assert len(bpe._LAST_PERSISTED) == bpe._VOCAB_CACHE_SLOTS == 2
+
+    # a third distinct vocab evicts the least-recently-used (B, since
+    # A was just bumped), keeping the frame count bounded
+    bpe.bpe_token_count(docs_c, merges, "text", "doc_id").collect()
+    with bpe._LAST_PERSISTED_LOCK:
+        assert len(bpe._LAST_PERSISTED) == 2
+        assert any(h is a_handle for h in bpe._LAST_PERSISTED)
+        assert all(h is not b_handle for h in bpe._LAST_PERSISTED)
+    bpe.release_vocab_cache()
+
+
 def test_bpe_fixed_merges_provenance_and_seq_equivalence(spark):
     """The pinned merge list behind text_bpe_token_count_fixed must be
     exactly what train_bpe produces on the sf0.001 corpus (determinism

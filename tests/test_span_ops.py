@@ -84,22 +84,34 @@ def test_decontaminate_against_custom_eval(spark, sf_dir):
     by_id = {r.eval_doc_id: r for r in out}
     for r in by_id.values():
         assert r.leaked and r.max_agreement == K
-    # and the env override reaches the registered query's default path
-    # at import time (module-level so the embedded oracle matches)
-    import importlib
 
-    import iot_database_spark.operators.dedup_queries as mod
 
-    old = dict(__import__("os").environ)
-    try:
-        __import__("os").environ["SPARK_GRAFT_DECON_EVAL_PATH"] = "/tmp/elsewhere.parquet"
-        importlib.reload(mod)
-        assert mod._FIXED_EVAL_PATH == "/tmp/elsewhere.parquet"
-        assert "/tmp/elsewhere.parquet" in mod._DECON_FIXED_ORACLE
-    finally:
-        __import__("os").environ.clear()
-        __import__("os").environ.update(old)
-        importlib.reload(mod)
+def test_decon_eval_path_resolved_at_call_time(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 verdict task #5: SPARK_GRAFT_DECON_EVAL_PATH set AFTER the
+    module imports must reach both the registered query and its (lazy)
+    oracle SQL — no reload required — and a path that can't embed
+    safely in the oracle string fails loudly instead of injecting."""
+    from iot_database_spark import registry
+
+    # a custom eval set written after import: two docs lifted verbatim
+    # from the graded corpus, so they must come back as leaks
+    docs = dq._docs(spark, sf_dir)
+    eval_path = str(tmp_path / "my_eval.parquet")
+    docs.orderBy("doc_id").limit(2).write.parquet(eval_path)
+    monkeypatch.setenv("SPARK_GRAFT_DECON_EVAL_PATH", eval_path)
+    assert dq._fixed_eval_path() == eval_path
+    rows = dq.decontaminate_fixed_eval(spark, sf_dir).collect()
+    assert len(rows) == 2 and all(r.leaked for r in rows)
+    # the lazily-built oracle embeds the SAME call-time path
+    assert eval_path in registry.oracles()["decontaminate_fixed_eval"]
+    # un-embeddable values are rejected, not interpolated
+    monkeypatch.setenv("SPARK_GRAFT_DECON_EVAL_PATH", "/tmp/o'brien.parquet")
+    with pytest.raises(ValueError):
+        dq._fixed_eval_path()
+    monkeypatch.delenv("SPARK_GRAFT_DECON_EVAL_PATH")
+    assert dq._fixed_eval_path() == dq._DEFAULT_EVAL_PATH
 
 
 def test_quality_resample_rates_vary(spark, sf_dir):
@@ -164,6 +176,19 @@ def test_stream_state_config_routing(tmp_path, monkeypatch):
         "rocksdb",
         sq._HUGE_STATE_PARTITIONS,
     )
+    # the huge tier tracks the session's compute parallelism (r12
+    # advice: a literal 32 pinned this host's core count), but never
+    # drops below the big tier's measured count
+    assert sq._stream_state_config(
+        str(tmp_path / "huge"), "events.parquet", parallelism=64
+    ) == ("rocksdb", 64)
+    assert sq._stream_state_config(
+        str(tmp_path / "huge"), "events.parquet", parallelism=4
+    ) == ("rocksdb", sq._BIG_STATE_PARTITIONS)
+    # parallelism never changes the small/big tiers
+    assert sq._stream_state_config(
+        str(tmp_path / "big"), "events.parquet", parallelism=64
+    ) == ("rocksdb", sq._BIG_STATE_PARTITIONS)
     # absent source -> small-state default, never an exception
     assert sq._stream_state_config(str(tmp_path / "nope"), "events.parquet") == (
         "",
@@ -181,3 +206,40 @@ def test_stream_state_config_routing(tmp_path, monkeypatch):
         "rocksdb",
         sq._STREAM_STATE_PARTITIONS,
     )
+
+
+def test_materialize_mode_routing(monkeypatch, spark):
+    """r12 verdict task #4: the span-stream materialization strategy is
+    env-configurable with a master-aware default — localCheckpoint only
+    where executor loss already means job loss (local[*]); replicated
+    persist anywhere else; explicit pins win; garbage fails loudly."""
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    assert dq._materialize_mode("local[32]") == "local"
+    assert dq._materialize_mode("local") == "local"
+    assert dq._materialize_mode("spark://host:7077") == "persist2"
+    assert dq._materialize_mode("yarn") == "persist2"
+    assert dq._materialize_mode("k8s://https://host") == "persist2"
+    assert dq._materialize_mode(None) == "persist2"
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    assert dq._materialize_mode("local[32]") == "reliable"
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "PERSIST2")
+    assert dq._materialize_mode("spark://h:7077") == "persist2"
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "bogus")
+    with pytest.raises(ValueError):
+        dq._materialize_mode("local[2]")
+
+    # every strategy materializes the same rows (plan shape downstream
+    # is strategy-independent); persist2 really replicates to disk-able
+    # storage, reliable really checkpoints to the reliable dir
+    src = spark.range(0, 100).selectExpr("id", "id % 7 AS k")
+    want = sorted((r["id"], r["k"]) for r in src.collect())
+    for mode in ("local", "persist2", "reliable"):
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", mode)
+        out = dq._materialize_once(src)
+        assert sorted((r["id"], r["k"]) for r in out.collect()) == want
+        if mode == "persist2":
+            assert out.storageLevel.replication == 2
+            assert out.storageLevel.useDisk
+            out.unpersist(blocking=False)
+        if mode == "reliable":
+            assert spark.sparkContext.getCheckpointDir() is not None
