@@ -119,7 +119,6 @@ HEADLINE = [
     "stream_threshold_alerts",
     # round 8 additions
     "stream_sessionization",
-    "text_ngram_lm_score",
     "text_trigram_lm_score",
     "text_repetition_trim",
     "corpus_zipf_stats",
@@ -145,6 +144,7 @@ HEADLINE = [
     # round 11 additions
     "dedup_span_exact",
     "dedup_span_removal",
+    "dedup_substring_suffix",
     "corpus_quality_resample",
     "search_phrase_topk",
     "decontaminate_fixed_eval",

@@ -1151,6 +1151,251 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Variable-length exact substring duplication via the sorted-suffix
+# (distributed suffix-array) method — the Lee et al. companion the span
+# family approximates at fixed N (r12 verdict task #6). dedup_span_exact
+# answers "does this fixed {SPAN_N}-token window repeat?"; this profile
+# answers "HOW LONG is the repeat at each position?" — license headers,
+# syndicated paragraphs, and template boilerplate are 20-200 tokens,
+# and their extent (not just presence) decides whether to cut or drop.
+#
+# Method: every token position emits its suffix TRUNCATED to
+# SUFFIX_MAX_W tokens; suffixes sharing a first-{SPAN_N}-token prefix
+# land in one group (any pair with a common run >= SPAN_N shares that
+# prefix by construction), and within a group, lexicographic suffix
+# order makes each position's maximal match length = max(LCP with its
+# two sorted neighbors) — the classic suffix-array LCP property, here
+# per bounded group instead of over one global order (a global ORDER BY
+# is a single-partition sort at any scale). Match lengths cap at
+# SUFFIX_MAX_W by construction: "24+" is one answer, which is what a
+# curation decision needs.
+# ---------------------------------------------------------------------------
+
+SUFFIX_MAX_W = 24  # truncation: the longest extent the profile resolves
+SUFFIX_MAX_BUCKET = 4096  # group-width cap (same knob as the LSH family)
+
+
+def _suffix_lcp_sql(b: str) -> str:
+    """DuckDB token-LCP between sufstr and neighbor column `b`: compare
+    the first least(len) tokens pairwise; first mismatch index - 1 is
+    the LCP, no mismatch (list_position = 0) means the shorter is a
+    prefix of the longer. Mirrors the Spark lcp() in
+    dedup_substring_suffix token for token."""
+    a_ws = "string_split(sufstr, ' ')"
+    b_ws = f"string_split({b}, ' ')"
+    m = f"least(len({a_ws}), len({b_ws}))"
+    pos = (
+        f"list_position(list_transform(range(1, {m} + 1), "
+        f"j -> {a_ws}[j] = {b_ws}[j]), false)"
+    )
+    return (
+        f"CASE WHEN {b} IS NULL THEN 0 "
+        f"WHEN {pos} = 0 THEN {m} ELSE {pos} - 1 END"
+    )
+
+
+SUFFIX_SUBSTRING_ORACLE = f"""
+    WITH words AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_N}
+    ),
+    keyed AS (
+        SELECT id, i AS pos,
+               array_to_string(list_slice(ws, i, i + {SUFFIX_MAX_W - 1}), ' ')
+                   AS sufstr,
+               {duck_hash64(f"array_to_string(list_slice(ws, i, i + {SPAN_N - 1}), ' ')")}
+                   AS k
+        FROM words, LATERAL unnest(range(1, len(ws) - {SPAN_N - 2})) t(i)
+    ),
+    census AS (SELECT k, COUNT(*) AS n FROM keyed GROUP BY k),
+    neigh AS (
+        SELECT id, sufstr,
+               LAG(sufstr) OVER w AS prev, LEAD(sufstr) OVER w AS nxt
+        FROM keyed JOIN census USING (k)
+        WHERE n BETWEEN 2 AND {SUFFIX_MAX_BUCKET}
+        WINDOW w AS (PARTITION BY k ORDER BY sufstr)
+    ),
+    scored AS (
+        SELECT id,
+               GREATEST({_suffix_lcp_sql('prev')}, {_suffix_lcp_sql('nxt')})
+                   AS ml,
+               FALSE AS boiler
+        FROM neigh
+        UNION ALL
+        SELECT id, {SPAN_N} AS ml, TRUE AS boiler
+        FROM keyed JOIN census USING (k) WHERE n > {SUFFIX_MAX_BUCKET}
+    ),
+    per_doc AS (
+        SELECT id,
+               CAST(COUNT(CASE WHEN ml >= {SPAN_N} THEN 1 END) AS BIGINT)
+                   AS n_dup_positions,
+               CAST(COUNT(CASE WHEN boiler THEN 1 END) AS BIGINT)
+                   AS n_boilerplate_positions,
+               CAST(COALESCE(MAX(CASE WHEN ml >= {SPAN_N} THEN ml END), 0)
+                    AS INTEGER) AS max_dup_len
+        FROM scored
+        GROUP BY id
+    )
+    SELECT t.id AS doc_id,
+           CAST(t.n_positions AS BIGINT) AS n_positions,
+           COALESCE(p.n_dup_positions, 0) AS n_dup_positions,
+           COALESCE(p.n_boilerplate_positions, 0) AS n_boilerplate_positions,
+           COALESCE(p.max_dup_len, 0) AS max_dup_len
+    FROM (SELECT id, COUNT(*) AS n_positions FROM keyed GROUP BY id) t
+    LEFT JOIN per_doc p ON t.id = p.id
+"""
+
+
+def substring_suffix_profile(
+    docs: DataFrame,
+    min_len: int = SPAN_N,
+    max_w: int = SUFFIX_MAX_W,
+    max_bucket: int = SUFFIX_MAX_BUCKET,
+) -> DataFrame:
+    """Per-document variable-length duplication profile over an
+    arbitrary (doc_id, text) corpus — the library form of
+    dedup_substring_suffix's registered/graded shape (see the section
+    comment for the method).
+
+    Scale shape: the suffix stream is MATERIALIZED ONCE
+    (_materialize_once) and consumed three times (group census, capped
+    neighbor window, boilerplate census). The group key is the
+    xxhash64 of the first-{{min_len}}-token prefix — 8 bytes per row on
+    the exchange instead of a 60-100-byte string, the same trick the
+    span family measured super-linear without. The census is a
+    map-side-combinable groupBy (a fleet-scale boilerplate prefix
+    collapses to one row per input task), and over-cap groups BROADCAST
+    into anti/semi joins — so the per-group sort window only ever sees
+    groups <= max_bucket rows, which is what makes a window legal here
+    where the span family had to eliminate it: THIS window's partitions
+    are width-capped by construction, the r11 straggler's were the raw
+    Zipf span distribution (scripts/probe_span_skew.py). Over-cap
+    positions are profiled wholesale at the only honest answer a
+    truncated sort could give anyway (ml = min_len lower bound, counted
+    as boilerplate). Stream bytes are ~max_w tokens per position — the
+    inherent cost of resolving EXTENT (Lee et al.'s suffix array holds
+    the whole corpus in suffix order too); at 100 TB run it per-shard
+    behind the mixture sampler, not corpus-global.
+
+    Hash-collision note: a second prefix colliding into a group cannot
+    create false duplicates — LCP is computed on the actual tokens, and
+    lexicographic order keeps same-prefix suffixes contiguous, so
+    neighbor LCPs are exactly what the uncollided groups would give."""
+    from pyspark.sql import Window
+
+    from iot_database_spark.operators.hashing import hash64
+
+    def lcp(a_str, b_str):
+        a, b = F.split(a_str, " "), F.split(b_str, " ")
+        m = F.least(F.size(a), F.size(b))
+        eq = F.zip_with(
+            F.slice(a, F.lit(1), m), F.slice(b, F.lit(1), m),
+            lambda x, y: x == y,
+        )
+        p = F.array_position(eq, F.lit(False))
+        return (
+            F.when(b_str.isNull(), F.lit(0))
+            .when(p > 0, p - 1)
+            .otherwise(m)
+        )
+
+    ws = F.split("text", " ")
+    keyed = _materialize_once(
+        docs.filter(F.size(ws) >= min_len)
+        .select(F.col("doc_id").cast("bigint").alias("id"), ws.alias("ws"))
+        .select(
+            "id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - (min_len - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            F.concat_ws(" ", F.slice("ws", F.col("pos"), max_w)).alias(
+                "sufstr"
+            ),
+            hash64(
+                F.concat_ws(" ", F.slice("ws", F.col("pos"), min_len))
+            ).alias("k"),
+        )
+    )
+    # ~95% of positions sit in SINGLETON prefix groups (sf0.01 census:
+    # 21.6k of 22.6k) whose ml is 0 by definition — keep them out of
+    # the sort window entirely. The census is one map-side-combinable
+    # groupBy; repeated groups (2..cap) flow through a k-keyed join the
+    # window's partitioning then reuses, over-cap groups take the
+    # boilerplate branch, and per-doc position totals come from a
+    # doc-keyed partial-agg count over the materialized stream.
+    census = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    multi = census.filter(
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket)
+    ).select("k")
+    wide = census.filter(F.col("n") > max_bucket).select("k")
+    w = Window.partitionBy("k").orderBy("sufstr")
+    neigh = keyed.join(multi, "k").select(
+        "id",
+        "sufstr",
+        F.lag("sufstr").over(w).alias("prev"),
+        F.lead("sufstr").over(w).alias("nxt"),
+    )
+    scored = neigh.select(
+        "id",
+        F.greatest(
+            lcp(F.col("sufstr"), F.col("prev")),
+            lcp(F.col("sufstr"), F.col("nxt")),
+        ).alias("ml"),
+        F.lit(False).alias("boiler"),
+    ).unionAll(
+        keyed.join(F.broadcast(wide), "k", "left_semi").select(
+            "id",
+            F.lit(min_len).cast("bigint").alias("ml"),
+            F.lit(True).alias("boiler"),
+        )
+    )
+    dup = F.col("ml") >= min_len
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.when(dup, 1)).cast("bigint").alias("n_dup_positions"),
+        F.count(F.when(F.col("boiler"), 1))
+        .cast("bigint")
+        .alias("n_boilerplate_positions"),
+        F.coalesce(F.max(F.when(dup, F.col("ml"))), F.lit(0))
+        .cast("int")
+        .alias("max_dup_len"),
+    )
+    totals = keyed.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_positions")
+    )
+    return totals.join(per_doc, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0).cast("bigint")).alias(
+            "n_dup_positions"
+        ),
+        F.coalesce("n_boilerplate_positions", F.lit(0).cast("bigint")).alias(
+            "n_boilerplate_positions"
+        ),
+        F.coalesce("max_dup_len", F.lit(0).cast("int")).alias("max_dup_len"),
+    )
+
+
+@register("dedup_substring_suffix", oracle=SUFFIX_SUBSTRING_ORACLE)
+def dedup_substring_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position VARIABLE-LENGTH exact substring duplication profile
+    (sorted-suffix method — see the section comment): for every token
+    position, the maximal run of tokens shared verbatim with ANY other
+    position in the corpus (intra- or cross-document), resolved up to
+    {SUFFIX_MAX_W} tokens; per document, how many positions sit inside
+    a repeat of at least {SPAN_N} tokens and how long the longest one
+    is. The fixed-N span family reports presence; this reports EXTENT —
+    the signal that separates an 8-token idiom from a 200-token
+    license header. Implementation and scale notes:
+    substring_suffix_profile (this query pins its grading defaults)."""
+    return substring_suffix_profile(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Decontamination against a FIXED external held-out set (r10 verdict #4).
 # The registered decontaminate_minhash/_eval_leak_report queries carve
 # the eval side out of the corpus itself (doc_id % 50 == 0) so their

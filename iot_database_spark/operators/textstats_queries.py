@@ -744,9 +744,15 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_ngram_lm_score",
-    oracle="""
+# RETIRED from the driver registry in round 13 (scripts/plan_rotation.py
+# RETIREMENT_CANDIDATES[0], freeing the window slot dedup_substring_suffix
+# needs under the saturated 150-query rotation): the bigram variant of
+# lm.ngram_lm_score, whose identical plan (same counts/partials/backoff
+# code, n=3) stays under driver evidence via text_trigram_lm_score. The
+# bit-exact local gate lives on in
+# tests/test_oracle_parity.py::test_retired_query_parity against this
+# oracle; see COVERAGE.md "Driver-evidence policy".
+_NGRAM_LM_ORACLE = """
     WITH toks AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                string_split(lower(text), ' ') AS ws
@@ -789,8 +795,9 @@ def text_bpe_token_count_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT))) AS BIGINT) AS lm_logprob_micro
     FROM doc_bi LEFT JOIN partials USING (w1, w2) CROSS JOIN vocab
     GROUP BY doc_id
-    """,
-)
+    """
+
+
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM quality proxy: per-document summed bigram
     log-probability under an add-one-smoothed LM trained on the corpus
@@ -798,7 +805,9 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-distinct-bigram partial table, integer-exact per-doc sums).
     min_count=2 prunes singleton grams from the model (uniform ln(1/V)
     backoff for them) so the model table stops growing linearly with
-    the corpus — the r8 verdict's scale fix, mirrored in the oracle."""
+    the corpus — the r8 verdict's scale fix, mirrored in the oracle.
+    RETIRED from the driver registry r13 — see _NGRAM_LM_ORACLE's
+    comment; the suite still gates it bit-exact every run."""
     from iot_database_spark.operators import lm
 
     return lm.ngram_lm_score(_docs(spark, sf_dir), min_count=2)

@@ -51,81 +51,79 @@ def register(
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-12 window (exactly 50 slots) — the planner's output verbatim,
-# no hand adjustments needed this round: the r11 deferral arithmetic
-# (recorded in that round's version of this comment, git history)
-# closes exactly as planned.
-#   - The TWO r8-vintage deferrals lead: stream_sessionization and
-#     stream_stream_time_join (newest green r8 — the only queries
-#     whose driver evidence reached the 3-round age limit; r11
-#     verdict: "r12 MUST grade them").
-#   - The 48 remaining r9-vintage greens fill the rest (49 r9 greens
-#     minus dedup_fuzzy_name_match, which re-graded at r11 after its
-#     r10 semantics change). 2 + 48 = 50.
+# Round-13 window (exactly 50 slots) — the planner's output verbatim.
+# This round exercises the RETIREMENT policy for real (r12 verdict task
+# #6): dedup_substring_suffix is newly registered (the sorted-suffix
+# variable-length substring profile), which under the saturated 150-slot
+# rotation required retiring plan_rotation.RETIREMENT_CANDIDATES[0]
+# (text_ngram_lm_score — its plan stays driver-graded via the trigram
+# twin; bit-exact local gate in test_retired_query_parity). Registry
+# stays at exactly 150 = capacity.
+#   - dedup_substring_suffix leads (never graded — needs first-time
+#     evidence).
+#   - 49 of the 50 r10-vintage greens fill the rest; the displaced one
+#     (stream_windowed_rollup, last of them in registration order) hits
+#     the 3-round age limit during r13 and MUST lead the r14 window —
+#     the same deferral arithmetic as the r8 pair the r12 window
+#     closed.
 # SATURATION: at 150 registered queries, a 50-slot window, and the
 # 3-round evidence-age limit, the rotation is exactly full with ZERO
-# slack. Steady state from here: r13 = the 50 r10
-# greens, r14 = the 50 r11 greens, r15 = the 50 r12 greens, keeping
-# every query's newest green row <= 3 rounds old with zero slack. Any
-# NEW registration (or same-round re-grade after a semantics change)
-# needs a slot freed by RETIRING a query first — the policy is now
-# mechanical: scripts/plan_rotation.py (r11 verdict task #6).
-#
-# corpus_ngram_novelty and the two span queries carry the r12
-# skew-proof rewrite — PLAN-only changes (bit-identical output,
-# verified against the oracle in-round), so no same-round re-grade is
-# required; novelty happens to re-grade here anyway by age.
+# slack. Steady state: r14 = stream_windowed_rollup + the r11 greens
+# (one of which defers a round by the same arithmetic), r15 = the r12
+# greens. Any NEW registration (or same-round re-grade after a
+# semantics change) needs a slot freed by RETIRING a query first — the
+# policy is mechanical: scripts/plan_rotation.py (r11 verdict task #6).
 _PRIORITY: tuple[str, ...] = (
-    "stream_sessionization",  # r8 green - evidence at 3-round age limit
-    "stream_stream_time_join",  # r8 green - evidence at 3-round age limit
-    "scan_filter_project",  # r9 green
-    "filter_in",  # r9 green
-    "ts_cusum_drift",  # r9 green
-    "event_path_topk",  # r9 green
-    "conditional_cast",  # r9 green
-    "array_higher_order",  # r9 green
-    "try_cast_predicates",  # r9 green
-    "sha256_hash",  # r9 green
-    "map_functions",  # r9 green
-    "iot_password_hash",  # r9 green
-    "unit_convert_bulk",  # r9 green
-    "cagg_incremental_refresh",  # r9 green
-    "ts_range_join",  # r9 green
-    "ts_ewma_smooth",  # r9 green
-    "ts_anomaly_mad",  # r9 green
-    "ts_threshold_alerts",  # r9 green
-    "chain_verify",  # r9 green
-    "vector_l2_radius",  # r9 green
-    "vector_filtered_topk",  # r9 green
-    "vector_multi_query_topk",  # r9 green
-    "dedup_minhash_lsh",  # r9 green
-    "dedup_ngram_jaccard",  # r9 green
-    "dedup_ngram_jaccard_capped",  # r9 green
-    "dedup_cluster_assign",  # r9 green
-    "dedup_repeated_ngrams",  # r9 green
-    "dedup_ngram_containment",  # r9 green
-    "corpus_ngram_novelty",  # r9 green - r12 skew-proof plan, same hash
-    "text_chunk_windows",  # r9 green
-    "corpus_train_val_test_split",  # r9 green
-    "text_strip_html",  # r9 green
-    "text_bpe_token_count_fixed",  # r9 green
-    "text_ngram_lm_score",  # r9 green
-    "text_trigram_lm_score",  # r9 green
-    "corpus_ccnet_buckets",  # r9 green
-    "corpus_mixture_sample",  # r9 green
-    "heavy_hitter_ngrams",  # r9 green
-    "ann_lsh_cosine",  # r9 green
-    "text_quality_classifier",  # r9 green
-    "zorder_key_events",  # r9 green
-    "text_trigram_coverage",  # r9 green
-    "stream_rollup_to_table",  # r9 green
-    "stream_exact_dedup",  # r9 green
-    "stream_threshold_alerts",  # r9 green
-    "timetravel_asof_digest",  # r9 green
-    "evolution_nullfill_digest",  # r9 green
-    "txn_atomicity_digest",  # r9 green
-    "fk_cascade_digest",  # r9 green
-    "continuous_slot14_digest",  # r9 green
+    "dedup_substring_suffix",  # never graded
+    "filter_like",  # r10 green
+    "filter_between_not",  # r10 green
+    "sort_limit_offset",  # r10 green
+    "take_last",  # r10 green
+    "multi_key_sort",  # r10 green
+    "q01_pricing_summary",  # r10 green
+    "global_agg",  # r10 green
+    "groupby_having",  # r10 green
+    "distinct_op",  # r10 green
+    "count_exists_minmax",  # r10 green
+    "rollup_agg",  # r10 green
+    "join2_orders_customer",  # r10 green
+    "join3_customer_nation_region",  # r10 green
+    "join4_revenue_by_nation",  # r10 green
+    "join6_local_supplier_revenue",  # r10 green
+    "include_children_agg",  # r10 green
+    "semi_join_exists",  # r10 green
+    "anti_join_not_exists",  # r10 green
+    "set_union",  # r10 green
+    "window_topk_per_group",  # r10 green
+    "window_running_sum",  # r10 green
+    "window_lag_delta",  # r10 green
+    "dbref_include_missing",  # r10 green
+    "any_all_quantifiers",  # r10 green
+    "q03_shipping_priority",  # r10 green
+    "correlated_scalar_subquery",  # r10 green
+    "exact_percentiles",  # r10 green
+    "window_range_frame",  # r10 green
+    "window_rank_family",  # r10 green
+    "q06_revenue_forecast",  # r10 green
+    "sql_include_digest",  # r10 green
+    "math_funcs",  # r10 green
+    "iot_effective_value",  # r10 green
+    "ts_locf_merge",  # r10 green
+    "ts_resample_interp",  # r10 green
+    "ts_asof_join",  # r10 green
+    "ts_rollup_hourly",  # r10 green
+    "ts_detect_gaps",  # r10 green
+    "ts_rate_of_change",  # r10 green
+    "chain_append",  # r10 green
+    "dedup_exact",  # r10 green
+    "decontaminate_minhash",  # r10 green
+    "decontaminate_eval_leak_report",  # r10 green
+    "text_fingerprint",  # r10 green
+    "pipeline_clean_corpus",  # r10 green
+    "pipeline_prepare_training_data",  # r10 green
+    "corpus_pack_sequences",  # r10 green
+    "search_bm25_topk",  # r10 green
+    "search_hybrid_rrf",  # r10 green
 )
 
 

@@ -93,10 +93,13 @@ def evidence(rounds: dict[int, dict]) -> dict[str, tuple[int, bool]]:
 EVIDENCE_AGE_LIMIT = 3
 SLOTS = 50
 RETIREMENT_CANDIDATES: tuple[str, ...] = (
-    # bigram variant of lm.ngram_lm_score — text_trigram_lm_score keeps
-    # the identical plan (same counts/partials/backoff code, n=3, the
-    # CCNet/KenLM-standard order) under driver evidence
-    "text_ngram_lm_score",
+    # CONSUMED r13: text_ngram_lm_score (bigram variant of
+    # lm.ngram_lm_score) retired to seat dedup_substring_suffix —
+    # text_trigram_lm_score keeps the identical plan (same
+    # counts/partials/backoff code, n=3, the CCNet/KenLM-standard
+    # order) under driver evidence; bit-exact local gate in
+    # test_retired_query_parity.
+    #
     # explicit-cap variant of dedup.jaccard_pairs — the headline
     # dedup_ngram_jaccard (fractional guard) and dedup_ngram_containment
     # keep the library path graded; probe_cap_binding.py measures the
@@ -105,6 +108,10 @@ RETIREMENT_CANDIDATES: tuple[str, ...] = (
     # batch wrapper over the same cosine top-k join that
     # vector_cosine_topk and vector_filtered_topk keep under evidence
     "vector_multi_query_topk",
+    # %-50 corpus-carve decontamination variant: the SAME banded pair
+    # generation stays graded via decontaminate_eval_leak_report (its
+    # aggregate) and decontaminate_fixed_eval (the production shape)
+    "decontaminate_minhash",
 )
 
 

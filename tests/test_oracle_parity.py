@@ -247,8 +247,10 @@ _SF1_SUBSET = (
     "text_trigram_coverage",
     "approx_sketch_accuracy",
     # round-8 additions: session-window streaming + LM scoring
+    # (text_ngram_lm_score retired r13; its slot here goes to the
+    # trigram twin that keeps the same plan under driver evidence)
     "stream_sessionization",
-    "text_ngram_lm_score",
+    "text_trigram_lm_score",
     # round-9 additions: pruned-LM path, batched vector search, shingle
     # novelty, session paths
     "vector_multi_query_topk",
@@ -277,18 +279,26 @@ def test_retired_query_parity(spark, sf_dir):
     """Queries retired from the driver registry keep their bit-exact
     local gate (COVERAGE.md 'Driver-evidence policy'):
     dedup_ngram_jaccard_absolute — the known-quadratic fixed-cap compat
-    variant, retired r9 — must still match its DuckDB twin."""
+    variant, retired r9 — and text_ngram_lm_score — the bigram LM
+    variant retired r13 to free the rotation slot dedup_substring_suffix
+    claims (its plan stays graded via text_trigram_lm_score) — must
+    still match their DuckDB twins."""
     from iot_database_spark.operators import dedup_queries as dq
+    from iot_database_spark.operators import textstats_queries as tq
 
-    sdf = dq.dedup_ngram_jaccard_absolute(spark, sf_dir)
-    s_norm = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-    con = _duck(sf_dir)
-    res = con.execute(dq._JACCARD_ORACLE)
-    dcols = [d[0] for d in res.description]
-    d_norm = _normalize(res.fetchall(), dcols)
-    con.close()
-    assert sorted(sdf.columns) == sorted(dcols)
-    assert s_norm == d_norm
+    for fn, oracle in (
+        (dq.dedup_ngram_jaccard_absolute, dq._JACCARD_ORACLE),
+        (tq.text_ngram_lm_score, tq._NGRAM_LM_ORACLE),
+    ):
+        sdf = fn(spark, sf_dir)
+        s_norm = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        con = _duck(sf_dir)
+        res = con.execute(oracle)
+        dcols = [d[0] for d in res.description]
+        d_norm = _normalize(res.fetchall(), dcols)
+        con.close()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert s_norm == d_norm
 
 
 def test_every_query_has_entry():

@@ -285,10 +285,18 @@ def test_ngram_lm_score_stays_jvm(spark, sf):
     """The LM scorer's corpus-sized path must be pure Column exprs —
     counts, zip_with bigrams, one ln per distinct bigram — with no
     Python evaluation anywhere in the plan."""
-    df = _Q["text_ngram_lm_score"](spark, sf)
-    text = audit.explain_str(df)
-    assert "PythonUDF" not in text and "BatchEvalPython" not in text
-    assert "ArrowEvalPython" not in text
+    from iot_database_spark.operators import textstats_queries as tq
+
+    # the bigram variant retired from the registry r13 — the plan
+    # assertion keeps covering it via the library function, plus the
+    # registered trigram twin
+    for df in (
+        tq.text_ngram_lm_score(spark, sf),
+        _Q["text_trigram_lm_score"](spark, sf),
+    ):
+        text = audit.explain_str(df)
+        assert "PythonUDF" not in text and "BatchEvalPython" not in text
+        assert "ArrowEvalPython" not in text
 
 
 def test_round11_span_and_fixed_eval_plan_shapes(spark, sf):
@@ -348,3 +356,27 @@ def test_round11_span_and_fixed_eval_plan_shapes(spark, sf):
     qr = _Q["corpus_quality_resample"](spark, sf)
     assert audit.count_exchanges(qr) == 1
     assert not audit.uses_python_udf(qr)
+
+
+def test_substring_suffix_plan_shape(spark, sf):
+    """The r13 sorted-suffix profile is the ONE place a window over
+    suffix groups is legal — because every partition entering it is
+    width-capped by the census anti/semi routing (<= SUFFIX_MAX_BUCKET
+    rows) and singleton groups (the ~95% majority) are pruned before
+    the sort. Assert the documented shape: the position explode runs
+    once (at materialization, so no Generate in the final plan), no
+    nested-loop/cartesian join, no Python evaluation, and the
+    materialized stream is read more than once (census + window +
+    totals) instead of recomputed."""
+    from iot_database_spark.operators import dedup_queries as dq
+
+    df = _Q["dedup_substring_suffix"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 0  # explode ran at materialization
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert not audit.uses_python_udf(df)
+    # the window exists and is fed through the multi-group join, never
+    # directly by the raw suffix stream
+    assert plan.count("Window") >= 1
+    assert dq.SUFFIX_MAX_BUCKET == 4096

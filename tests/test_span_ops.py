@@ -243,3 +243,73 @@ def test_materialize_mode_routing(monkeypatch, spark):
             out.unpersist(blocking=False)
         if mode == "reliable":
             assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_substring_suffix_variable_length_signal(spark, sf_dir):
+    """r12 verdict task #6 non-vacuity: the sorted-suffix profile must
+    report what the fixed-N span family structurally cannot — repeat
+    EXTENT. The synthetic corpus carries multi-span duplicate runs, so
+    some doc must hit the SUFFIX_MAX_W truncation cap and some doc must
+    land strictly between SPAN_N and the cap (a genuinely resolved
+    variable length, not presence recoded)."""
+    rows = dq.dedup_substring_suffix(spark, sf_dir).collect()
+    assert rows
+    lens = {r.max_dup_len for r in rows}
+    assert dq.SUFFIX_MAX_W in lens
+    assert any(dq.SPAN_N < ml < dq.SUFFIX_MAX_W for ml in lens)
+    for r in rows:
+        assert 0 <= r.n_dup_positions <= r.n_positions
+        assert r.max_dup_len == 0 or r.max_dup_len >= dq.SPAN_N
+        assert (r.n_dup_positions == 0) == (r.max_dup_len == 0)
+
+
+def test_substring_suffix_supersets_span_profile(spark, sf_dir):
+    """Every doc the fixed-N profile flags (a cross-doc duplicated
+    8-token span) must also be flagged by the suffix profile — the
+    suffix method additionally sees intra-doc repeats, never less."""
+    span_dup = {
+        r.doc_id
+        for r in dq.dedup_span_exact(spark, sf_dir).collect()
+        if r.n_dup_spans > 0
+    }
+    suf_dup = {
+        r.doc_id
+        for r in dq.dedup_substring_suffix(spark, sf_dir).collect()
+        if r.n_dup_positions > 0
+    }
+    assert span_dup
+    assert span_dup <= suf_dup
+
+
+def test_substring_suffix_cap_branch(spark):
+    """The over-cap (boilerplate) branch does real work: with the width
+    cap forced below a hot prefix's occurrence count, its positions are
+    counted wholesale at the min_len lower bound instead of entering
+    the sort window, and the totals still cover every position."""
+    boiler = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit"
+        " sed do eiusmod tempor"
+    )
+    rows = [(i, f"{boiler} tail{i} x y z w") for i in range(6)]
+    rows.append((99, "entirely unique words nothing shared here at all"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dq.substring_suffix_profile(docs, max_bucket=4).collect()
+    }
+    # the 6 boiler docs share the first 8-token prefix at position 1:
+    # 6 > max_bucket -> boilerplate branch, ml pinned to min_len
+    for i in range(6):
+        assert out[i].n_boilerplate_positions >= 1
+        assert out[i].n_dup_positions >= out[i].n_boilerplate_positions
+        assert out[i].max_dup_len >= dq.SPAN_N
+    assert out[99].n_dup_positions == 0
+    assert out[99].n_boilerplate_positions == 0
+    # and with the default cap the same corpus resolves full extents:
+    # the shared run is longer than 8 tokens, so extents exceed min_len
+    full = {
+        r.doc_id: r
+        for r in dq.substring_suffix_profile(docs).collect()
+    }
+    assert all(full[i].n_boilerplate_positions == 0 for i in range(6))
+    assert any(full[i].max_dup_len > dq.SPAN_N for i in range(6))
