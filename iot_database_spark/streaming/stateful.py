@@ -104,34 +104,66 @@ def make_alert_updater(high: float, low: float):
     ACROSS micro-batches, each batch's samples replay in (ts, event_id)
     order, and only transitions are emitted. A value >= high raises,
     <= low clears, the dead band carries state — identical semantics to
-    the batch window plan, so the two are hash-interchangeable."""
+    the batch window plan, so the two are hash-interchangeable.
+
+    Hot-key memory shape (r12 verdict task #3): applyInPandasWithState
+    hands ONE group's micro-batch rows to one python worker, so the r12
+    form's pd.concat over the whole group materialized a fleet-scale
+    bot key (1e8 events on one guid) as a single pandas frame — the
+    streaming analog of the boilerplate span. Hysteresis state depends
+    ONLY on the most recent EXTREME sample (>= high or <= low): a
+    dead-band row can never change state or emit, so each Arrow chunk
+    is filtered to its extremes BEFORE anything is buffered, and only
+    the compact (ts, event_id, value) extreme arrays are merged, sorted
+    and scanned — vectorized (class-change mask), no per-row python
+    loop. scripts/probe_stream_hotkey.py measures both forms under a
+    1/3-hot key. Residual worst case: a key whose EXTREME samples alone
+    exceed worker memory — truncating those would silently change alert
+    semantics, so no cap is applied; the probe documents the bound."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
         (guid,) = key
         cur = int(state.get[0]) if state.exists else 0
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        epoch = batch["ts"].astype("datetime64[us]").astype("int64")
-        out_ts: list[int] = []
-        out_v: list[float] = []
-        out_a: list[str] = []
-        for t, v in zip(epoch, batch["value"]):
-            v = float(v)
-            nxt = 1 if v >= high else (0 if v <= low else cur)
-            if nxt != cur:
-                out_ts.append(int(t))
-                out_v.append(v)
-                out_a.append("raise" if nxt == 1 else "clear")
-            cur = nxt
+        ts_parts, v_parts, id_parts = [], [], []
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype="float64")
+            keep = (v >= high) | (v <= low)  # dead band: state-invariant
+            if not keep.any():
+                continue
+            ts_parts.append(
+                pdf["ts"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy()[keep]
+            )
+            v_parts.append(v[keep])
+            id_parts.append(pdf["event_id"].to_numpy(dtype="int64")[keep])
+        if ts_parts:
+            ts = np.concatenate(ts_parts)
+            v = np.concatenate(v_parts)
+            eid = np.concatenate(id_parts)
+            order = np.lexsort((eid, ts))  # ts first, event_id tiebreak
+            ts, v = ts[order], v[order]
+            # after the dead-band filter, post-sample state == class:
+            # 1 iff >= high (raise wins when the bands overlap), else 0
+            c = (v[:] >= high).astype("int64")
+            prev = np.concatenate(([cur], c[:-1]))
+            mask = c != prev
+            out_ts, out_v, out_c = ts[mask], v[mask], c[mask]
+            cur = int(c[-1])
+        else:
+            out_ts = out_v = out_c = np.empty(0)
         state.update((cur,))
         yield pd.DataFrame(
             {
                 "guid": [int(guid)] * len(out_ts),
-                "ts_us": out_ts,
-                "value": out_v,
-                "alert": out_a,
+                "ts_us": [int(t) for t in out_ts],
+                "value": [float(x) for x in out_v],
+                "alert": ["raise" if x == 1 else "clear" for x in out_c],
             }
         )
 

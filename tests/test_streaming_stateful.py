@@ -573,3 +573,72 @@ def test_stream_queries_leave_parent_session_conf_untouched(spark, sf_dir):
     assert clone.sparkContext is spark.sparkContext
     # cached: every streaming query of this parent shares one clone
     assert _stream_session(spark) is clone
+
+
+def test_alert_updater_chunked_equivalence():
+    """r12 verdict task #3: the vectorized dead-band-filtering updater
+    must equal a naive ordered replay EXACTLY — across multiple Arrow
+    chunks (including all-dead-band chunks), out-of-order chunk
+    arrival, timestamp ties broken by event_id, overlapping bands
+    (raise wins), and carried-in state — while never materializing the
+    dead-band majority."""
+    import numpy as np
+    import pandas as pd
+
+    from iot_database_spark.streaming.stateful import make_alert_updater
+
+    class FakeState:
+        def __init__(self, cur=None):
+            self.exists = cur is not None
+            self._v = (cur,) if cur is not None else None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    ts = pd.to_datetime(1_700_000_000_000_000 + rng.permutation(n) * 1_000_000, unit="us")
+    # duplicate some timestamps so the event_id tiebreak matters
+    ts = ts.where(pd.Series(rng.rand(n) > 0.2), ts[0])
+    vals = rng.choice([250.0, 150.0, 50.0, 199.999, 200.0, 100.0], size=n)
+    eid = rng.permutation(n).astype("int64")
+    pdf = pd.DataFrame({"ts": ts, "event_id": eid, "value": vals})
+
+    def naive(pdf, cur, high=200.0, low=100.0):
+        b = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = []
+        for t, v in zip(
+            b["ts"].astype("datetime64[us]").astype("int64"), b["value"]
+        ):
+            nxt = 1 if v >= high else (0 if v <= low else cur)
+            if nxt != cur:
+                out.append((int(t), float(v), "raise" if nxt else "clear"))
+            cur = nxt
+        return out, cur
+
+    update = make_alert_updater(200.0, 100.0)
+    for start_state in (None, 0, 1):
+        # chunk the batch unevenly, with one all-dead-band chunk
+        dead = pd.DataFrame(
+            {
+                "ts": ts[:7],
+                "event_id": eid[:7] + 10_000,
+                "value": [150.0] * 7,
+            }
+        )
+        chunks = [pdf.iloc[:13], dead, pdf.iloc[13:700], pdf.iloc[700:]]
+        state = FakeState(start_state)
+        (got,) = list(update((42,), iter(chunks), state))
+        full = pd.concat([pdf, dead], ignore_index=True)
+        want, want_state = naive(full, start_state or 0)
+        assert state.get == (want_state,)
+        got_rows = list(
+            zip(got["ts_us"], got["value"], got["alert"])
+        )
+        assert [(int(t), float(v), a) for t, v, a in got_rows] == want
+        assert (got["guid"] == 42).all()
