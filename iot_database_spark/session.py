@@ -67,6 +67,17 @@ def get_spark(app_name: str = "iot_database_spark", master: str | None = None) -
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"))
+        # Static conf (must precede the first session in the JVM): the
+        # generated-class cache defaults to 100 entries, but a long-lived
+        # session running a 100+-query workload compiles several hundred
+        # distinct codegen stages — at the default the cache thrashes and
+        # hot queries re-Janino-compile on every run (measured: the r13
+        # full-roster bench inflated text_bpe_token_count_fixed 1.6x vs its
+        # solo floor, while any ~50-query subset ran at the floor).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     if master or not _active_session():
         builder = builder.master(master or f"local[{cpus}]")
