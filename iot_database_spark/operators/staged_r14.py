@@ -120,8 +120,17 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM(n_tokens) DIV {_BUDGET_DIV} AS BIGINT)").alias("budget")
     )
     # broadcast 1-row aggregate — the repo-wide scalar-gating pattern
-    d = d.crossJoin(F.broadcast(budget))
+    return token_budget_select(d.crossJoin(F.broadcast(budget)))
 
+
+def token_budget_select(d: DataFrame) -> DataFrame:
+    """Library core of corpus_token_budget_select: `d` carries
+    (doc_id, n_tokens, quality_bp, budget) — the query wraps it with
+    the hash stand-in quality and an in-plan budget; probes feed it
+    adversarial distributions directly (scripts/probe_budget_skew.py).
+    Returns the greedy (quality_bp DESC, doc_id ASC) prefix whose
+    inclusive token sum stays <= budget, via the three bounded tiers
+    described in the query docstring."""
     # tier 1: bucket running sum over the <=10k-row quality aggregate
     buckets = d.groupBy("quality_bp", "budget").agg(
         F.sum("n_tokens").alias("bucket_tokens")

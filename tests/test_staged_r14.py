@@ -93,3 +93,37 @@ def test_selection_is_quality_prefix(spark, sf_dir):
                 f"doc {r['doc_id']} (q={r['quality_bp']}) outranks the "
                 "worst selected doc but was not selected"
             )
+
+
+def test_token_budget_select_hand_computed(spark):
+    """Library-core semantics on a hand-checkable frame: budget 100,
+    order = (quality DESC, doc_id ASC), inclusive prefix. Docs:
+      q=9: d1(40), d2(30)   -> cum 40, 70   (whole bucket fits)
+      q=5: d3(20), d4(15)   -> cum 90, 105  (d3 fits, d4 would overflow)
+      q=1: d5(10)           -> never reached
+    Selected = {d1, d2, d3}."""
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.operators.staged_r14 import token_budget_select
+
+    rows = [(1, 40, 9), (2, 30, 9), (3, 20, 5), (4, 15, 5), (5, 10, 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_bp long"
+    ).withColumn("budget", F.lit(100).cast("bigint"))
+    got = sorted(r["doc_id"] for r in token_budget_select(d).collect())
+    assert got == [1, 2, 3]
+
+
+def test_token_budget_select_boundary_exact_fit(spark):
+    """cum == budget is INCLUSIVE (<=), and a budget landing exactly
+    between buckets selects whole buckets with no boundary refinement."""
+    from pyspark.sql import functions as F
+
+    from iot_database_spark.operators.staged_r14 import token_budget_select
+
+    rows = [(1, 60, 9), (2, 40, 5), (3, 10, 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_bp long"
+    ).withColumn("budget", F.lit(100).cast("bigint"))
+    got = sorted(r["doc_id"] for r in token_budget_select(d).collect())
+    assert got == [1, 2]
