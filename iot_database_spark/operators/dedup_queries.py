@@ -1173,6 +1173,10 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUFFIX_MAX_W = 24  # truncation: the longest extent the profile resolves
 SUFFIX_MAX_BUCKET = 4096  # group-width cap (same knob as the LSH family)
+# broadcast the duplicated-key set below this many keys (8 B hash each:
+# 4M keys ~ 32 MB — inside the session's 64 MB broadcast threshold);
+# above it the rebuilt suffix stream shuffle-joins on k instead
+SUFFIX_BROADCAST_KEYS = 4_000_000
 
 
 def _suffix_lcp_sql(b: str) -> str:
@@ -1258,25 +1262,30 @@ def substring_suffix_profile(
     dedup_substring_suffix's registered/graded shape (see the section
     comment for the method).
 
-    Scale shape: the suffix stream is MATERIALIZED ONCE
-    (_materialize_once) and consumed three times (group census, capped
-    neighbor window, boilerplate census). The group key is the
-    xxhash64 of the first-{{min_len}}-token prefix — 8 bytes per row on
-    the exchange instead of a 60-100-byte string, the same trick the
-    span family measured super-linear without. The census is a
-    map-side-combinable groupBy (a fleet-scale boilerplate prefix
-    collapses to one row per input task), and over-cap groups BROADCAST
-    into anti/semi joins — so the per-group sort window only ever sees
-    groups <= max_bucket rows, which is what makes a window legal here
-    where the span family had to eliminate it: THIS window's partitions
-    are width-capped by construction, the r11 straggler's were the raw
-    Zipf span distribution (scripts/probe_span_skew.py). Over-cap
-    positions are profiled wholesale at the only honest answer a
-    truncated sort could give anyway (ml = min_len lower bound, counted
-    as boilerplate). Stream bytes are ~max_w tokens per position — the
-    inherent cost of resolving EXTENT (Lee et al.'s suffix array holds
-    the whole corpus in suffix order too); at 100 TB run it per-shard
-    behind the mixture sampler, not corpus-global.
+    Scale shape (r13.1 — the sf10 decade probe caught the r13.0 form
+    super-linear: 10.4x time at 3.33x data, and the isolated A/B showed
+    STORING the full per-position sufstr stream cost 2.7-3.7x its own
+    compute while only ~0.1% of positions ever reached the window):
+    only the SLIM (id, k) stream — 16 B/position — is materialized
+    (_materialize_once), feeding the group census and per-doc totals.
+    The group key is the 60-bit hash of the first-{{min_len}}-token
+    prefix — 8 bytes on the exchange instead of a 60-100-byte string.
+    The census is a map-side-combinable groupBy (a fleet-scale
+    boilerplate prefix collapses to one row per input task). The
+    {{max_w}}-token sufstr stream is REBUILT lazily from the source and
+    immediately joined against the duplicated-key set (broadcast under
+    the counted SUFFIX_BROADCAST_KEYS gate, shuffle join above it), so
+    the ~99.9% singleton majority is dropped in the scan stage and no
+    corpus-sized wide stream is ever stored or shuffled. The per-group
+    sort window only ever sees groups <= max_bucket rows — width-capped
+    by construction, which is what makes a window legal here where the
+    span family had to eliminate it (the r11 straggler's partitions
+    were the raw Zipf span distribution, scripts/probe_span_skew.py).
+    Over-cap positions are profiled wholesale at the only honest answer
+    a truncated sort could give anyway (ml = min_len lower bound,
+    counted as boilerplate). At 100 TB the dup-key set can exceed the
+    broadcast gate; the shuffle fallback keys on the 8-byte hash, and
+    the method can also run per-shard behind the mixture sampler.
 
     Hash-collision note: a second prefix colliding into a group cannot
     create false duplicates — LCP is computed on the actual tokens, and
@@ -1301,16 +1310,46 @@ def substring_suffix_profile(
         )
 
     ws = F.split("text", " ")
-    keyed = _materialize_once(
-        docs.filter(F.size(ws) >= min_len)
-        .select(F.col("doc_id").cast("bigint").alias("id"), ws.alias("ws"))
-        .select(
+    base = docs.filter(F.size(ws) >= min_len).select(
+        F.col("doc_id").cast("bigint").alias("id"), ws.alias("ws")
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.size("ws") - (min_len - 1))).alias(
+        "pos"
+    )
+    # SLIM materialization (r13 sf10 finding): the r13.0 form stored the
+    # full {max_w}-token sufstr per position — ~150 B/row, and STORING
+    # that stream cost 2.7-3.7x its compute at sf10 (13.8 s compute vs
+    # 50.5 s localCheckpoint / 44.5 s persist) while only ~0.1% of
+    # positions (22k of 23.5M) ever reached the sort window. Store only
+    # (id, k) — 16 B/row — for the census and per-doc totals; the
+    # sufstr stream is rebuilt lazily below and FILTERED to duplicated
+    # keys before any concat survives the scan stage.
+    slim = _materialize_once(
+        base.select("id", "ws", pos).select(
             "id",
-            "ws",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ws") - (min_len - 1))
-            ).alias("pos"),
+            hash64(
+                F.concat_ws(" ", F.slice("ws", F.col("pos"), min_len))
+            ).alias("k"),
         )
+    )
+    # ~95% of positions sit in SINGLETON prefix groups (sf0.01 census:
+    # 21.6k of 22.6k) whose ml is 0 by definition — keep them out of
+    # the sort window entirely. The census is one map-side-combinable
+    # groupBy; per-doc position totals come from a doc-keyed
+    # partial-agg count over the same materialized slim stream.
+    census = slim.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    dup_keys = census.filter(F.col("n") >= 2).select(
+        "k", (F.col("n") > max_bucket).alias("wide")
+    )
+    # duplicated-key set size is bounded by positions/2 but is ~0.1% of
+    # positions in practice; broadcast it under a counted gate (the
+    # lm._broadcast_model pattern) so the rebuilt suffix stream joins
+    # map-side with NO shuffle of the exploded rows — above the gate
+    # the join falls back to a plain shuffle join on k.
+    n_dup_keys = dup_keys.count()
+    dk = F.broadcast(dup_keys) if n_dup_keys <= SUFFIX_BROADCAST_KEYS else dup_keys
+    keyed_dup = (
+        base.select("id", "ws", pos)
         .select(
             "id",
             F.concat_ws(" ", F.slice("ws", F.col("pos"), max_w)).alias(
@@ -1320,21 +1359,14 @@ def substring_suffix_profile(
                 F.concat_ws(" ", F.slice("ws", F.col("pos"), min_len))
             ).alias("k"),
         )
+        .join(dk, "k")
     )
-    # ~95% of positions sit in SINGLETON prefix groups (sf0.01 census:
-    # 21.6k of 22.6k) whose ml is 0 by definition — keep them out of
-    # the sort window entirely. The census is one map-side-combinable
-    # groupBy; repeated groups (2..cap) flow through a k-keyed join the
-    # window's partitioning then reuses, over-cap groups take the
-    # boilerplate branch, and per-doc position totals come from a
-    # doc-keyed partial-agg count over the materialized stream.
-    census = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-    multi = census.filter(
-        (F.col("n") >= 2) & (F.col("n") <= max_bucket)
-    ).select("k")
-    wide = census.filter(F.col("n") > max_bucket).select("k")
+    # repeated groups (2..cap) flow through the width-capped sort
+    # window; over-cap groups take the boilerplate branch at the
+    # min_len lower bound (the only honest answer a truncated sort
+    # could give anyway).
     w = Window.partitionBy("k").orderBy("sufstr")
-    neigh = keyed.join(multi, "k").select(
+    neigh = keyed_dup.filter(~F.col("wide")).select(
         "id",
         "sufstr",
         F.lag("sufstr").over(w).alias("prev"),
@@ -1348,7 +1380,7 @@ def substring_suffix_profile(
         ).alias("ml"),
         F.lit(False).alias("boiler"),
     ).unionAll(
-        keyed.join(F.broadcast(wide), "k", "left_semi").select(
+        keyed_dup.filter(F.col("wide")).select(
             "id",
             F.lit(min_len).cast("bigint").alias("ml"),
             F.lit(True).alias("boiler"),
@@ -1364,7 +1396,7 @@ def substring_suffix_profile(
         .cast("int")
         .alias("max_dup_len"),
     )
-    totals = keyed.groupBy("id").agg(
+    totals = slim.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_positions")
     )
     return totals.join(per_doc, "id", "left").select(
