@@ -606,6 +606,39 @@ _DECON_LEAK_ORACLE = f"""{_DECON_MH_SCORED}
 """
 
 
+def _sig_table(docs: DataFrame, *metrics) -> tuple:
+    """(id, sig array<bigint>, buckets array<string>) — ONE row per doc,
+    the corpus minhash banding computed EXACTLY ONCE and materialized
+    (mode-routed like the span streams — _materialize_once), plus the
+    gating scalars observed DURING the materialization job.
+
+    Why materialize (r13, guide §2.4/§8): the decontamination plans had
+    every consumer — the width census, the train band stream, and (in
+    the %-50 variant) the eval bucket/signature sides — re-run the full
+    per-shingle md5/minhash chain from the text scan: 2 full corpus
+    minhash passes per query (4 scans total), when the decision data is
+    a ~0.5 KB/doc signature row. Storing the slim signature table moves
+    the heavy compute to exactly one pass; every consumer reads stored
+    columnar rows and the scalars ride the materialization job as an
+    Observation instead of a separate count action. Unlike the sufstr
+    lesson (SCALE_r13.md #8 — 99.9% of that stream never reached a
+    second consumer), every signature row here feeds at least two
+    consumers, so the store is pure win."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    raw = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array(dd.minhash_banded(F.col("text"), K, DECON_BANDS))).alias(
+            "x"
+        ),
+    ).select(
+        "id", F.col("x.sig").alias("sig"), F.col("x.buckets").alias("buckets")
+    )
+    sigs = _materialize_once(raw.observe(obs, *metrics))
+    return sigs, obs.get
+
+
 def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared candidate scoring for the two decontamination reports:
     (tid, eid, agree) — one row per colliding (train, eval) pair with
@@ -620,35 +653,34 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — the exchange carries one partial count per distinct bucket
     per input partition, not corpus rows — and only the (few, by
     definition degenerate) over-cap buckets flow into the broadcast
-    anti-join that prunes the train side."""
+    anti-join that prunes the train side. As of r13 the census (and
+    every other consumer) reads the materialized signature table
+    (_sig_table) instead of re-running the corpus minhash."""
     docs = _docs(spark, sf_dir)
-    banded = docs.select(
-        F.col("doc_id").alias("id"),
-        (F.col("doc_id") % 50 == 0).alias("is_eval"),
-        F.explode(F.array(dd.minhash_banded(F.col("text"), K, DECON_BANDS))).alias(
-            "x"
-        ),
-    ).select(
-        "id",
-        "is_eval",
-        F.col("x.sig").alias("sig"),
-        F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
+    # the two scalars that gate the plan ride the materialization job:
+    # corpus size (can any bucket reach the width cap at all?) and eval
+    # size (broadcast gate below)
+    sigs, gates = _sig_table(
+        docs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("id") % 50 == 0, 1)).alias("n_eval"),
     )
-    train = banded.filter(~F.col("is_eval")).select(
+    n_docs, n_eval = gates["n_docs"], gates["n_eval"]
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(F.col("buckets")).alias("band", "bucket"),
+    )
+    is_eval = F.col("id") % 50 == 0
+    train = banded.filter(~is_eval).select(
         F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
     )
-    # the two scalars that gate the plan, in ONE job: corpus size
-    # (can any bucket reach the width cap at all?) and eval size
-    # (broadcast gate below)
-    n_docs, n_eval = docs.agg(
-        F.count(F.lit(1)),
-        F.count(F.when(F.col("doc_id") % 50 == 0, 1)),
-    ).collect()[0]
     if n_docs > DECON_MAX_BUCKET:
         # width census: a (band, bucket) group can only exceed the cap
-        # when the corpus itself does, so the extra minhash pass is
-        # skipped below that size (where the plan — and the oracle's
-        # no-op HAVING cut — degenerate to the uncapped form anyway)
+        # when the corpus itself does, so the extra pass over the stored
+        # signatures is skipped below that size (where the plan — and
+        # the oracle's no-op HAVING cut — degenerate to the uncapped
+        # form anyway)
         wide = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -659,12 +691,12 @@ def _decon_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket (a pair needs both sides); the eval side needs no
         # second anti-join
         train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
-    ev_buckets = banded.filter(F.col("is_eval")).select(
+    ev_buckets = banded.filter(is_eval).select(
         F.col("id").alias("eid"), "band", "bucket"
     )
-    # one (eid -> signature) row per eval doc — band 0's row carries the
-    # full signature already, so no distinct over arrays is needed
-    ev_sigs = banded.filter(F.col("is_eval") & (F.col("band") == 0)).select(
+    # one (eid -> signature) row per eval doc — the signature table is
+    # per-doc already, no band filter needed
+    ev_sigs = sigs.filter(is_eval).select(
         F.col("id").alias("eid"), F.col("sig").alias("esig")
     )
     gate = n_eval <= _EVAL_BROADCAST_MAX_DOCS
@@ -1521,22 +1553,6 @@ def _decon_fixed_oracle() -> str:
 """
 
 
-def _banded(docs: DataFrame) -> DataFrame:
-    """(id, sig, band, bucket) rows for the decontamination banding —
-    minhash_banded computed once per row behind a Generate barrier (see
-    dedup.minhash_banded), then one posexplode over the 16 buckets."""
-    return docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.array(dd.minhash_banded(F.col("text"), K, DECON_BANDS))).alias(
-            "x"
-        ),
-    ).select(
-        "id",
-        F.col("x.sig").alias("sig"),
-        F.posexplode(F.col("x.buckets")).alias("band", "bucket"),
-    )
-
-
 @register("decontaminate_fixed_eval", oracle=_decon_fixed_oracle)
 def decontaminate_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-doc leak report against a FIXED external held-out table
@@ -1576,11 +1592,19 @@ def decontaminate_against(
     keys. Candidate pairs <= DECON_MAX_BUCKET * bands * |eval| —
     independent of corpus size, unlike the %-50 variant whose eval
     slice (and therefore output) grows with the corpus."""
-    train = _banded(train_docs).select(
-        F.col("id").alias("tid"), F.col("sig").alias("tsig"), "band", "bucket"
+    # train-side minhash computed ONCE into the materialized signature
+    # table (r13 — see _sig_table): the census and the band stream both
+    # read stored rows, and the gate scalar rides the materialization
+    # job instead of a separate corpus count action
+    tsigs, tgates = _sig_table(
+        train_docs, F.count(F.lit(1)).alias("n_train")
     )
-    n_train = train_docs.count()
-    if n_train > DECON_MAX_BUCKET:
+    train = tsigs.select(
+        F.col("id").alias("tid"),
+        F.col("sig").alias("tsig"),
+        F.posexplode(F.col("buckets")).alias("band", "bucket"),
+    )
+    if tgates["n_train"] > DECON_MAX_BUCKET:
         # width census over the TRAIN side only (the fixed eval table is
         # bounded at ~500 docs — it cannot push a bucket over the cap,
         # and keeping it out holds the oracle's HAVING cut in lockstep)
@@ -1591,12 +1615,17 @@ def decontaminate_against(
             .select("band", "bucket")
         )
         train = train.join(F.broadcast(wide), ["band", "bucket"], "left_anti")
-    eb = _banded(eval_docs)
-    ev_buckets = eb.select(F.col("id").alias("eid"), "band", "bucket")
-    ev_sigs = eb.filter(F.col("band") == 0).select(
-        F.col("id").alias("eid"), F.col("sig").alias("esig")
-    )
-    gate = eval_docs.count() <= _EVAL_BROADCAST_MAX_DOCS
+    # eval side likewise: one banding pass + one materialization serves
+    # the bucket stream, the signature lookup, AND the broadcast-gate
+    # count (the old form banded the eval table twice and paid a third
+    # scan for the count)
+    esigs, egates = _sig_table(eval_docs, F.count(F.lit(1)).alias("n_eval"))
+    ev_buckets = esigs.select(
+        F.col("id").alias("eid"),
+        F.posexplode(F.col("buckets")).alias("band", "bucket"),
+    ).select("eid", "band", "bucket")
+    ev_sigs = esigs.select(F.col("id").alias("eid"), F.col("sig").alias("esig"))
+    gate = egates["n_eval"] <= _EVAL_BROADCAST_MAX_DOCS
     bucket_side = F.broadcast(ev_buckets) if gate else ev_buckets
     sig_side = F.broadcast(ev_sigs) if gate else ev_sigs
     pairs = (
