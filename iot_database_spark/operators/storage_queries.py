@@ -320,9 +320,12 @@ def continuous_slot14_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ran = svc.tick(now=2.0)  # pinned clock: exactly the two scheduled run
+    # read_many overlaps the two LAZY executions (guide §2.6) — results
+    # and the union order below are identical to a sequential read loop
+    results = svc.read_many([f"mean_dev_{i}" for i in range(n_dev)])
     result_writes = None
     for i in range(n_dev):
-        r = svc.read(f"mean_dev_{i}")  # lazy queries execute here
+        r = results[f"mean_dev_{i}"]
         w = as_point_writes(
             r.withColumn("_ts", F.to_timestamp(F.lit("2024-06-01 00:00:00"))),
             guid=f"res-{i}",

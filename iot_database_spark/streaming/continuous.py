@@ -103,17 +103,52 @@ class ContinuousQueryService:
     def tick(self, now: float | None = None) -> list[str]:
         """One scheduler pass (the 1 s timer body — :60-85): execute every
         query whose interval has elapsed; returns the names run.
-        interval_ms=0 queries never run on tick (lazy — IotValue.cs:1242)."""
+        interval_ms=0 queries never run on tick (lazy — IotValue.cs:1242).
+
+        Due queries are INDEPENDENT (each snapshots its own result set),
+        so they execute concurrently from a small driver thread pool —
+        Spark's scheduler happily runs several jobs at once and each
+        query's eager pin job back-fills the others' straggler tails
+        (guide §2.6). Results, last_run stamps, and the returned name
+        list are identical to the sequential form; only callback WALL
+        ORDER may interleave across queries (per-query success ordering
+        is unchanged — each query's callback still fires after its own
+        result is pinned)."""
         now = time.time() if now is None else now
-        ran = []
-        for name, cfg in sorted(self._queries.items()):
-            if cfg.interval_ms <= 0:
-                continue
-            if (now - cfg.last_run) * 1000.0 >= cfg.interval_ms:
-                self.execute(name)
-                cfg.last_run = now
-                ran.append(name)
-        return ran
+        due = [
+            name
+            for name, cfg in sorted(self._queries.items())
+            if cfg.interval_ms > 0
+            and (now - cfg.last_run) * 1000.0 >= cfg.interval_ms
+        ]
+        self._execute_concurrent(due)
+        for name in due:
+            self._queries[name].last_run = now
+        return due
+
+    def _execute_concurrent(self, names: list[str]) -> None:
+        """Run execute() for every name, overlapping the per-query Spark
+        jobs (2-4 in flight: enough to fill stage tails, not enough to
+        fight for cores). A single name short-circuits to a plain call;
+        failures propagate (first exception re-raised, matching the
+        sequential form's fail-fast on the earliest-sorted name)."""
+        if not names:
+            return
+        if len(names) == 1:
+            self.execute(names[0])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        # classic-mode form: wraps the callable so each worker thread
+        # inherits the driver thread's JVM-local properties (job group /
+        # description), keeping concurrent jobs attributable in the UI
+        target = inheritable_thread_target(self.execute)
+        with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
+            futures = [pool.submit(target, n) for n in names]
+            for f in futures:  # submission order == sorted-name order
+                f.result()
 
     def read(self, name: str) -> DataFrame:
         """Read a query's last result; lazy queries (interval 0) execute
@@ -123,6 +158,24 @@ class ContinuousQueryService:
         if cfg.last_result is None or cfg.interval_ms <= 0:
             return self.execute(name)
         return cfg.last_result
+
+    def read_many(self, names: list[str]) -> dict[str, DataFrame]:
+        """read() over several registered queries, overlapping the lazy
+        executions (each lazy read is an independent snapshot job — the
+        same §2.6 back-fill as tick). Returns {name: result} with every
+        result identical to a sequential read() loop; already-pinned
+        scheduled results are returned without re-execution."""
+        fresh = [
+            n
+            for n in names
+            if self._queries[n].last_result is None
+            or self._queries[n].interval_ms <= 0
+        ]
+        self._execute_concurrent(fresh)
+        # after _execute_concurrent every fresh name has a pinned
+        # last_result; re-executing lazy queries via read() here would
+        # pay the job again, so hand back the pins directly
+        return {n: self._queries[n].last_result for n in names}
 
     # -- Structured Streaming form ----------------------------------------
 
