@@ -593,6 +593,30 @@ class Table:
 
         n = len(rows) if from_list else None
         batch_max_id = None
+        if not checks and not from_list:
+            # no constraints to validate: the batch census (count + max
+            # id for the sequence) rides the append's WRITE job as an
+            # observed metric instead of a separate aggregation action —
+            # one Spark job per unconstrained DataFrame insert, not two
+            # (r13; same pattern as update_many's affected-row count).
+            # _stage() runs the write eagerly even inside a transaction
+            # (only the manifest publish is deferred), so the metrics
+            # are always available right after _append returns.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            self._append(
+                batch.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max("id").alias("_m"),
+                )
+            )
+            row = obs.get
+            n = row["_n"]
+            if row["_m"] is not None:
+                self._advance_seq(int(row["_m"]))
+            return n
         if checks or not from_list:
             if not from_list and len(checks) > 1:
                 batch = batch.persist()
