@@ -63,21 +63,26 @@ def append_chain(
     g = blocks.groupBy(key).agg(
         F.sort_array(F.collect_list(item)).alias("_items")
     )
-    # fold left over the sorted blocks, accumulating the hash list; the
-    # sha2 expression appears twice because SQL lambdas cannot bind locals
+    # fold left over the sorted blocks, accumulating the hash list. The
+    # accumulator is JUST the hash array — prev is its tail (empty-string
+    # seed on the first block) — so the sha2 appears ONCE per step; the
+    # r12 form carried a separate 'prev' field and, because SQL lambdas
+    # cannot bind locals, evaluated the identical sha2 twice per block
+    # (confirmed in the executed plan; halving the digest work is the
+    # whole win — the shuffle shape is unchanged).
+    # size-guarded tail read: ANSI mode (this engine's default) makes a
+    # bare element_at(acc, -1) on the empty first-step array an error
     step_hash = (
-        f"sha2(concat(cast({epoch_us_sql(f'x.{ts}')} as string), acc.prev, "
+        f"sha2(concat(cast({epoch_us_sql(f'x.{ts}')} as string), "
+        f"CASE WHEN size(acc) = 0 THEN '' ELSE element_at(acc, -1) END, "
         f"cast(x.{data} as string)), 256)"
     )
     hashes = F.expr(
         f"""
         aggregate(
             _items,
-            named_struct('prev', '', 'hs', cast(array() as array<string>)),
-            (acc, x) -> named_struct(
-                'prev', {step_hash},
-                'hs', array_append(acc.hs, {step_hash})),
-            acc -> acc.hs
+            cast(array() as array<string>),
+            (acc, x) -> array_append(acc, {step_hash})
         )
         """
     )
