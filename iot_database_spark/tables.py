@@ -501,6 +501,22 @@ class Table:
                     pass
         return removed
 
+    def _observable(self, batch: DataFrame) -> bool:
+        """True when an Observation attached to `batch` will complete
+        during this table's write job. Observations are delivered via the
+        owning session's execution listener; a batch built on a DIFFERENT
+        session than the table's (the one real case: a foreachBatch
+        micro-batch frame, which Spark binds to a per-batch session
+        clone) executes the write under one session while the observation
+        listens on the other — obs.get then blocks forever (measured:
+        stream_rollup_to_table hung exactly this way when upsert observed
+        its micro-batch frames). Cross-session batches take the separate
+        census action instead."""
+        try:
+            return batch.sparkSession is self.db.spark
+        except Exception:
+            return False
+
     # -- insert (TableCollection.cs:922-1070) -----------------------------
 
     def insert(self, rows: list[dict] | DataFrame) -> int:
@@ -593,7 +609,7 @@ class Table:
 
         n = len(rows) if from_list else None
         batch_max_id = None
-        if not checks and not from_list:
+        if not checks and not from_list and self._observable(batch):
             # no constraints to validate: the batch census (count + max
             # id for the sequence) rides the append's WRITE job as an
             # observed metric instead of a separate aggregation action —
@@ -830,23 +846,49 @@ class Table:
             if from_list
             else rows
         )
+        observable = not from_list and self._observable(batch)
         if from_list:
             n = len(rows)
         else:
             batch = batch.persist()
-            row = batch.agg(
-                F.count(F.lit(1)).alias("n"), F.max("id").alias("m")
-            ).collect()[0]
-            n = row["n"]
+            if not observable:
+                # cross-session batch (e.g. a foreachBatch micro-batch
+                # frame — see _observable): census as its own action
+                row = batch.agg(
+                    F.count(F.lit(1)).alias("n"), F.max("id").alias("m")
+                ).collect()[0]
+                n = row["n"]
         rv = self._read_version()
         current = self._dirs_df(self._base_dirs())
         keep = current.join(batch.select("id"), "id", "left_anti")
-        self._write(keep.unionByName(batch), base_version=rv)
-        if not from_list:
-            batch.unpersist()
-            if row["m"] is not None:
-                self._advance_seq(int(row["m"]))
-        return n
+        if not observable:
+            self._write(keep.unionByName(batch), base_version=rv)
+            if not from_list:
+                batch.unpersist()
+                if row["m"] is not None:
+                    self._advance_seq(int(row["m"]))
+            return n
+        # same-session DataFrame upsert: the batch census (count + max
+        # id) rides the rewrite job as an observed metric on the UNION
+        # branch only — one Spark job instead of two (r13). persist()
+        # still guards the double evaluation (anti-join probe side +
+        # union side).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self._write(
+            keep.unionByName(
+                batch.observe(
+                    obs, F.count(F.lit(1)).alias("n"), F.max("id").alias("m")
+                )
+            ),
+            base_version=rv,
+        )
+        row = obs.get
+        batch.unpersist()
+        if row["m"] is not None:
+            self._advance_seq(int(row["m"]))
+        return row["n"]
 
     # -- reads (TableCollection.cs:666-891) --------------------------------
 

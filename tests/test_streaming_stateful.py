@@ -642,3 +642,47 @@ def test_alert_updater_chunked_equivalence():
         )
         assert [(int(t), float(v), a) for t, v, a in got_rows] == want
         assert (got["guid"] == 42).all()
+
+
+def test_table_insert_from_foreachbatch_frame_completes(spark, sf_dir, tmp_path):
+    """Regression pin for the r13 insert/upsert census Observation: a
+    batch frame handed to foreachBatch is bound to a per-micro-batch
+    session CLONE, and an Observation attached there never completes
+    (the write executes under a different session's listener), hanging
+    the stream. Table.insert/upsert must detect the cross-session batch
+    (Table._observable) and take the separate census action instead —
+    this test simply has to TERMINATE with the right rows to prove it."""
+    import os
+
+    from iot_database_spark.database import IotDatabase
+
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "events_stream_ins"
+    stream_dir.mkdir()
+    os.symlink(path, stream_dir / "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    db = IotDatabase("fbinsdb", str(tmp_path / "db"), spark)
+    table = db.tables("landed", "id bigint, user_id bigint")
+    counts = []
+
+    def land(batch_df, _batch_id):
+        counts.append(
+            table.insert(
+                batch_df.select(
+                    F.col("event_id").cast("bigint").alias("id"),
+                    F.col("user_id").cast("bigint").alias("user_id"),
+                ).filter(F.col("id") < 100)
+            )
+        )
+
+    (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stream_dir))
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    assert sum(counts) == 100
+    assert table.df.count() == 100
