@@ -262,17 +262,27 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks))
             / F.greatest(F.size(toks), F.lit(1)).cast("double")
         ).alias("uniq"),
-        tx.word_regex_count(F.col("text")).cast("bigint").alias("word_tokens"),
     )
     kept = feat.filter((F.col("n_tokens") >= 20) & (F.col("uniq") >= 0.3))
-    keep_ids = kept.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
-    clean = kept.join(
-        keep_ids, kept["doc_id"] == keep_ids["keep_id"], "left_semi"
+    # exact dedup in ONE exchange: group by content hash, keep the min-id
+    # row via min_by (duplicates carry identical text/features, so the
+    # representative's columns are exact). The r12 form aggregated
+    # keep-ids then semi-joined them back, which re-ran the feature
+    # projection on BOTH join branches (2 scans) and paid a second
+    # exchange; min_by also partial-aggregates in-partition duplicates
+    # before the shuffle. Post-dedup-only columns (the regex word count,
+    # language ID) now compute AFTER dedup — once per surviving doc.
+    clean = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text", "n_tokens", "n_distinct"), "doc_id"
+            ).alias("r")
+        )
+        .select("r.*")
     )
     langs = clean.select(
-        "word_tokens",
+        tx.word_regex_count(F.col("text")).cast("bigint").alias("word_tokens"),
         "n_distinct",
         "n_tokens",
         tx.detect_language(F.col("text")).alias("lang"),
@@ -532,16 +542,21 @@ def pipeline_prepare_training_data(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("uniq"),
     )
     kept = feat.filter((F.col("n_tokens") >= 20) & (F.col("uniq") >= 0.3))
-    keep_ids = kept.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
+    # exact dedup in ONE exchange (min_by — see pipeline_clean_corpus);
+    # the split label is a PURE per-row function of doc_id, so it is a
+    # column on the chunk stream, not a join: the r12 form shuffled
+    # every 64-token chunk row through a doc_id join against the split
+    # table — the one payload-sized exchange of this plan — to attach a
+    # value corpus_split computes from the id alone (guide §8: never
+    # move heavy rows to attach something derivable in place).
+    clean = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("r"))
+        .select("r.doc_id", "r.text")
     )
-    clean = kept.join(
-        keep_ids, kept["doc_id"] == keep_ids["keep_id"], "left_semi"
-    ).select("doc_id", "text")
     chunks = tx.chunk_documents(clean, chunk_tokens=64, overlap=8)
-    split = tx.corpus_split(clean.select("doc_id"))
     return (
-        chunks.join(split, "doc_id")
+        tx.corpus_split(chunks)
         .groupBy("split")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
