@@ -28,10 +28,68 @@ scan or a keyed shuffle — nothing driver-side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from iot_database_spark.operators.hashing import hash64, xor_permute
+
+
+def _materialize_mode(master: str | None) -> str:
+    """Resolve the heavy-stream materialization strategy (r12 verdict
+    task #4 — the r11 design hard-coded localCheckpoint, which is a
+    job-failing liability on executor loss in a multi-executor fleet).
+
+    SPARK_GRAFT_MATERIALIZE pins it explicitly:
+      local    — localCheckpoint (fastest; blocks die with an executor)
+      reliable — checkpoint() to the reliable checkpoint dir
+      persist2 — persist(MEMORY_AND_DISK_2), eager (replicated blocks)
+    Default ("auto", read at CALL time): local[*] masters — where every
+    "executor" is a thread in the one JVM and executor loss means the
+    whole job is gone anyway — keep localCheckpoint; any other master
+    gets persist2, so a cluster deployment is recompute-safe without
+    editing the module."""
+    mode = (os.environ.get("SPARK_GRAFT_MATERIALIZE") or "auto").lower()
+    if mode == "auto":
+        return "local" if (master or "").startswith("local") else "persist2"
+    if mode not in ("local", "reliable", "persist2"):
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected "
+            "local | reliable | persist2 (or unset for auto)"
+        )
+    return mode
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an exploded span/shingle stream so every
+    downstream consumer reads stored blocks instead of re-running the
+    explode (the exact recompute that sank the r11 groupBy+join-back
+    A/B: 2 Generates, 5 Exchanges). The stream is shuffle-input-sized
+    scratch data, so the default strategy on local masters is
+    localCheckpoint — written node-locally with no network hop, freed
+    by the ContextCleaner when the returned frame is GC'd. On any
+    non-local master the default switches to replicated persist, and
+    SPARK_GRAFT_MATERIALIZE overrides either way (_materialize_mode):
+    the plan shape downstream is identical across strategies, only the
+    executor-loss story differs."""
+    spark = df.sparkSession
+    mode = _materialize_mode(spark.sparkContext.master)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            sc.setCheckpointDir(f"{wh}/_span_checkpoints")
+        return df.checkpoint(eager=True)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    out.count()  # eager, mirroring the checkpoint modes
+    return out
 
 
 def exact_dedup(df: DataFrame, content: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -335,10 +393,26 @@ def jaccard_pairs(
         )
 
     hashed = let(F.split(F.col(content), " "), hashed_distinct)
-    toks = df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("s"))
-    sizes = df.select(
-        F.col(id_col).alias("id"), F.size(hashed).alias("set_size")
+    # the per-doc hash-set table is computed EXACTLY ONCE and
+    # materialized (r13): its three consumers — the posting-list
+    # explode, the size_a join side, and the size_b join side — each
+    # re-ran the full split/xxhash64/distinct chain from the text scan
+    # (3 scans in the before-plan), and the fractional-cap n_docs count
+    # paid a fourth pass; the count now rides the materialization job
+    # as an Observation. The store is the hash arrays (~8 B/shingle —
+    # a fraction of the text it replaces) and every row feeds at least
+    # two consumers, so the sufstr filter-first lesson (SCALE_r13 #8)
+    # does not apply.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    hs_tbl = _materialize_once(
+        df.select(F.col(id_col).alias("id"), hashed.alias("hs")).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
     )
+    toks = hs_tbl.select("id", F.explode("hs").alias("s"))
+    sizes = hs_tbl.select("id", F.size("hs").alias("set_size"))
 
     def build(x: Column, y: Column) -> Column:
         return F.struct(
@@ -348,7 +422,7 @@ def jaccard_pairs(
     n_docs: int | None = None
     cap: int | None = max_df
     if max_df_frac is not None:
-        n_docs = df.count()
+        n_docs = int(obs.get["n"])
         frac_cap = max(2, int(max_df_frac * n_docs))
         cap = frac_cap if max_df is None else min(max_df, frac_cap)
     member_count = F.size("m")

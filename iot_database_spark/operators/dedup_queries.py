@@ -55,60 +55,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _materialize_mode(master: str | None) -> str:
-    """Resolve the span-stream materialization strategy (r12 verdict
-    task #4 — the r11 design hard-coded localCheckpoint, which is a
-    job-failing liability on executor loss in a multi-executor fleet).
-
-    SPARK_GRAFT_MATERIALIZE pins it explicitly:
-      local    — localCheckpoint (fastest; blocks die with an executor)
-      reliable — checkpoint() to the reliable checkpoint dir
-      persist2 — persist(MEMORY_AND_DISK_2), eager (replicated blocks)
-    Default ("auto", read at CALL time): local[*] masters — where every
-    "executor" is a thread in the one JVM and executor loss means the
-    whole job is gone anyway — keep localCheckpoint; any other master
-    gets persist2, so a cluster deployment is recompute-safe without
-    editing the module."""
-    mode = (os.environ.get("SPARK_GRAFT_MATERIALIZE") or "auto").lower()
-    if mode == "auto":
-        return "local" if (master or "").startswith("local") else "persist2"
-    if mode not in ("local", "reliable", "persist2"):
-        raise ValueError(
-            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected "
-            "local | reliable | persist2 (or unset for auto)"
-        )
-    return mode
-
-
-def _materialize_once(df: DataFrame) -> DataFrame:
-    """Eagerly materialize an exploded span/shingle stream so every
-    downstream consumer reads stored blocks instead of re-running the
-    explode (the exact recompute that sank the r11 groupBy+join-back
-    A/B: 2 Generates, 5 Exchanges). The stream is shuffle-input-sized
-    scratch data, so the default strategy on local masters is
-    localCheckpoint — written node-locally with no network hop, freed
-    by the ContextCleaner when the returned frame is GC'd. On any
-    non-local master the default switches to replicated persist, and
-    SPARK_GRAFT_MATERIALIZE overrides either way (_materialize_mode):
-    the plan shape downstream is identical across strategies, only the
-    executor-loss story differs."""
-    spark = df.sparkSession
-    mode = _materialize_mode(spark.sparkContext.master)
-    if mode == "local":
-        return df.localCheckpoint(eager=True)
-    if mode == "reliable":
-        sc = spark.sparkContext
-        if sc.getCheckpointDir() is None:
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            )
-            sc.setCheckpointDir(f"{wh}/_span_checkpoints")
-        return df.checkpoint(eager=True)
-    from pyspark import StorageLevel
-
-    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
-    out.count()  # eager, mirroring the checkpoint modes
-    return out
+# Materialization-strategy helpers — moved to operators/dedup.py in r13
+# so the library-level pair generators (jaccard_pairs) can use them
+# without a circular import; re-exported here because the span family
+# and its tests address them via this module.
+from iot_database_spark.operators.dedup import (  # noqa: E402,F401
+    _materialize_mode,
+    _materialize_once,
+)
 
 
 @register(
