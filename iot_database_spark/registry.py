@@ -51,79 +51,71 @@ def register(
 # round's ordering from the recorded CORRECTNESS_r*.json artifacts
 # (reds first, then never-graded, then oldest-green-first).
 #
-# Round-13 window (exactly 50 slots) — the planner's output verbatim.
-# This round exercises the RETIREMENT policy for real (r12 verdict task
-# #6): dedup_substring_suffix is newly registered (the sorted-suffix
-# variable-length substring profile), which under the saturated 150-slot
-# rotation required retiring plan_rotation.RETIREMENT_CANDIDATES[0]
-# (text_ngram_lm_score — its plan stays driver-graded via the trigram
-# twin; bit-exact local gate in test_retired_query_parity). Registry
-# stays at exactly 150 = capacity.
-#   - dedup_substring_suffix leads (never graded — needs first-time
-#     evidence).
-#   - 49 of the 50 r10-vintage greens fill the rest; the displaced one
-#     (stream_windowed_rollup, last of them in registration order) hits
-#     the 3-round age limit during r13 and MUST lead the r14 window —
-#     the same deferral arithmetic as the r8 pair the r12 window
-#     closed.
+# Round-14 window (exactly 50 slots) — the planner's output verbatim
+# (scripts/plan_rotation.py, run at r14 start). Steady-state rotation:
+# stream_windowed_rollup leads (the r10 green the r13 window displaced —
+# its evidence hits the 3-round age limit this round, exactly the
+# deferral arithmetic the r13 registry comments predicted), then the 49
+# oldest r11 greens. No registration change this round (optimization
+# round: semantics and registry frozen; the staged r14 candidate in
+# operators/staged_r14.py stays staged).
 # SATURATION: at 150 registered queries, a 50-slot window, and the
 # 3-round evidence-age limit, the rotation is exactly full with ZERO
-# slack. Steady state: r14 = stream_windowed_rollup + the r11 greens
-# (one of which defers a round by the same arithmetic), r15 = the r12
-# greens. Any NEW registration (or same-round re-grade after a
-# semantics change) needs a slot freed by RETIRING a query first — the
-# policy is mechanical: scripts/plan_rotation.py (r11 verdict task #6).
+# slack. Steady state: r15 = the remaining r11 green + the r12 greens.
+# Any NEW registration (or same-round re-grade after a semantics
+# change) needs a slot freed by RETIRING a query first — the policy is
+# mechanical: scripts/plan_rotation.py (r11 verdict task #6).
 _PRIORITY: tuple[str, ...] = (
-    "dedup_substring_suffix",  # never graded
-    "filter_like",  # r10 green
-    "filter_between_not",  # r10 green
-    "sort_limit_offset",  # r10 green
-    "take_last",  # r10 green
-    "multi_key_sort",  # r10 green
-    "q01_pricing_summary",  # r10 green
-    "global_agg",  # r10 green
-    "groupby_having",  # r10 green
-    "distinct_op",  # r10 green
-    "count_exists_minmax",  # r10 green
-    "rollup_agg",  # r10 green
-    "join2_orders_customer",  # r10 green
-    "join3_customer_nation_region",  # r10 green
-    "join4_revenue_by_nation",  # r10 green
-    "join6_local_supplier_revenue",  # r10 green
-    "include_children_agg",  # r10 green
-    "semi_join_exists",  # r10 green
-    "anti_join_not_exists",  # r10 green
-    "set_union",  # r10 green
-    "window_topk_per_group",  # r10 green
-    "window_running_sum",  # r10 green
-    "window_lag_delta",  # r10 green
-    "dbref_include_missing",  # r10 green
-    "any_all_quantifiers",  # r10 green
-    "q03_shipping_priority",  # r10 green
-    "correlated_scalar_subquery",  # r10 green
-    "exact_percentiles",  # r10 green
-    "window_range_frame",  # r10 green
-    "window_rank_family",  # r10 green
-    "q06_revenue_forecast",  # r10 green
-    "sql_include_digest",  # r10 green
-    "math_funcs",  # r10 green
-    "iot_effective_value",  # r10 green
-    "ts_locf_merge",  # r10 green
-    "ts_resample_interp",  # r10 green
-    "ts_asof_join",  # r10 green
-    "ts_rollup_hourly",  # r10 green
-    "ts_detect_gaps",  # r10 green
-    "ts_rate_of_change",  # r10 green
-    "chain_append",  # r10 green
-    "dedup_exact",  # r10 green
-    "decontaminate_minhash",  # r10 green
-    "decontaminate_eval_leak_report",  # r10 green
-    "text_fingerprint",  # r10 green
-    "pipeline_clean_corpus",  # r10 green
-    "pipeline_prepare_training_data",  # r10 green
-    "corpus_pack_sequences",  # r10 green
-    "search_bm25_topk",  # r10 green
-    "search_hybrid_rrf",  # r10 green
+    "stream_windowed_rollup",  # r10 green
+    "join_part_promo_monthly",  # r11 green
+    "set_intersect",  # r11 green
+    "set_except",  # r11 green
+    "cube_agg",  # r11 green
+    "pivot_status_by_segment",  # r11 green
+    "grouping_sets_agg",  # r11 green
+    "event_sessionization",  # r11 green
+    "skew_salted_agg",  # r11 green
+    "event_funnel",  # r11 green
+    "event_cohort_retention",  # r11 green
+    "approx_sketch_accuracy",  # r11 green
+    "event_transition_matrix",  # r11 green
+    "string_funcs",  # r11 green
+    "string_format_regex",  # r11 green
+    "date_funcs",  # r11 green
+    "json_extract",  # r11 green
+    "iot_write_gating",  # r11 green
+    "ts_seasonal_baseline",  # r11 green
+    "vector_cosine_topk",  # r11 green
+    "vector_l2_topk",  # r11 green
+    "vector_upsert_dedup",  # r11 green
+    "ann_ivf_cosine",  # r11 green
+    "ann_two_stage_rerank",  # r11 green
+    "dedup_simhash",  # r11 green
+    "dedup_embedding_cosine",  # r11 green
+    "dedup_fuzzy_name_match",  # r11 green
+    "dedup_span_exact",  # r11 green
+    "dedup_span_removal",  # r11 green
+    "decontaminate_fixed_eval",  # r11 green
+    "text_quality_scores",  # r11 green
+    "text_token_count",  # r11 green
+    "text_langid",  # r11 green
+    "text_gopher_rules",  # r11 green
+    "text_scrub_pii",  # r11 green
+    "decontaminate_ngram_overlap",  # r11 green
+    "embedding_outliers",  # r11 green
+    "text_repetition_trim",  # r11 green
+    "corpus_zipf_stats",  # r11 green
+    "dedup_url_canonical",  # r11 green
+    "pipeline_web_ingest",  # r11 green
+    "corpus_quality_resample",  # r11 green
+    "embedding_quantize_int8",  # r11 green
+    "ann_int8_cosine",  # r11 green
+    "search_phrase_topk",  # r11 green
+    "nl_find_filter_sort_limit",  # r11 green
+    "nl_find_dual_join",  # r11 green
+    "nl_find_dual_fk_inference",  # r11 green
+    "nl_find_triple_join",  # r11 green
+    "nl_find_include_digest",  # r11 green
 )
 
 

@@ -28,7 +28,12 @@ from iot_database_spark import registry  # noqa: E402
 from iot_database_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
+# plans/<tag>/ — one dir per optimization round ($SPARK_GRAFT_PLAN_TAG)
+OUT_DIR = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLAN_TAG", "r14")
+)
 
 
 def main() -> None:
