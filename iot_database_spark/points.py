@@ -170,11 +170,6 @@ class PointStore:
         + chain_dropped_dup equals the batch's chain-flagged row count
         by construction.
         """
-        # pin the batch rows before any sink write: a batch derived from a
-        # query over this store's own tables (e.g. a continuous-query
-        # result landing in slot 14) would otherwise re-resolve files the
-        # first sink rewrite deletes
-        batch = batch.localCheckpoint(eager=True)
         reg = self.registry.df.select("guid", "flags", "strict_type")
         joined = batch.join(F.broadcast(reg), "guid", "inner")
 
@@ -198,24 +193,49 @@ class PointStore:
                 iv.has_flag(F.col("flags"), iv.FLAG_PASSWORD_VALUE),
                 iv.password_hash(F.col("value")),
             ).otherwise(F.col("value")),
-        )
+        ).select("guid", "ts", "priority", "value", "flags")
 
-        # ONE census job over the validated batch sizes every sink's id
-        # assignment EXACTLY and prunes the empty ones (r10 verdict task
-        # #7: the per-sink stamps — a batch count, each insert's
-        # batch-stats job, and a chain-presence probe — were ~4 fixed
-        # jobs per write_batch, the dominant cost of digest-style
-        # workloads of many small batches). The sinks carry no
+        # ONE job pins the validated batch AND takes the census (r14; the
+        # r13 shape paid a batch-pin job, then a census job, then the
+        # sink writes — re-running the registry join per consumer). The
+        # eager localCheckpoint of `hashed` reads every source file
+        # exactly once — the same self-referential-batch protection the
+        # old pre-join pin gave (a batch derived from a query over this
+        # store's own tables must not re-resolve files a later sink
+        # rewrite deletes) — and the census rides it as an Observation,
+        # so the sinks start from stored blocks with their sizes already
+        # known. The census sizes every sink's id assignment EXACTLY and
+        # prunes the empty ones (r10 verdict task #7). The sinks carry no
         # constraints and ids are assigned sequentially from the stamp,
         # so a pre-counted append needs no further Spark action before
         # the write itself (_insert_counted).
+        from pyspark.sql import Observation
+
         ts_flag = iv.has_flag(F.col("flags"), iv.FLAG_TIME_SERIES)
         chain_flag = iv.has_flag(F.col("flags"), iv.FLAG_BLOCK_CHAIN)
-        census = hashed.agg(
+        census_cols = (
             F.count(F.lit(1)).alias("_all"),
             F.count(F.when(ts_flag, 1)).alias("_ts"),
             F.count(F.when(chain_flag, 1)).alias("_chain"),
-        ).collect()[0]
+        )
+        # cross-session batches (a foreachBatch micro-batch frame is
+        # bound to a per-batch session clone) must not carry an
+        # Observation — it would never complete (Table._observable's
+        # hang class, r13) — so they pin first and census separately.
+        same_session = False
+        try:
+            same_session = batch.sparkSession is self.db.spark
+        except Exception:
+            pass
+        if same_session:
+            obs = Observation()
+            hashed = hashed.observe(obs, *census_cols).localCheckpoint(
+                eager=True
+            )
+            census = obs.get
+        else:
+            hashed = hashed.localCheckpoint(eager=True)
+            census = hashed.agg(*census_cols).collect()[0]
         n_all, n_ts, n_chain_src = census["_all"], census["_ts"], census["_chain"]
 
         self._insert_counted(

@@ -81,6 +81,58 @@ class ConstraintViolation(Exception):
     pass
 
 
+# -- driver-local batch construction ------------------------------------
+# createDataFrame(list) parallelizes the rows over defaultParallelism
+# slices (pyspark _createFromLocal passes no numSlices), so an 8-row
+# registry insert runs 32 Python-worker tasks for every action over the
+# batch and stages 32 near-empty parquet files — pure scheduling+commit
+# overhead that dominates digest-style lifecycles of many tiny list
+# batches (guide §2.2 "fewer, larger map tasks"; §6 small-files). For
+# small all-scalar batches we build the frame from a pandas DataFrame
+# instead: under Arrow + spark.sql.execution.arrow.localRelationThreshold
+# (48 MB default) it becomes a driver-JVM LocalRelation — ZERO tasks to
+# produce, one staged file on write, and every validation job over it
+# folds to a local scan. Measured min-of-8 on the unique-constrained
+# 8-row registry-insert shape: uniq-check job 0.71 -> 0.23 s, stage
+# write 0.58 -> 0.19 s.
+#
+# The safe set is deliberately narrow: plain scalars whose
+# pandas/Arrow round trip is value-identical to the classic verified
+# path (None -> null in every column type). datetime (tz semantics),
+# bytes, Decimal, arrays/maps, numpy scalars, and NaN floats (Arrow's
+# pandas semantics would fold NaN to null where the classic path keeps
+# NaN) all take the classic path unchanged.
+_LOCAL_SAFE_TYPES = (str, int, float, bool, type(None))
+_LOCAL_MAX_ROWS = 100_000
+
+
+def _safe_local_value(v) -> bool:
+    if not isinstance(v, _LOCAL_SAFE_TYPES):
+        return False
+    import math
+
+    return not (isinstance(v, float) and math.isnan(v))
+
+
+def _local_batch_df(spark, rows: list[dict], schema: str) -> DataFrame:
+    """A DataFrame over driver-local rows — as a LocalRelation when the
+    values are provably round-trip-safe, else the classic RDD path."""
+    if (
+        rows
+        and len(rows) <= _LOCAL_MAX_ROWS
+        and all(_safe_local_value(v) for r in rows for v in r.values())
+    ):
+        import pandas as pd
+
+        names = [
+            f.name for f in spark.createDataFrame([], schema).schema.fields
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=names), schema
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 class CommitConflict(Exception):
     """Another writer published the manifest version this commit claimed
     (optimistic concurrency — the Delta-protocol conflict class).
@@ -537,7 +589,7 @@ class Table:
             rows = [to_row(r) for r in rows]
         from_list = not isinstance(rows, DataFrame)
         batch = (
-            self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            _local_batch_df(self.db.spark, self._with_ids(rows), self.schema)
             if from_list
             else rows
         )
@@ -720,7 +772,9 @@ class Table:
 
     _RV_UNSET = object()
 
-    def _delete_ids(self, doomed_ids: DataFrame, rv=_RV_UNSET) -> int:
+    def _delete_ids(
+        self, doomed_ids: DataFrame, rv=_RV_UNSET, known_count: int | None = None
+    ) -> int:
         """Delete by an id set (a DataFrame, so cascades stay distributed —
         the recursion never collects ids to the driver).
 
@@ -728,17 +782,34 @@ class Table:
         Spark action (union of single-row aggregates), mirroring insert's
         single validation pass — control flow (early exit, restrictive
         raise, which children to touch) needs the counts before any
-        mutation, but not one job per count."""
+        mutation, but not one job per count. A cascading recursion passes
+        the affected count it already measured as ``known_count``, so a
+        LEAF child runs NO census at all (r14: the recursive call was
+        re-counting the exact rows the parent's census union had just
+        counted — one whole Spark action per leaf child cut)."""
         if rv is Table._RV_UNSET:
             rv = self._read_version()
         children = list(self.db.children_of(self.name))
+        if known_count is not None and not children:
+            if known_count == 0:
+                return 0
+            current = self._dirs_df(self._base_dirs())
+            self._write(
+                current.join(
+                    doomed_ids, current["id"] == F.col("_did"), "left_anti"
+                ),
+                base_version=rv,
+            )
+            return known_count
         if children:
             doomed_ids = doomed_ids.persist()
-        stats = [
-            doomed_ids.agg(F.count(F.lit(1)).alias("_n")).select(
-                F.lit("_doomed").alias("_c"), "_n"
+        stats = []
+        if known_count is None:
+            stats.append(
+                doomed_ids.agg(F.count(F.lit(1)).alias("_n")).select(
+                    F.lit("_doomed").alias("_c"), "_n"
+                )
             )
-        ]
         for child_name, fk in children:
             child = self.db.table(child_name)
             cdf = child._dirs_df(child._base_dirs())
@@ -755,7 +826,7 @@ class Table:
                 lambda a, b: a.unionAll(b), stats
             ).collect()
         }
-        n = counts["_doomed"]
+        n = known_count if known_count is not None else counts["_doomed"]
         if n == 0:
             if children:
                 doomed_ids.unpersist()
@@ -776,7 +847,9 @@ class Table:
                     f"{child_name} reference it (Restrictive)"
                 )
             if fk.constraint == "cascading":
-                child._delete_ids(affected_ids, rv=child_rv)
+                child._delete_ids(
+                    affected_ids, rv=child_rv, known_count=n_affected
+                )
             elif fk.constraint in ("setnull", "setdefault"):
                 fill = (
                     F.lit(None) if fk.constraint == "setnull" else F.lit(fk.default)
@@ -842,7 +915,7 @@ class Table:
         cluster scale this is a Delta MERGE; here: anti-join + union."""
         from_list = not isinstance(rows, DataFrame)
         batch = (
-            self.db.spark.createDataFrame(self._with_ids(rows), self.schema)
+            _local_batch_df(self.db.spark, self._with_ids(rows), self.schema)
             if from_list
             else rows
         )
