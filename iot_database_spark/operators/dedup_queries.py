@@ -1324,14 +1324,21 @@ def substring_suffix_profile(
     # groupBy; per-doc position totals come from a doc-keyed
     # partial-agg count over the same materialized slim stream.
     census = slim.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-    dup_keys = census.filter(F.col("n") >= 2).select(
-        "k", (F.col("n") > max_bucket).alias("wide")
+    # the dup-key set is ~0.1% of positions — pin it once so the census
+    # shuffle over the materialized slim stream runs ONCE (r14: the
+    # broadcast-gate count() and the join's broadcast build each
+    # re-executed the full groupBy — one census pass cut; above the
+    # gate the shuffle join reads the pinned set instead of re-reducing)
+    dup_keys = _materialize_once(
+        census.filter(F.col("n") >= 2).select(
+            "k", (F.col("n") > max_bucket).alias("wide")
+        )
     )
-    # duplicated-key set size is bounded by positions/2 but is ~0.1% of
-    # positions in practice; broadcast it under a counted gate (the
-    # lm._broadcast_model pattern) so the rebuilt suffix stream joins
-    # map-side with NO shuffle of the exploded rows — above the gate
-    # the join falls back to a plain shuffle join on k.
+    # broadcast it under a counted gate (the lm._broadcast_model
+    # pattern) so the rebuilt suffix stream joins map-side with NO
+    # shuffle of the exploded rows — above the gate the join falls back
+    # to a plain shuffle join on k. count() over the pinned set is a
+    # local scan, not a recompute.
     n_dup_keys = dup_keys.count()
     dk = F.broadcast(dup_keys) if n_dup_keys <= SUFFIX_BROADCAST_KEYS else dup_keys
     keyed_dup = (
