@@ -127,9 +127,15 @@ def _local_batch_df(spark, rows: list[dict], schema: str) -> DataFrame:
         names = [
             f.name for f in spark.createDataFrame([], schema).schema.fields
         ]
+        # coalesce(1): a LocalTableScan otherwise parallelizes one task
+        # PER ROW (capped at leaf-node parallelism), staging one file
+        # per row; a JVM-local narrow coalesce makes every action over
+        # the batch a single task and the staged write a single file —
+        # which every later read of a digest-lifecycle table also wins
+        # from (guide §6 small-files)
         return spark.createDataFrame(
             pd.DataFrame(rows, columns=names), schema
-        )
+        ).coalesce(1)
     return spark.createDataFrame(rows, schema)
 
 

@@ -404,3 +404,31 @@ def test_convert_point_rewrites_slots_and_effective_value(spark):
 
     with pytest.raises(RuleError, match="cannot convert"):
         iv.convert_point(state, "degC", "meters")
+
+
+def test_write_batch_census_rides_pin_and_cross_session_guard(store, spark):
+    """r14: same-session batches take the Observation-on-checkpoint
+    census (one pin+census job); a batch bound to a session CLONE (the
+    foreachBatch micro-batch shape) must take the guarded two-job path
+    — an Observation on a clone's frame never completes — and both
+    must produce identical counts."""
+    rows = [
+        ("plain", _ts("2024-01-01T00:00:00"), 15, "1"),
+        ("tsflag", _ts("2024-01-01T00:00:01"), 15, "2"),
+        ("chained", _ts("2024-01-01T00:00:02"), 15, "3"),
+    ]
+    counts = store.write_batch(_batch(spark, rows))
+    assert (counts["writes"], counts["ts"], counts["chain"]) == (3, 2, 1)
+
+    clone = spark.newSession()
+    clone_rows = [
+        ("plain", _ts("2024-01-02T00:00:00"), 15, "4"),
+        ("tsflag", _ts("2024-01-02T00:00:01"), 15, "5"),
+        ("chained", _ts("2024-01-02T00:00:03"), 15, "6"),
+    ]
+    clone_batch = clone.createDataFrame(
+        clone_rows, "guid string, ts timestamp, priority int, value string"
+    )
+    counts2 = store.write_batch(clone_batch)  # must not hang
+    assert (counts2["writes"], counts2["ts"], counts2["chain"]) == (3, 2, 1)
+    assert store.writes.df.count() == 6

@@ -599,3 +599,77 @@ def test_vacuum_age_guards_unreferenced_dirs(db, spark):
     assert not os.path.isdir(staged_full)
     assert not os.path.exists(tmp)
     assert t.find_one("id = 1")["v"] == "b"  # table intact
+
+
+def test_local_batch_df_routes_safe_rows_to_localrelation(db, spark):
+    """r14: small all-scalar list batches must plan as a driver-JVM
+    LocalRelation (zero Python-worker tasks, one staged file); rows
+    whose pandas/Arrow round trip is not provably value-identical
+    (datetime, NaN floats, bytes) must take the classic verified path.
+    Both routes must produce value-identical tables."""
+    import datetime as dt
+    import math
+
+    from iot_database_spark.tables import _local_batch_df
+
+    schema = "id bigint, name string, score double, ok boolean"
+    safe = [
+        {"id": 1, "name": "a", "score": 1.5, "ok": True},
+        {"id": 2, "name": None, "score": None, "ok": None},
+    ]
+    local = _local_batch_df(spark, safe, schema)
+    plan = local._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+
+    classic = spark.createDataFrame(safe, schema)
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+
+    # NaN must NOT take the Arrow path (pandas folds NaN to null)
+    nan_rows = [{"id": 1, "name": "x", "score": math.nan, "ok": True}]
+    nan_df = _local_batch_df(spark, nan_rows, schema)
+    assert "LocalRelation" not in nan_df._jdf.queryExecution().optimizedPlan().toString()
+    [r] = nan_df.collect()
+    assert math.isnan(r["score"])  # classic semantics preserved
+
+    # datetime likewise routes classic
+    ts_rows = [{"id": 1, "ts": dt.datetime(2024, 1, 1)}]
+    ts_df = _local_batch_df(spark, ts_rows, "id bigint, ts timestamp")
+    assert "LocalRelation" not in ts_df._jdf.queryExecution().optimizedPlan().toString()
+
+    # and a real insert through the route stages ONE file, not 32
+    import glob as _glob
+    import os as _os
+
+    t = db.tables("lr_probe", "id bigint, v string")
+    t.insert([{"id": None, "v": "a"}, {"id": None, "v": "b"}])
+    v = t._current_version()
+    [d] = t._manifest_dirs(v)
+    files = _glob.glob(_os.path.join(t.path, d, "*.parquet"))
+    assert len(files) == 1, files
+
+
+def test_leaf_cascade_census_rides_parent_count(db, monkeypatch):
+    """r14: a cascading delete's recursion must hand each child the
+    affected count the parent's census union already measured, so a
+    LEAF child skips its census action entirely. Spies on _delete_ids
+    (job-count ceilings are AQE-stage-job noisy here) and checks the
+    delete still cascades exactly."""
+    from iot_database_spark import tables as T
+
+    calls = []
+    orig = T.Table._delete_ids
+
+    def spy(self, doomed_ids, rv=T.Table._RV_UNSET, known_count=None):
+        calls.append((self.name, known_count))
+        return orig(self, doomed_ids, rv=rv, known_count=known_count)
+
+    monkeypatch.setattr(T.Table, "_delete_ids", spy)
+    # fixture data: customer 2 has one orders2 row (cascading child)
+    n = db.table("customers").delete("id = 2")
+    assert n == 1
+    assert ("customers", None) in calls  # root runs its own census
+    assert ("orders2", 1) in calls  # leaf child receives the count
+    assert db.table("orders2").count(F.col("customers_id") == 2) == 0
+    assert db.table("customers").count() == 2
